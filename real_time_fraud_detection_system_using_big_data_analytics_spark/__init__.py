@@ -1,0 +1,20 @@
+"""PySpark-native analytics engine with the capabilities of the reference
+fraud-detection application (Nanashibi/Real-time-Fraud-detection-system-
+using-Big-Data-Analytics), re-expressed Spark-first.
+
+Layout:
+- ``session``    — SparkSession factory (AQE, UTC, sane shuffle defaults)
+- ``sources``    — table/file/jdbc/kafka readers & writers
+- ``plans``      — query registry (queries + DuckDB oracle SQL) + explain utils
+- ``operators``  — relational operator library (filters, aggs, joins, windows,
+                   set ops, dedup, similarity, text analysis)
+- ``functions``  — scalar/vector helper expressions
+- ``ml``         — fraud-detection ML pipeline parity (MLlib)
+- ``streaming``  — Structured Streaming layer (sources, windows, state)
+- ``multimodal`` — binary-column (image/audio) plumbing with stubbed codecs
+"""
+
+from .session import get_session
+from .sources.tables import TABLE_NAMES, load_tables
+
+__all__ = ["get_session", "load_tables", "TABLE_NAMES"]

@@ -1,0 +1,244 @@
+"""Core relational operators: scans, projections, filters, aggregations.
+
+Reference parity (SURVEY §2.2-§2.3): the reference's dataflow is
+scan → filter(equality / compound boolean) → derived columns → counts
+(fraud_detection_model.py:76-80,197-209,256-271). Each shape is generalized
+here as an oracle-checked query over the driver's synthetic tables.
+
+Scale notes: every query is a single lazy plan — filters sit directly on the
+parquet scan (pushdown), aggregations are partial (map-side combine) before
+the shuffle, and multi-metric summaries are one pass (``agg`` of many
+expressions) instead of the reference's one-job-per-count pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (scan → filter → groupBy → agg →
+# derived columns → sort). Exercises A1/A2/A5 + P1/P6 shapes in one plan.
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                           AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                      AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+      ROUND(AVG(l_quantity), 2)                                           AS avg_qty,
+      ROUND(AVG(l_extendedprice), 2)                                      AS avg_price,
+      ROUND(AVG(l_discount), 2)                                           AS avg_disc,
+      COUNT(*)                                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2: equality filters (reference: df.filter(col("isFraud")==1),
+# fraud_detection_model.py:80). Projection with pushdown-able predicate.
+# --------------------------------------------------------------------------
+
+@register(
+    "filter_equality",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P3: compound boolean predicate (reference confusion-matrix filters,
+# fraud_detection_model.py:259-271) — conjunction/disjunction of comparisons.
+# --------------------------------------------------------------------------
+
+@register(
+    "filter_compound_predicate",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    WHERE (event_type = 'purchase' AND value > 150.0)
+       OR (event_type = 'error' AND value < 50.0)
+    """,
+)
+def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    pred = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)) | (
+        (F.col("event_type") == "error") & (F.col("value") < 50.0)
+    )
+    return ev.filter(pred).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# P4/P6/P7: projection with computed, cast and renamed columns (reference:
+# prediction.cast("int"), probability[1] alias — fraud_detection_model.py:395-399;
+# classWeight arithmetic — :206-209).
+# --------------------------------------------------------------------------
+
+@register(
+    "project_computed_columns",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(FLOOR(o_totalprice) AS BIGINT)                  AS price_int,
+      ROUND(o_totalprice * 0.1, 2)                         AS tax_amount,
+      UPPER(o_orderstatus)                                 AS status_uc,
+      CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END    AS is_big
+    FROM orders
+    """,
+)
+def project_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    return orders.select(
+        "o_orderkey",
+        # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.round(F.col("o_totalprice") * 0.1, 2).alias("tax_amount"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.when(F.col("o_totalprice") > 200000, 1).otherwise(0).alias("is_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1/A2 fused: global count + conditional counts in ONE pass — the engine's
+# replacement for the reference's 4-jobs-for-4-counts confusion pattern
+# (fraud_detection_model.py:256-271). Map-side partial agg, single shuffle.
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_conditional_single_pass",
+    oracle="""
+    SELECT
+      COUNT(*)                                                        AS total,
+      CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)    AS n_high,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 2) AS avg_purchase_value,
+      ROUND(MIN(value), 2)                                            AS min_value,
+      ROUND(MAX(value), 2)                                            AS max_value
+    FROM events
+    """,
+)
+def agg_conditional_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.round(F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 2).alias(
+            "avg_purchase_value"
+        ),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4/A5: grouped summary with derived ratio columns (reference computes these
+# driver-side over collected counts — spark_streaming_app.py:211-213; here it
+# is one distributed pass + post-agg arithmetic).
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_grouped_summary",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*)                                   AS n,
+      ROUND(SUM(value), 2)                       AS total_value,
+      ROUND(AVG(value), 2)                       AS avg_value,
+      ROUND(MIN(value), 2)                       AS min_value,
+      ROUND(MAX(value), 2)                       AS max_value,
+      COUNT(DISTINCT user_id)                    AS n_users,
+      ROUND(SUM(value) / COUNT(DISTINCT user_id), 2) AS value_per_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_grouped_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value") / F.countDistinct("user_id"), 2).alias("value_per_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface: string/date/json extraction (SURVEY §2.7 — the
+# reference's only JSON op is from_json at spark_streaming_app.py:420; the
+# events.props column generalizes it to JSON field extraction).
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_string_date_json",
+    oracle="""
+    SELECT
+      event_id,
+      UPPER(event_type)                                    AS type_uc,
+      SUBSTR(event_type, 1, 2)                             AS type_prefix,
+      LENGTH(event_type)                                   AS type_len,
+      CAST(date_trunc('day', ts) AS TIMESTAMP)             AS day,
+      CAST(EXTRACT(hour FROM ts) AS INTEGER)               AS hour_of_day,
+      CAST(json_extract_string(props, '$.k') AS INTEGER)   AS prop_k
+    FROM events
+    """,
+)
+def scalar_string_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_uc"),
+        F.substring("event_type", 1, 2).alias("type_prefix"),
+        F.length("event_type").alias("type_len"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        # NOTE: regexp_extract, not get_json_object/from_json — the Jackson
+        # path is erratically 10-100x slower in this sandbox; for a flat
+        # single-key object the anchored regex is semantically identical.
+        F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("int").alias("prop_k"),
+    )

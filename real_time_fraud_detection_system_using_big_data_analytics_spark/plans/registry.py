@@ -1,0 +1,58 @@
+"""Query registry: the single source of truth behind ``__spark_entry__.py``.
+
+Every operator the engine implements registers here as a named query
+callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+equivalent DuckDB oracle SQL. Conventions that keep the Spark/DuckDB
+comparison hash-stable:
+
+- every computed/aggregate column is aliased identically on both sides;
+- double-valued aggregates are ``ROUND(..., 2)`` (or a documented scale) on
+  both sides so floating summation order cannot flip the hash;
+- integer sums are cast to BIGINT in the oracle (DuckDB widens to INT128);
+- ties in any top-k / rank are broken by a unique key so ordering is
+  deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optional oracle SQL) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its ``@register`` calls run."""
+    from ..operators import (  # noqa: F401
+        dedup,
+        fraud,
+        grouping,
+        joins,
+        relational,
+        sampling,
+        setops,
+        similarity,
+        text,
+        windows,
+    )
+    from ..ml import scoring  # noqa: F401
+    from ..streaming import pipeline  # noqa: F401

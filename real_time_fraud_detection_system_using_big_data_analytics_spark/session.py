@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Replaces the reference's hardcoded tuning (``spark.sql.shuffle.partitions=2``
+at fraud_detection_model.py:49, spark_streaming_app.py:183,
+postgres_model_inference.py:164) with AQE-driven runtime planning, and pins
+the session timezone to UTC so timestamp results are comparable across
+engines (Spark session-TZ rendering vs naive-UTC elsewhere).
+
+At 100 TB scale the same settings hold: AQE coalesces/re-splits shuffle
+partitions at runtime, the skew-join rewrite handles hot keys, and the
+broadcast threshold lets dimension tables (region/nation/customer at TPC-H
+proportions) broadcast instead of shuffling the fact table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_session(app_name: str = "fraud-engine", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a local SparkSession with scale-sane defaults."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stopGracefullyOnShutdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our defaults to a session we did
+    not create (the driver harness passes its own). Only touches confs that
+    are safe to flip mid-session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark

@@ -1,0 +1,31 @@
+"""Cross-engine-stable scalar helpers.
+
+``ROUND(x, s)`` is NOT portable at decimal tie points: Spark rounds
+half-up on the decimal rendering of the double (BigDecimal.valueOf), DuckDB
+rounds half-even — e.g. the double 0.60425 rounds to 0.6043 in Spark and
+0.6042 in DuckDB. Ratios of small integers (k/32, k/20000, …) land on
+those ties constantly.
+
+``q()`` / ``q_sql()`` quantize with FLOOR(x·10^s + 0.5)/10^s instead: both
+engines then execute the same IEEE-754 double ops on the same input double,
+so results are bit-identical — no tie-break semantics involved. Valid for
+non-negative values (all our ratios/scores); for signed values the floor
+formula rounds -0.5 toward +inf, so keep ROUND for plain signed outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def q(col: Column, scale: int = 4) -> Column:
+    """Deterministic cross-engine quantization of a non-negative double."""
+    factor = float(10**scale)
+    return (F.floor(col * factor + 0.5) / factor).cast("double")
+
+
+def q_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB-side twin of :func:`q` (keep both in sync)."""
+    factor = float(10**scale)
+    return f"(FLOOR(({expr}) * {factor} + 0.5) / {factor})"

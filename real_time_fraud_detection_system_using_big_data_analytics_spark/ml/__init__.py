@@ -1,0 +1,3 @@
+from .fraud_pipeline import FraudPipeline, PAYSIM_SCHEMA
+
+__all__ = ["FraudPipeline", "PAYSIM_SCHEMA"]

@@ -1,0 +1,76 @@
+"""ML scoring queries for the registry (rows-only checks: LR training is
+not SQL-expressible, SURVEY §5.2 risk #1).
+
+The events table is mapped to a PaySim-ish feature frame (FIXTURES.md §5:
+user_id≈account, event_type≈type, value≈amount) so the reference's exact
+pipeline shape runs on the driver's synthetic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+from .fraud_pipeline import FraudPipeline
+
+
+def events_as_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> reference transaction schema (deterministic label rule:
+    high-value purchase, mirroring operators/fraud.py)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    label = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+    return ev.select(
+        (F.hour("ts") + (F.dayofyear("ts") - 1) * 24).cast("int").alias("step"),
+        F.col("event_type").alias("type"),
+        F.col("value").alias("amount"),
+        F.concat(F.lit("C"), F.col("user_id")).alias("nameOrig"),
+        F.lit(0.0).alias("oldbalanceOrg"),
+        F.lit(0.0).alias("newbalanceOrig"),
+        F.concat(F.lit("M"), (F.col("event_id") % 100)).alias("nameDest"),
+        F.lit(0.0).alias("oldbalanceDest"),
+        F.lit(0.0).alias("newbalanceDest"),
+        label.alias("isFraud"),
+        F.lit(0).alias("isFlaggedFraud"),
+    )
+
+
+@register("ml_train_score_confusion")  # LR training: not SQL-expressible
+def ml_train_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference pipeline on driver data: 80/20 split (seed=42,
+    fraud_detection_model.py:86), weighted LR fit, score the held-out
+    split, return the per-(prediction,label) cell counts — a stable 2x2
+    schema for the rows-only check."""
+    df = events_as_transactions(spark, sf_dir)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    fp = FraudPipeline()
+    model = fp.fit(train)
+    scored = FraudPipeline.score(model, test)
+    return (
+        scored.groupBy(
+            F.col("fraud_prediction").alias("prediction"),
+            F.col("isFraud").alias("label"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("prediction", "label")
+    )
+
+
+@register("ml_batch_inference")  # model scoring: not SQL-expressible
+def ml_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-inference parity (postgres_model_inference.py:224-348 without
+    the driver-side pagination): train once, score the FULL table as one
+    distributed transform, return flagged rows in the reference's
+    prediction-output shape (:289-307)."""
+    df = events_as_transactions(spark, sf_dir)
+    fp = FraudPipeline()
+    model = fp.fit(df)
+    scored = FraudPipeline.score(model, df)
+    return scored.filter(F.col("fraud_prediction") == 1).select(
+        "nameOrig",
+        "nameDest",
+        F.col("amount"),
+        F.col("fraud_prediction"),
+        F.round("fraud_probability", 4).alias("fraud_probability"),
+    )

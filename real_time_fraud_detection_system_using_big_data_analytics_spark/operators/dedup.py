@@ -1,0 +1,336 @@
+"""Deduplication operators over `documents` (north-star surface): exact,
+n-gram Jaccard, MinHash + LSH banding, SimHash.
+
+Portability convention: every hash is md5-hex (bit-identical in Spark and
+DuckDB), so the *same algorithm* runs on both sides and the oracle checks
+the full pipeline, not a lookalike. MinHash uses "min over md5(seed|x)
+hex strings" — lexicographic min of a uniform hash is a valid permutation
+min-hash, and string min is portable.
+
+Scale posture (100 TB):
+- exact/fingerprint dedup: one shuffle on the hash — embarrassingly
+  scalable;
+- shingle self-join: shuffle on shingle; hot shingles are the skew hazard —
+  the queries drop ultra-common shingles (doc-frequency cap), which is both
+  a quality and a skew fix;
+- MinHash/LSH: signatures are fixed-width per doc (seeds × 32 bytes);
+  candidate generation joins on (band_id, band_hash) — bounded fan-out,
+  no quadratic blow-up;
+- SimHash: one pass to signatures, self-join on signature (or banded
+  sub-signatures for hamming>0).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import q
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+N_SEEDS = 8          # minhash signature length
+BAND_ROWS = 2        # seeds per LSH band -> 4 bands
+SHINGLE_K = 3        # word-shingle width
+MAX_DOC_FREQ = 50    # drop shingles appearing in more docs (skew + quality)
+
+
+def _shingles_spark(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-shingles via higher-order fns."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(l) >= 3
+                  THEN list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                  ELSE [] END)) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS exact_hash,
+           COUNT(*) AS cluster_size,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep the lowest doc_id per cluster.
+    (The corpus has no exact dups, so clusters are singletons — the unit
+    tests exercise multi-member clusters with literal fixtures.)"""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.groupBy(F.md5("text").alias("exact_hash")).agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    common AS (
+      SELECT s.shingle FROM shingles s GROUP BY s.shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
+    ),
+    filtered AS (
+      SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM common)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           (FLOOR(p.n_common * 1.0 / (sa.n + sb.n - p.n_common) * 10000.0 + 0.5) / 10000.0) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: sparse self-join on shared shingles
+    (never the quadratic cross join), with a doc-frequency cap that drops
+    stop-shingles — the cap is simultaneously the skew guard: the hottest
+    join keys are removed before the shuffle."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    common = (
+        sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
+    )
+    filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pair_inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jaccard >= 0.2)
+        .select("doc_a", "doc_b", q(jaccard).alias("jaccard"))
+    )
+
+
+def _minhash_sql(seed: int) -> str:
+    return f"MIN(md5('{seed}|' || shingle))"
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           {", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_SEEDS))}
+    FROM shingles
+    GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 8 portable hash 'permutations' (min of
+    md5(seed|shingle) hex). One groupBy over the shingle expansion computes
+    all 8 mins map-side — signature cost is one pass regardless of seeds."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(N_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_BANDS = [tuple(range(b * BAND_ROWS, (b + 1) * BAND_ROWS)) for b in range(N_SEEDS // BAND_ROWS)]
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_SEEDS))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5({' || '.join(f'mh{s}' for s in band)}) AS band_hash FROM sigs"
+        for b, band in enumerate(_BANDS)
+      )}
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (FLOOR(({" + ".join(f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(N_SEEDS))})
+                 / {N_SEEDS}.0 * 10000.0 + 0.5) / 10000.0) AS est_jaccard
+    FROM candidates c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the 8-hash signature into 4 bands
+    of 2, bucket-join on (band_id, band_hash), estimate Jaccard as the
+    fraction of agreeing minhashes. The join is on band buckets — candidate
+    generation never compares all pairs (the LSH scale property)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(N_SEEDS)
+        ]
+    )
+    band_dfs = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"mh{s}") for s in band])).alias("band_hash"),
+        )
+        for b, band in enumerate(_BANDS)
+    ]
+    bands = reduce(lambda x, y: x.unionByName(y), band_dfs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}"), 1).otherwise(0) for s in range(N_SEEDS)
+    )
+    return (
+        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", q(agree / float(N_SEEDS)).alias("est_jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(token), p.pos, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos) p
+      GROUP BY doc_id, p.pos
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN weight >= 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5-nibble-parity variant): per token take md5 hex
+    chars 1..16, bit_i = parity of hex digit i; sum +1/-1 votes per bit over
+    the doc's distinct tokens; the sign vector is the signature. Near-dup =
+    small hamming distance (0 here; banded variants extend it).
+
+    Portable definition: identical md5 nibbles and identical vote
+    aggregation on both engines, so signatures match bit-for-bit.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos")
+    votes = toks.select("doc_id", F.md5("token").alias("h")).select(
+        "doc_id", "h", pos
+    )
+    digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("pos"), 1)) - 1
+    bit_vote = F.when(digit % 2 == 1, 1).otherwise(-1)
+    bits = votes.groupBy("doc_id", "pos").agg(F.sum(bit_vote).alias("weight"))
+    bitchar = F.when(F.col("weight") >= 0, "1").otherwise("0")
+    return (
+        bits.select("doc_id", "pos", bitchar.alias("bit"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda s: s["bit"])
+            ).alias("simhash")
+        )
+    )
+
+
+@register(
+    "dedup_simhash_clusters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(token), p.pos, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos) p
+      GROUP BY doc_id, p.pos
+    ),
+    sigs AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN weight >= 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_doc_id
+    FROM sigs
+    GROUP BY simhash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-0 SimHash clusters (identical signatures) with keeper
+    selection — the grouping stage of the simhash dedup cascade."""
+    sigs = dedup_simhash(spark, sf_dir)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+    )

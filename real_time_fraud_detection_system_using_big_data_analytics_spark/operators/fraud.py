@@ -1,0 +1,208 @@
+"""Reference-parity fraud shapes, re-expressed over the driver's `events`
+table (user_id≈account, event_type≈transaction type, value≈amount — the
+mapping documented in FIXTURES.md §5).
+
+Covers the reference's core dataflow shapes:
+- rule-based alert projection (spark_streaming_app.py:345-360: filter
+  prediction==1 → project alert payload);
+- single-pass confusion matrix (fraud_detection_model.py:256-271 runs FOUR
+  filter+count jobs; here it is ONE aggregate — the engine-side fix called
+  out in SURVEY §2.2-P3);
+- classWeight derived column (fraud_detection_model.py:206-209);
+- fraud-rate style grouped ratio (fraud_detection_model.py:79-81).
+
+The label/prediction pair is a deterministic rule pair, so DuckDB can
+verify the whole matrix (the ML-scored variant is in ml/scoring.py,
+rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import q
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+# Deterministic stand-ins for (label, prediction) so the confusion math is
+# oracle-checkable: "label" = high-value purchase, "prediction" = a cheaper
+# proxy rule that only looks at value. Column objects need a live session,
+# so the Spark side is built lazily.
+def _label():
+    return (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+
+
+def _pred():
+    return F.col("value") > 140.0
+
+
+_LABEL_SQL = "(event_type = 'purchase' AND value > 150.0)"
+_PRED_SQL = "(value > 140.0)"
+
+
+@register(
+    "fraud_rule_alerts",
+    oracle=f"""
+    SELECT event_id, user_id, ROUND(value, 2) AS amount,
+           1 AS prediction,
+           (FLOOR(LEAST(value / 200.0, 1.0) * 10000.0 + 0.5) / 10000.0) AS probability
+    FROM events
+    WHERE {_LABEL_SQL}
+    """,
+)
+def fraud_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert projection, reference schema (spark_streaming_app.py:354-360:
+    nameOrig/nameDest/amount/prediction/probability → here
+    event_id/user_id/amount/prediction/probability). The reference builds
+    these dicts driver-side after a collect(); here the projection stays
+    in-plan, so the same query runs unchanged on a stream."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.filter(_label()).select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("amount"),
+        F.lit(1).alias("prediction"),
+        q(F.least(F.col("value") / 200.0, F.lit(1.0))).alias("probability"),
+    )
+
+
+@register(
+    "fraud_confusion_matrix",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN {_PRED_SQL} AND {_LABEL_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN {_PRED_SQL} AND NOT {_LABEL_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN NOT {_PRED_SQL} AND NOT {_LABEL_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      CAST(SUM(CASE WHEN NOT {_PRED_SQL} AND {_LABEL_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      (FLOOR(SUM(CASE WHEN ({_PRED_SQL}) = ({_LABEL_SQL}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0) AS accuracy,
+      (FLOOR(SUM(CASE WHEN {_PRED_SQL} AND {_LABEL_SQL} THEN 1 ELSE 0 END) * 1.0
+            / NULLIF(SUM(CASE WHEN {_PRED_SQL} THEN 1 ELSE 0 END), 0) * 10000.0 + 0.5) / 10000.0) AS precision,
+      (FLOOR(SUM(CASE WHEN {_PRED_SQL} AND {_LABEL_SQL} THEN 1 ELSE 0 END) * 1.0
+            / NULLIF(SUM(CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END), 0) * 10000.0 + 0.5) / 10000.0) AS recall
+    FROM events
+    """,
+)
+def fraud_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy/precision/recall in ONE aggregation job.
+
+    The reference computes the same numbers with four separate
+    filter().count() actions plus driver arithmetic
+    (fraud_detection_model.py:256-276) — each action replays the full
+    lineage. Single-pass form: O(1) jobs, map-side partials, no recompute.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    label = _label().cast("int")
+    pred = _pred().cast("int")
+    tp = F.sum(((pred == 1) & (label == 1)).cast("int")).cast("bigint")
+    fp = F.sum(((pred == 1) & (label == 0)).cast("int")).cast("bigint")
+    tn = F.sum(((pred == 0) & (label == 0)).cast("int")).cast("bigint")
+    fn = F.sum(((pred == 0) & (label == 1)).cast("int")).cast("bigint")
+    return ev.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        tn.alias("tn"),
+        fn.alias("fn"),
+        q(F.sum((pred == label).cast("int")) / F.count("*")).alias("accuracy"),
+        q(
+            F.sum(((pred == 1) & (label == 1)).cast("int"))
+            / F.nullif(F.sum((pred == 1).cast("int")), F.lit(0))
+        ).alias("precision"),
+        q(
+            F.sum(((pred == 1) & (label == 1)).cast("int"))
+            / F.nullif(F.sum((label == 1).cast("int")), F.lit(0))
+        ).alias("recall"),
+    )
+
+
+@register(
+    "fraud_class_weight",
+    oracle=f"""
+    WITH stats AS (
+      SELECT SUM(CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN NOT {_LABEL_SQL} THEN 1 ELSE 0 END) AS n_neg
+      FROM events
+    )
+    SELECT e.event_id,
+           CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END AS label,
+           (FLOOR(CASE WHEN {_LABEL_SQL} THEN s.n_neg * 1.0 / s.n_pos ELSE 1.0 END * 10000.0 + 0.5) / 10000.0) AS class_weight
+    FROM events e CROSS JOIN stats s
+    """,
+)
+def fraud_class_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classWeight column: weight = isFraud*ratio + (1-isFraud) with
+    ratio = n_neg/n_pos (fraud_detection_model.py:197-209). The reference
+    computes the ratio with two separate count() jobs; here it is one
+    aggregate cross-joined back (a broadcast of one row — the scalar-
+    subquery shape). NOTE the reference computes this column but never
+    wires it into LogisticRegression (the silent weightCol bug, SURVEY
+    §4.1); ml/fraud_pipeline.py wires it."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    label = _label().cast("int")
+    stats = ev.agg(
+        F.sum(label).alias("n_pos"), F.sum(1 - label).alias("n_neg")
+    )
+    ratio = F.col("n_neg") / F.col("n_pos")
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            "event_id",
+            label.alias("label"),
+            q(F.when(label == 1, ratio).otherwise(F.lit(1.0))).alias("class_weight"),
+        )
+    )
+
+
+@register(
+    "fraud_rate_by_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           (FLOOR(SUM(CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END) * 100.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0) AS flagged_pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fraud_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-rate rollup (fraud_detection_model.py:79-81 computes the global
+    rate with two count() jobs; grouped single-pass version)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    label = _label().cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(label).cast("bigint").alias("n_flagged"),
+        q(F.sum(label) * 100.0 / F.count("*")).alias("flagged_pct"),
+    )
+
+
+@register(
+    "fraud_velocity_alert",
+    oracle="""
+    WITH with_velocity AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(*) OVER w - 1 AS n_prior_10m
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, ROUND(value, 2) AS amount,
+           CAST(n_prior_10m AS BIGINT) AS n_prior_10m
+    FROM with_velocity
+    WHERE n_prior_10m >= 2
+    """,
+)
+def fraud_velocity_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule: alert when an account produced ≥2 other events in the
+    trailing 10 minutes — the canonical fraud velocity feature the
+    reference's stateless stream cannot express (SURVEY §2.6-T7). Batch
+    form here; streaming form with state in streaming/velocity.py."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts")).rangeBetween(-600 * 1_000_000, 0)
+    return (
+        ev.withColumn("n_prior_10m", (F.count("*").over(w) - 1).cast("bigint"))
+        .filter(F.col("n_prior_10m") >= 2)
+        .select("user_id", "event_id", "ts", F.round("value", 2).alias("amount"), "n_prior_10m")
+    )

@@ -1,0 +1,190 @@
+"""Multi-dimensional grouped aggregation: cube, rollup, grouping sets,
+pivot, distinct counting (exact + approximate).
+
+Absent in the reference (SURVEY §2.11 — it only ever computes global
+counts); standard surface for an analytics engine. All of these are single
+shuffle-stage plans with map-side partial aggregation; CUBE/ROLLUP expand
+the grouping set at the map side so no extra pass over the input is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gid,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total).
+    A grouping-indicator column disambiguates subtotal NULLs from data
+    NULLs identically in both engines."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2).cast("int").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gid,
+           COUNT(*) AS n, ROUND(AVG(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2).cast("int").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "avg_price")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INTEGER) AS gid,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent groupings in one shuffle."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INTEGER) AS gid,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_n,
+           CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekday_n,
+           ROUND(SUM(CASE WHEN EXTRACT(dow FROM ts) IN (0, 6) THEN value ELSE 0 END), 2) AS weekend_value,
+           ROUND(SUM(CASE WHEN EXTRACT(dow FROM ts) NOT IN (0, 6) THEN value ELSE 0 END), 2) AS weekday_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on a derived category (weekend/weekday). Implemented with
+    `groupBy().pivot()` — Catalyst rewrites it to the same conditional
+    aggregation the oracle spells out, in a single pass."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6=Saturday.
+    bucketed = ev.withColumn(
+        "day_bucket",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit("weekend")).otherwise(F.lit("weekday")),
+    )
+    pivoted = (
+        bucketed.groupBy("event_type")
+        .pivot("day_bucket", ["weekend", "weekday"])
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value"))
+    )
+    return pivoted.select(
+        "event_type",
+        F.col("weekend_n"),
+        F.col("weekday_n"),
+        F.col("weekend_value"),
+        F.col("weekday_value"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count — Catalyst plans it as a two-phase expand +
+    partial agg, one logical pass."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("agg_approx_count_distinct")  # HLL sketch: engine-specific, no SQL oracle
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.01). The scale path for
+    distinct counting: sketch merge instead of the exact expand+shuffle.
+    Oracle-exempt (sketch estimates are engine-specific); a unit test
+    asserts <5% relative error against the exact count."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.95), 2) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median/p95). Spark `percentile`
+    matches DuckDB `quantile_cont` interpolation semantics. The 100 TB
+    path is `percentile_approx` (t-digest sketch) — provided as the
+    oracle-exempt `agg_quantiles_approx`."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95"),
+    )
+
+
+@register("agg_quantiles_approx")  # t-digest sketch: engine-specific, no SQL oracle
+def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )

@@ -1,0 +1,242 @@
+"""Join operators: equi (broadcast / shuffle), multi-way, outer, semi, anti,
+range (non-equi), as-of.
+
+The reference implements no joins at all (SURVEY §2.11 — its nearest
+analogue is the broadcast-map lookup inside StringIndexer); this module
+provides the full join surface a user of a relational engine expects.
+
+Scale posture:
+- dimension tables (region/nation/customer at star-schema proportions) are
+  broadcast explicitly — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key; AQE handles skew;
+- the as-of join is expressed as a windowed dedup over a bounded-range
+  pair join. At 100 TB the unbounded variant is replaced by time-bucketing
+  (join on (key, bucket) for the K most recent buckets) — the implementation
+  keeps the range predicate tight for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: customer joined through nation to region.
+
+    Both dim joins broadcast (`F.broadcast`) — the customer scan never
+    shuffles; the only shuffle is the final small groupBy.
+    """
+    t = load_tables(spark, sf_dir, names=("customer", "nation", "region"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_multiway_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 4-way join. lineitem⋈orders shuffles on orderkey;
+    customer and nation broadcast. Filter on o_orderdate is pushed below
+    the join by Catalyst (visible as PushedFilters on the orders scan)."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders", "customer", "nation"))
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)                       AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders; COUNT of a
+    nullable column + COALESCE'd sum give identical null semantics in both
+    engines."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS. Only the key column of the build side is
+    shuffled; no row multiplication."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS (customers that never ordered)."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipped_30d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: lineitems shipped within 30 days of their order.
+    The equi key (orderkey) carries the shuffle; the range condition is a
+    post-join filter inside the same sort-merge join — no cross product."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    o, li = t["orders"], t["lineitem"]
+    # timestamp + interval (not date_add, which truncates to DATE)
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_shipped_30d"))
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH pairs AS (
+      SELECT e.event_id, e.user_id, e.ts AS error_ts,
+             p.ts AS purchase_ts, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM events e
+      JOIN events p
+        ON p.user_id = e.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= e.ts
+      WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id, error_ts, purchase_ts,
+           ROUND(purchase_value, 2) AS purchase_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the most recent prior purchase by
+    the same user. Composition: equi-join on user_id + range predicate,
+    then windowed keep-latest (ties broken by event_id for determinism).
+
+    At 100 TB the per-user pair fan-out is bounded by adding a time-bucket
+    equi key (join on (user_id, day) for the last K days) — semantics
+    preserved, fan-out capped.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("purchase_ts").desc(), F.col("p_event_id").desc()
+    )
+    return (
+        errors.join(
+            purchases,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("purchase_ts") <= F.col("error_ts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "error_ts",
+            "purchase_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )

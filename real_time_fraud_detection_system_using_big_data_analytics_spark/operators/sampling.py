@@ -1,0 +1,146 @@
+"""Sorting, top-k, limits, sampling, distinct/dedup.
+
+Reference parity: randomSplit (fraud_detection_model.py:86, L1), pandas
+head as limit (transaction_producer.py:74-75, L2), OFFSET/LIMIT pagination
+(postgres_model_inference.py:272, L3 — reproduced deterministically here).
+Sorts/top-k/distinct are engine additions (SURVEY §2.4-L4, §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps only its local top-25, the driver merges k*p rows.
+    No global sort is materialized (this is why it scales: top-25 of 100 TB
+    moves 25 rows per partition, not the data)."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "paginate_deterministic",
+    oracle="""
+    WITH numbered AS (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, event_type FROM numbered
+    WHERE rn > 100 AND rn <= 200
+    """,
+)
+def paginate_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination (page 2 of size 100, keyed by event_id).
+
+    The reference paginates Postgres with ORDER-BY-less OFFSET/LIMIT
+    (postgres_model_inference.py:272) — rows can repeat or drop across
+    pages. This is the engine's deterministic replacement: row_number over
+    a total order. At scale, pagination should instead be key-range
+    predicates (WHERE id > last_seen LIMIT n) — pushdown-able and
+    stateless; this query documents the window formulation.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .drop("rn")
+    )
+
+
+@register(
+    "sample_deterministic_mod",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 2) AS value
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+)
+def sample_deterministic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample by key modulus — reproducible across
+    engines and runs (unlike Bernoulli `sample()`, provided separately as
+    rows-only `sample_bernoulli`)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register("sample_bernoulli")  # RNG-based: not oracle-comparable
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (reference L1's randomSplit uses the same
+    mechanism, fraud_detection_model.py:86). Deterministic per Spark
+    version/partitioning but not reproducible in DuckDB — rows-only check."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id", "value")
+
+
+@register("random_split")  # RNG-based: not oracle-comparable
+def random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference L1 parity: 80/20 randomSplit(seed=42) as in
+    fraud_detection_model.py:86. Returns the per-split row counts so the
+    rows-only check pins the split being produced at all."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    train, test = ev.randomSplit([0.8, 0.2], seed=42)
+    return (
+        train.select(F.lit("train").alias("split")).groupBy("split").count()
+        .unionByName(test.select(F.lit("test").alias("split")).groupBy("split").count())
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT event_type, user_id
+    FROM events
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.select("event_type", "user_id").distinct()
+
+
+@register(
+    "dedup_keep_first_by_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, event_type FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest row per key — the deterministic
+    form of `dropDuplicates(["user_id"])` (which keeps an arbitrary row;
+    here the window order pins which survivor is kept, so the result is
+    reproducible and oracle-checkable)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

@@ -1,0 +1,258 @@
+"""Similarity search over the `embeddings` table (north-star surface):
+brute-force cosine top-k, LSH-bucketed and IVF-partitioned variants,
+embedding near-dup.
+
+Float determinism: cosine is computed with the SAME arithmetic on both
+engines — elements cast to double, dot/norm accumulated left-to-right over
+the 64 positions (Spark `zip_with`+`aggregate` fold vs DuckDB
+`list_transform`+`list_sum` are both sequential in index order), so the
+doubles are bit-identical and rounding/ranking cannot diverge. DuckDB's
+`list_cosine_similarity` is deliberately NOT used (float32 internals).
+
+Scale posture (100 TB of vectors):
+- brute force: queries broadcast against the vector corpus; per-partition
+  local top-k then global top-k merge — no pairwise shuffle;
+- LSH: sign-bit bucket equi-join — each query compares only within its
+  bucket (tunable recall/cost);
+- IVF: partition (cell) pruning via an equi-join on the cell id, the
+  standard billion-scale layout; here the `label` column stands in for the
+  k-means cell assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+DIM = 64
+
+
+def _dot(a: str, b: str) -> Column:
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str) -> Column:
+    sq = F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _cosine(a: str, b: str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG({_NORM_SQL.format(a='embedding')}), 4) AS avg_norm,
+           ROUND(MIN({_NORM_SQL.format(a='embedding')}), 4) AS min_norm,
+           ROUND(MAX({_NORM_SQL.format(a='embedding')}), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — the array-math smoke test for the
+    vector column (higher-order functions, no UDF)."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    norm = _norm("embedding")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_cosine_sql('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rn
+      FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, ROUND(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (queries = vec_id % 100 == 0).
+    The query set is broadcast; scoring is a map-side cross of corpus
+    partitions × broadcast queries, then a per-query top-k window. Ties
+    broken by vec_id for determinism."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = _cosine("q_emb", "embedding")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1]  >= 0 THEN 4 ELSE 0 END +
+              CASE WHEN embedding[8]  >= 0 THEN 2 ELSE 0 END +
+              CASE WHEN embedding[20] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM bucketed WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, b.vec_id, b.bucket,
+             {_cosine_sql('q.q_emb', 'b.embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_cosine_sql('q.q_emb', 'b.embedding')} DESC, b.vec_id) AS rn
+      FROM queries q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, CAST(bucket AS INTEGER) AS bucket,
+           ROUND(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= 3
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 3 sign-bit 'hyperplanes' (fixed coordinate axes 1,
+    8, 20 — deterministic, no RNG) partition the corpus into 8 buckets;
+    each query searches only its own bucket. The bucket equi-join replaces
+    the full cross — the recall/cost dial is the number of bits."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    bucket = (
+        F.when(F.element_at("embedding", 1) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 8) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 20) >= 0, 1).otherwise(0)
+    )
+    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = _cosine("q_emb", "embedding")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "bucket", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("cosine_raw", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "ann_ivf_partitioned",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_cosine_sql('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rn
+      FROM queries q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, label, ROUND(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= 3
+    """,
+)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into cells (here the
+    `label` column stands in for the k-means centroid assignment an IVF
+    build step would produce); each query probes only its own cell. At
+    scale the cell id is the physical partition key, so the probe is a
+    partition-pruned scan."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cos = _cosine("q_emb", "embedding")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        e.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "label", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "label", F.round("cosine_raw", 4).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above 0.95 cosine within a
+    deterministic 20% subset. The pairwise form is the correctness oracle;
+    the scale path is ann_lsh_bucketed's bucket join (candidates only)."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    sub = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = _cosine("emb_a", "emb_b")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.95)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )

@@ -1,0 +1,269 @@
+"""Text-analysis operators over the `documents` table (north-star surface:
+language-ID, quality scoring, token counting, fingerprinting, n-grams).
+
+All token math uses built-in array/string expressions (JVM-side, codegen) —
+no Python UDFs: at 100 TB the tokenizer must not cross the JVM/Python
+boundary per row. Shared conventions with the oracle SQL:
+
+- tokens = split on single space (the synthetic corpus is space-separated);
+- lists are addressed 1-based on both sides (element_at / DuckDB [i]);
+- hashes are md5 hex strings (identical bytes in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import q, q_sql
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+# Marker stopwords per language for the n-gram/stopword heuristic id.
+# Chosen from the corpus vocabulary so scores differ across docs; the
+# heuristic is deterministic, which is what the oracle checks.
+_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "row", "value"),
+    "de": ("stream", "batch", "merge"),
+    "fr": ("query", "filter", "join"),
+    "zh": ("hash", "scan", "sort"),
+}
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           (FLOOR((CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
+           (FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS ttr
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean token
+    length, type-token ratio — all with higher-order array functions."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = _tokens()
+    n = F.size(toks)
+    ndist = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        ndist.cast("int").alias("n_distinct"),
+        q(total_len.cast("double") / n).alias("avg_token_len"),
+        q(ndist.cast("double") / n).alias("ttr"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+           CAST(CEIL(length(text) / 4.0) AS INTEGER) AS len4_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators: whitespace, a BPE-ish regex (letter
+    runs / digit runs / single other), and the chars/4 heuristic."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("len4_tokens"),
+    )
+
+
+def _marker_count_spark(lang: str) -> Column:
+    markers = list(_MARKERS[lang])
+    return F.size(F.filter(_tokens(), lambda x: x.isin(*markers)))
+
+
+def _marker_count_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_count_sql('en')} AS s_en,
+             {_marker_count_sql('es')} AS s_es,
+             {_marker_count_sql('de')} AS s_de,
+             {_marker_count_sql('fr')} AS s_fr,
+             {_marker_count_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+             WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang,
+           CAST(GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS INTEGER) AS top_score
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count per-language marker tokens, predict the
+    argmax (ties broken by the fixed language order en>es>de>fr>zh — the
+    CASE evaluates in that order in both engines)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    scores = {lang: _marker_count_spark(lang) for lang in _MARKERS}
+    top = F.greatest(*scores.values())
+    pred = (
+        F.when(top == scores["en"], "en")
+        .when(top == scores["es"], "es")
+        .when(top == scores["de"], "de")
+        .when(top == scores["fr"], "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        top.cast("int").alias("top_score"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN {str(_STOPWORDS)})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           (FLOOR(distinct_ratio * 10000.0 + 0.5) / 10000.0) AS distinct_ratio,
+           (FLOOR(alpha_ratio * 10000.0 + 0.5) / 10000.0) AS alpha_ratio,
+           (FLOOR(stopword_ratio * 10000.0 + 0.5) / 10000.0) AS stopword_ratio,
+           (FLOOR((0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * distinct_ratio
+                 + 0.3 * (1.0 - ABS(stopword_ratio - 0.1))) * 10000.0 + 0.5) / 10000.0) AS quality
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / alpha ratio / stopword ratio /
+    type-token ratio — the standard cheap pre-filters of an LLM data
+    pipeline, composed into one deterministic score."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = _tokens()
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / n_chars
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double") / n_tokens
+    )
+    quality = (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * (1.0 - F.abs(stopword_ratio - 0.1))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        q(distinct_ratio).alias("distinct_ratio"),
+        q(alpha_ratio).alias("alpha_ratio"),
+        q(stopword_ratio).alias("stopword_ratio"),
+        q(quality).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+           md5(text) AS exact_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact hash (md5 of raw text) and a
+    bag-of-words fingerprint (md5 of the sorted distinct token set) that is
+    invariant to token order/repetition — the cheap first stage of a dedup
+    cascade."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    bow = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+    return d.select(
+        "doc_id",
+        F.md5(bow).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )
+
+
+@register(
+    "text_top_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT unnest(CASE WHEN len(l) >= 3
+                         THEN list_transform(generate_series(1, len(l) - 2),
+                                             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                         ELSE [] END) AS ngram
+      FROM toks
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM grams
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams: per-doc n-gram expansion with
+    higher-order functions (sequence+transform — no Python), explode,
+    count, deterministic top-k (ties broken by the gram itself)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = _tokens()
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(20)
+    )

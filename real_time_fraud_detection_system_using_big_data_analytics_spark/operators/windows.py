@@ -1,0 +1,224 @@
+"""Window functions: ranking, analytic (lag/lead), aggregate frames — and
+the per-account velocity-feature templates the reference's fraud use case
+needs but never implements (SURVEY §2.11, §2.6-T7).
+
+Scale posture: a window shuffles once on partitionBy keys and sorts within
+partitions. Per-user/account partitions are naturally small (bounded events
+per user), so there is no skew hazard; global (un-partitioned) windows are
+avoided everywhere — a global rank at 100 TB would funnel into one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import q
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical top-k-per-group idiom
+    (rank + filter, no self-join). Tie broken by orderkey: deterministic."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           (FLOOR(PERCENT_RANK() OVER w * 10000.0 + 0.5) / 10000.0) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over one shared window spec (single sort)."""
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        q(F.percent_rank().over(w)).alias("pct_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           ts,
+           LAG(ts)  OVER w AS prev_ts,
+           LEAD(ts) OVER w AS next_ts,
+           ROUND(value - LAG(value) OVER w, 2) AS value_delta,
+           COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w), 0) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead per user ordered by event time — inter-event gap
+    is the building block for sessionization and velocity features.
+
+    Gaps are computed in epoch MICROseconds (unix_micros/epoch_us):
+    second-granularity unix_timestamp truncates each side before
+    subtracting, which disagrees with interval arithmetic on sub-second
+    timestamps."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        F.coalesce(gap, F.lit(0)).cast("bigint").alias("gap_us"),
+    )
+
+
+@register(
+    "window_running_agg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS event_seq,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3
+    FROM events
+    """,
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame running aggregates: cumulative total, sequence number,
+    3-row moving average — per-account balance tracking as in the PaySim
+    oldbalance/newbalance columns, derived instead of stored."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint").alias(
+            "event_seq"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 2).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "window_velocity_range_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w - 1 AS BIGINT)                    AS n_prior_1h,
+           ROUND(SUM(value) OVER w - value, 2)                    AS sum_prior_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_velocity_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity features via RANGE frame on epoch seconds: how many events /
+    how much value did this user generate in the hour before each event.
+    This is the batch formulation of the fraud-detection velocity feature
+    the reference lacks (SURVEY §2.6-T7); the streaming formulation is in
+    streaming/velocity.py.
+
+    Note RANGE frames include peer rows (same timestamp), so 'prior' is
+    computed by subtracting the current row from the inclusive frame —
+    identical semantics in both engines even with duplicate timestamps.
+    The frame key is epoch microseconds (not truncated seconds) so frame
+    boundaries are exact for sub-second timestamps.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.count("*").over(w) - 1).cast("bigint").alias("n_prior_1h"),
+        F.round(F.sum("value").over(w) - F.col("value"), 2).alias("sum_prior_1h"),
+    )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap>30min starts a new session (lag + cumsum
+    idiom). One shuffle on user_id serves both windows and the final
+    groupBy — Catalyst reuses the partitioning."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )

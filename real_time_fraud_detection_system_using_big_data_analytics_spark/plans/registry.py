@@ -55,4 +55,5 @@ def load_all() -> None:
         windows,
     )
     from ..ml import scoring  # noqa: F401
-    from ..streaming import pipeline  # noqa: F401
+    from ..multimodal import queries as multimodal_queries  # noqa: F401
+    from ..streaming import pipeline, stateful_queries  # noqa: F401

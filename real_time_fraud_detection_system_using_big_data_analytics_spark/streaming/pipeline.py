@@ -1,0 +1,187 @@
+"""Streaming pipelines (SURVEY §2.6): the ops the reference has (micro-batch
+scoring with checkpointing, T1-T6) and the ones it lacks (T7: watermarks,
+event-time windows, streaming dedup, session windows).
+
+Registry entries run the streams hermetically: file source over the events
+parquet -> availableNow trigger -> memory sink -> returned as a DataFrame.
+The windowed aggregations are REAL streaming queries whose results equal
+their batch formulation, so the DuckDB oracle checks streaming semantics
+end-to-end (a check the reference has no analogue of).
+
+Scale posture: watermark + windowed state lives in the state store (RocksDB
+at scale — see session notes); per-key state is bounded by the watermark
+horizon; availableNow is the backfill trigger for reprocessing history.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from .sources import events_file_stream
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming DF to completion with availableNow into a memory
+    sink; return the materialized result table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_window_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1h) aggregation with a 10-minute
+    watermark, executed as a genuine Structured Streaming query (file
+    source, availableNow, memory sink). Windows are epoch-aligned, so the
+    batch oracle is date_trunc('hour') — the replay is in-order within one
+    batch, hence the watermark drops nothing and streaming == batch."""
+    stream = events_file_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
+@register(
+    "stream_sliding_window_agg",
+    oracle="""
+    WITH slides AS (
+      SELECT unnest(generate_series(0, 1)) AS k
+    ),
+    assigned AS (
+      SELECT CAST(date_trunc('hour', ts - INTERVAL 30 MINUTE * s.k) AS TIMESTAMP)
+               + INTERVAL 30 MINUTE * s.k AS window_start,
+             e.value
+      FROM events e CROSS JOIN slides s
+      WHERE date_trunc('hour', ts - INTERVAL 30 MINUTE * s.k)
+               + INTERVAL 30 MINUTE * s.k <= ts
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30m slide): every event lands in 2
+    overlapping windows. The oracle expands the two slide offsets per event
+    — same assignment rule Spark's window() uses (epoch-aligned)."""
+    stream = events_file_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+    return _run_to_memory(agg, spark)
+
+
+@register("stream_session_window")  # session_window state op: streaming-specific
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m gap) per user — the streaming twin of
+    operators/windows.window_sessionize. Rows-only here (the batch window
+    formulation is the oracle-checked variant; this one validates the
+    state-store path end-to-end via the unit test comparing the two)."""
+    stream = events_file_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_first_seen
+    FROM (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark
+    horizon — dropDuplicates on a stream keeps the first arrival, so with
+    an in-order single-batch replay the batch oracle is keep-first
+    row_number. Aggregated to counts for a stable comparison shape."""
+    stream = events_file_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+    return _run_to_memory(deduped, spark)
+
+
+@register("stream_rule_alerts")  # foreachBatch side effects: rows-only
+def stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streaming scoring loop re-expressed in-plan
+    (spark_streaming_app.py:308-400): filter + alert projection stay inside
+    the streaming plan; foreachBatch is only the delivery edge. Here the
+    stream runs hermetically and returns the alert rows."""
+    stream = events_file_stream(spark, sf_dir)
+    alerts = (
+        stream.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("amount"),
+            F.lit(1).alias("prediction"),
+            F.round(F.least(F.col("value") / 200.0, F.lit(1.0)), 4).alias("probability"),
+        )
+    )
+    name = "alerts_" + uuid.uuid4().hex[:8]
+    batches: list = []
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,114 @@
+"""Unit tests for the fraud ML pipeline (reference parity, SURVEY §2.5).
+
+Uses a tiny literal PaySim-schema fixture (FIXTURES.md §1/§4) — unit
+fixtures, not driver testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.ml import (
+    FraudPipeline,
+    PAYSIM_SCHEMA,
+)
+
+
+def paysim_fixture(spark, n: int = 200):
+    """Deterministic PaySim-shaped frame: fraud = full-drain TRANSFER rows
+    (the pattern visible at reference t1.csv:4-5)."""
+    rows = []
+    types = ["PAYMENT", "TRANSFER", "CASH_OUT", "CASH_IN", "DEBIT"]
+    for i in range(n):
+        ttype = types[i % 5]
+        amount = float(100 + (i * 37) % 5000)
+        old = float(2 * amount if i % 3 else amount)
+        is_fraud = 1 if (ttype == "TRANSFER" and old == amount) else 0
+        rows.append(
+            (
+                i % 24 + 1,
+                ttype,
+                amount,
+                f"C{i}",
+                old,
+                max(0.0, old - amount),
+                f"M{i % 10}" if ttype == "PAYMENT" else f"C{i + 1000}",
+                0.0,
+                0.0,
+                is_fraud,
+                0,
+            )
+        )
+    return spark.createDataFrame(rows, PAYSIM_SCHEMA)
+
+
+def test_class_weight_formula(spark):
+    """classWeight = isFraud*ratio + (1-isFraud), ratio = n_neg/n_pos
+    (fraud_detection_model.py:197-209)."""
+    df = paysim_fixture(spark)
+    fp = FraudPipeline()
+    weighted = fp.with_class_weight(df)
+    n_pos = df.filter(F.col("isFraud") == 1).count()
+    n_neg = df.filter(F.col("isFraud") == 0).count()
+    got = {r["isFraud"]: r["classWeight"] for r in weighted.select("isFraud", "classWeight").distinct().collect()}
+    assert got[0] == 1.0
+    assert abs(got[1] - n_neg / n_pos) < 1e-9
+
+
+def test_pipeline_train_score_evaluate(spark):
+    df = paysim_fixture(spark)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    fp = FraudPipeline()
+    model = fp.fit(train)
+    scored = FraudPipeline.score(model, test)
+    assert "fraud_prediction" in scored.columns
+    assert "fraud_probability" in scored.columns
+    rows = scored.select("fraud_prediction", "fraud_probability").collect()
+    assert all(r["fraud_prediction"] in (0, 1) for r in rows)
+    assert all(0.0 <= r["fraud_probability"] <= 1.0 for r in rows)
+
+    metrics = FraudPipeline.evaluate(model, test)
+    cm = metrics["confusion_matrix"]
+    assert cm["tp"] + cm["fp"] + cm["tn"] + cm["fn"] == metrics["n"] == test.count()
+    assert 0.0 <= metrics["auc"] <= 1.0
+    # single-pass confusion equals the reference's 4-filter-count method
+    p, y = F.col("prediction"), F.col("isFraud")
+    preds = model.transform(test)
+    assert cm["tp"] == preds.filter((p == 1.0) & (y == 1)).count()
+    assert cm["fn"] == preds.filter((p == 0.0) & (y == 1)).count()
+
+
+def test_split_determinism(spark):
+    """randomSplit(seed=42) is stable across invocations
+    (fraud_detection_model.py:86; SURVEY §5.2-3)."""
+    df = paysim_fixture(spark)
+    a_train, a_test = df.randomSplit([0.8, 0.2], seed=42)
+    b_train, b_test = df.randomSplit([0.8, 0.2], seed=42)
+    assert a_train.count() == b_train.count()
+    assert a_test.count() == b_test.count()
+    assert a_test.select("nameOrig").subtract(b_test.select("nameOrig")).count() == 0
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    df = paysim_fixture(spark)
+    fp = FraudPipeline()
+    model = fp.fit(df)
+    path = str(tmp_path / "model")
+    fp.save(model, path)
+    loaded, sidecar = FraudPipeline.load(path)
+    assert sidecar["weight_col"] == "classWeight"
+    before = FraudPipeline.score(model, df).select("fraud_prediction").collect()
+    after = FraudPipeline.score(loaded, df).select("fraud_prediction").collect()
+    assert before == after
+
+
+def test_weight_col_actually_wired(spark):
+    """The fix for the reference's silent no-op: LR must carry weightCol."""
+    fp = FraudPipeline()
+    lr = fp.build_pipeline().getStages()[-1]
+    assert lr.getWeightCol() == "classWeight"
+    # and the reference-faithful mode really disables it
+    fp_ref = FraudPipeline(weight_col=None)
+    lr_ref = fp_ref.build_pipeline().getStages()[-1]
+    assert not lr_ref.isSet(lr_ref.weightCol)

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: binary payload column, Arrow-batched stub
+decode, frame sampling, stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal import (
+    attach_binary_payload,
+    decode_image_features,
+    sample_frames,
+)
+from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+    load_tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_tables(spark, SF, names=("documents",))["documents"]
+
+
+def test_binary_payload_roundtrip(spark):
+    d = _docs(spark)
+    mm = attach_binary_payload(d)
+    row = mm.join(d, "doc_id").select("payload", "text", "n_bytes").first()
+    assert bytes(row["payload"]).decode("utf-8") == row["text"]
+    assert row["n_bytes"] == len(row["text"].encode())
+
+
+def test_decode_features_deterministic(spark):
+    d = _docs(spark)
+    feats = decode_image_features(attach_binary_payload(d))
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == d.count()
+    # spot-check against the stub definition
+    sample = d.filter(F.col("doc_id") == 0).first()
+    h = hashlib.sha256(sample["text"].encode()).digest()
+    expect0 = int.from_bytes(h[0:4], "big") / 2**32
+    assert abs(rows[0]["feat0"] - expect0) < 1e-12
+    assert all(0.0 <= r["feat0"] <= 1.0 for r in rows.values())
+
+
+def test_real_decode_is_gated(spark):
+    d = _docs(spark)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(attach_binary_payload(d), real=True)
+
+
+def test_frame_sampling_shape(spark):
+    d = _docs(spark)
+    frames = sample_frames(attach_binary_payload(d), n_frames=3)
+    n_docs = d.count()
+    assert frames.count() == 3 * n_docs
+    per_doc = frames.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [3]
+    # frames concatenate back into a prefix of the payload
+    doc0 = frames.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    text0 = _docs(spark).filter(F.col("doc_id") == 0).first()["text"].encode()
+    joined = b"".join(bytes(r["frame_bytes"]) for r in doc0)
+    assert text0.startswith(joined[: len(joined)])

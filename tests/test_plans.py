@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the scale-relevant properties (pushdown,
+broadcast, top-k, whole-stage codegen) hold for the headline operators —
+the '.explain and iterate' loop, automated."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    plan_string,
+)
+from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+registry.load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF)
+    plan = assert_in_plan(df, "PushedFilters", "HashAggregate")
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_equality_filter_pushdown_and_column_pruning(spark):
+    df = registry.QUERIES["filter_equality"](spark, SF)
+    plan = assert_in_plan(df, "PushedFilters")
+    # pruned read schema: props/ts not read for this projection
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "props" not in read_schema, plan
+
+
+def test_dim_join_is_broadcast(spark):
+    df = registry.QUERIES["join_broadcast_dim"](spark, SF)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    semi = registry.QUERIES["join_semi"](spark, SF)
+    anti = registry.QUERIES["join_anti"](spark, SF)
+    assert "LeftSemi" in plan_string(semi)
+    assert "LeftAnti" in plan_string(anti)
+
+
+def test_global_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject, not a global
+    sort — at 100 TB that is the difference between moving 25 rows per
+    partition and sorting the table."""
+    df = registry.QUERIES["sort_topk_global"](spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_union_all_has_no_shuffle(spark):
+    df = registry.QUERIES["setop_union_all"](spark, SF)
+    assert_not_in_plan(df, "Exchange")
+
+
+def test_aggregates_are_partial(spark):
+    """Grouped aggregation plans as partial_+final HashAggregate (map-side
+    combine before the shuffle)."""
+    df = registry.QUERIES["agg_grouped_summary"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_covers_scan_filter_agg(spark):
+    df = registry.QUERIES["agg_conditional_single_pass"](spark, SF)
+    assert "WholeStageCodegen" in plan_string(df, mode="formatted")
+
+
+def test_asof_join_no_cartesian(spark):
+    """The as-of join must plan as an equi-join on user_id (+range filter),
+    never a cartesian/broadcast-nested-loop over the full tables."""
+    df = registry.QUERIES["join_asof"](spark, SF)
+    assert_not_in_plan(df, "CartesianProduct")

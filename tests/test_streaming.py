@@ -1,0 +1,163 @@
+"""Streaming layer tests: hermetic file/memory streams (SURVEY §5.2-4),
+watermark/late-data semantics, stateful velocity vs batch window, JSON
+parse with corrupt records."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.files import (
+    read_json_lines,
+)
+from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.sources import (
+    EVENTS_SCHEMA,
+    parse_json_stream,
+)
+from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.velocity import (
+    run_velocity_hermetic,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_velocity_stateful_matches_batch_window(spark):
+    """applyInPandasWithState velocity == batch RANGE-frame velocity on an
+    in-order replay (the oracle relationship used by the registry)."""
+    out = run_velocity_hermetic(spark, SF)
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    batch = ev.select(
+        "user_id",
+        "event_id",
+        (F.count("*").over(w) - 1).alias("n_prior_10m"),
+        F.round(F.sum("value").over(w) - F.col("value"), 2).alias("sum_prior_10m"),
+    )
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_10m"])
+        for r in out.select(
+            "user_id", "event_id", "n_prior_10m", F.round("sum_prior_10m", 2).alias("sum_prior_10m")
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_10m"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_json_parse_corrupt_records(spark, tmp_path):
+    """from_json stream parse: well-formed rows flatten, malformed payloads
+    are captured in _corrupt instead of silently dropping
+    (FIXTURES.md §2)."""
+    good = {
+        "event_id": 1,
+        "ts": "2024-01-01T00:00:00.000000",
+        "user_id": 7,
+        "event_type": "purchase",
+        "value": 180.5,
+        "props": "{}",
+    }
+    lines = [json.dumps(good), "{not json at all", '{"wrong": "fields"}']
+    raw = spark.createDataFrame([(line.encode(),) for line in lines], "value binary")
+    parsed = parse_json_stream(raw, EVENTS_SCHEMA)
+    rows = parsed.collect()
+    assert len(rows) == 3
+    ok = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(ok) == 1 and ok[0]["event_id"] == 1 and ok[0]["value"] == 180.5
+    assert len(bad) == 2
+
+
+def test_batch_json_reader_corrupt_column(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"}',
+                "garbage{{{",
+            ]
+        )
+    )
+    df = read_json_lines(spark, str(p), EVENTS_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics (T7): a row older than watermark horizon behind
+    the max seen event time is dropped from a windowed aggregation when it
+    arrives in a later micro-batch."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    # batch 1: two rows at 10:00 and 12:00 -> watermark advances to 11:50
+    rows1 = [
+        '{"event_id":1,"ts":"2024-01-01T10:00:00","user_id":1,"event_type":"view","value":1.0,"props":"{}"}',
+        '{"event_id":2,"ts":"2024-01-01T12:00:00","user_id":1,"event_type":"view","value":1.0,"props":"{}"}',
+    ]
+    (d / "b1.json").write_text("\n".join(rows1))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(d))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wmtest")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a 10:30 row — older than watermark (11:50) -> dropped
+    (d / "b2.json").write_text(
+        '{"event_id":3,"ts":"2024-01-01T10:30:00","user_id":1,"event_type":"view","value":1.0,"props":"{}"}'
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = {r["ws"].hour: r["n"] for r in spark.sql("SELECT * FROM wmtest").collect()}
+    assert res[10] == 1, f"late 10:30 row must not increment the 10:00 window: {res}"
+
+
+def test_session_window_stream_matches_batch(spark):
+    """session_window stream == lag+cumsum batch sessionization on counts."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.pipeline import (
+        stream_session_window,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.windows import (
+        window_sessionize,
+    )
+
+    stream_sessions = stream_session_window(spark, SF)
+    batch_sessions = window_sessionize(spark, SF)
+    # compare per-user session counts and totals (ids differ, sets match)
+    s = {
+        (r["user_id"], r["n_events"], r["session_value"])
+        for r in stream_sessions.select(
+            "user_id", "n_events", F.round("session_value", 2).alias("session_value")
+        ).collect()
+    }
+    b = {
+        (r["user_id"], r["n_events"], r["session_value"])
+        for r in batch_sessions.select(
+            "user_id", "n_events", F.round("session_value", 2).alias("session_value")
+        ).collect()
+    }
+    assert s == b

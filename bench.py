@@ -30,7 +30,19 @@ HEADLINE = [
     "q1_pricing_summary",
     "agg_grouped_summary",
     "agg_conditional_single_pass",
+    "agg_cube",
     "scalar_string_date_json",
+    "join_multiway_revenue",
+    "join_asof",
+    "window_running_agg",
+    "window_sessionize",
+    "fraud_confusion_matrix",
+    "sort_topk_global",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "text_top_ngrams",
 ]
 
 

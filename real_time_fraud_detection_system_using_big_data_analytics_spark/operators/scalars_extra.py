@@ -1,0 +1,157 @@
+"""Scalar function coverage: date arithmetic, null handling/conditionals,
+array/higher-order functions, SQL-API subqueries (SURVEY §2.7 + §2.11
+gaps the other modules don't already exercise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate,
+           o_orderdate + INTERVAL 90 DAY                            AS due_date,
+           CAST(date_part('year', o_orderdate) AS INTEGER)          AS order_year,
+           CAST(date_part('quarter', o_orderdate) AS INTEGER)       AS order_quarter,
+           CAST(date_part('month', o_orderdate) AS INTEGER)         AS order_month,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS INTEGER) AS days_to_ref,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)      AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d')                        AS iso_day
+    FROM orders
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: interval arithmetic, part extraction, diffs,
+    truncation, formatting — the event-time toolkit the reference never
+    had (its only clock is the integer `step`, SURVEY §1.1)."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.datediff(F.lit("1999-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_ref"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@register(
+    "scalar_null_conditional",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.total_spent, 0.0)                         AS spent_or_zero,
+           CASE WHEN o.total_spent IS NULL THEN 'never_ordered'
+                WHEN o.total_spent > 200000 THEN 'big'
+                ELSE 'regular' END                              AS segment,
+           NULLIF(c.c_mktsegment, 'BUILDING')                   AS seg_nullified,
+           (o.total_spent IS NOT NULL)                          AS has_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+               FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def scalar_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface over an outer join: COALESCE, multi-branch
+    CASE, NULLIF, IS NOT NULL — the semantics the reference sidesteps by
+    making every column nullable and never joining (SURVEY §1.3)."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
+    spent = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    return (
+        t["customer"]
+        .join(spent, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("spent_or_zero"),
+            F.when(F.col("total_spent").isNull(), "never_ordered")
+            .when(F.col("total_spent") > 200000, "big")
+            .otherwise("regular")
+            .alias("segment"),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+            F.col("total_spent").isNotNull().alias("has_orders"),
+        )
+    )
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                             AS dim,
+           (FLOOR(CAST(embedding[1] AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS first_elem,
+           (FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)  AS max_elem,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)    AS n_positive,
+           (FLOOR(CAST(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS head8_sum
+    FROM embeddings
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order surface on the embedding column: size, element
+    access, max, lambda filter, slice+transform+aggregate — all JVM-side
+    (SURVEY §2.11 array/map row).
+
+    Float caveat: embedding[1] is a float32; both sides cast the element to
+    double BEFORE any arithmetic so the quantization sees the same value.
+    list_max stays in float32 in DuckDB and float in Spark — cast after,
+    identical. The head8 sum folds left-to-right in index order on doubles.
+    """
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    from ..functions.scalars import q
+
+    head8 = F.slice(F.col("embedding"), 1, 8)
+    head8_sum = F.aggregate(
+        F.transform(head8, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        q(F.element_at("embedding", 1).cast("double")).alias("first_elem"),
+        q(F.array_max("embedding").cast("double")).alias("max_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_positive"),
+        q(head8_sum).alias("head8_sum"),
+    )
+
+
+@register(
+    "sql_subqueries",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_above_avg
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API entry point (SURVEY §2.11 'SQL entry point'): scalar
+    subquery + IN-subquery through spark.sql over the registered views —
+    Catalyst decorrelates the scalar agg and plans the IN as a semi-join."""
+    load_tables(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_above_avg
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        GROUP BY c_mktsegment
+        """
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
         joins,
         relational,
         sampling,
+        scalars_extra,
         setops,
         similarity,
         text,

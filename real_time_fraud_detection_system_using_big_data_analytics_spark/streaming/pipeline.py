@@ -174,7 +174,6 @@ def stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "alerts_" + uuid.uuid4().hex[:8]
-    batches: list = []
     q = (
         alerts.writeStream.outputMode("append")
         .format("memory")

@@ -55,13 +55,16 @@ def kafka_json_stream(
 def parse_json_stream(raw: DataFrame, schema: T.StructType) -> DataFrame:
     """CAST(value AS STRING) -> from_json -> select(data.*), keeping the
     raw payload in ``_corrupt`` when parsing fails (all-null struct)."""
+    from functools import reduce
+    from operator import and_
+
     parsed = raw.selectExpr("CAST(value AS STRING) AS json_str").withColumn(
         "data", F.from_json(F.col("json_str"), schema)
     )
-    all_null = F.coalesce(*[F.col(f"data.{f.name}") for f in schema.fields]).isNull()
+    all_null = reduce(and_, [F.col(f"data.{f.name}").isNull() for f in schema.fields])
     return parsed.select(
         "data.*",
-        F.when(all_null, F.col("json_str")).alias("_corrupt"),
+        F.when(F.col("data").isNull() | all_null, F.col("json_str")).alias("_corrupt"),
     )
 
 
@@ -82,7 +85,9 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         )
-        .parquet(f"{sf_dir}/events.parquet")
+        # the source path must be a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"

@@ -1,0 +1,92 @@
+"""Dedup semantics on synthetic corpora with KNOWN duplicates (the driver
+corpus has none, so cluster behavior is pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+    _shingles_spark,
+    dedup_exact,
+)
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    """5 docs: 0==1 exact dup; 2 is a near-dup of 0 (one word changed);
+    3, 4 unrelated."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    docs = [
+        (0, base, "en", "src", len(base)),
+        (1, base, "en", "src", len(base)),
+        (2, near, "en", "src", len(near)),
+        (3, "completely different words here nothing shared with others", "en", "src", 58),
+        (4, "spark engine window join filter group sort hash scan merge", "en", "src", 58),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "documents.parquet")
+    df.write.parquet(out)
+    # mirror the other tables the loader may touch
+    return str(tmp_path)
+
+
+def test_exact_dedup_clusters(spark, corpus, tmp_path):
+    clusters = dedup_exact(spark, corpus).collect()
+    by_size = sorted((r["cluster_size"], r["keeper_doc_id"]) for r in clusters)
+    assert by_size == [(1, 2), (1, 3), (1, 4), (2, 0)]
+
+
+def test_shingle_expansion(spark, corpus):
+    d = spark.read.parquet(f"{corpus}/documents.parquet")
+    sh = _shingles_spark(d)
+    doc3 = [r["shingle"] for r in sh.filter(F.col("doc_id") == 3).collect()]
+    # 8 tokens -> 6 trigrams, all distinct
+    assert len(doc3) == 6
+    assert doc3[0] == "completely different words"
+
+
+def test_minhash_lsh_finds_near_dup_pair(spark, corpus):
+    """The near-dup pair (0,2) differs by 3 of 11 shingles -> jaccard ≈
+    0.57; with 4 bands × 2 rows the pair must surface as a candidate, and
+    exact dups (0,1) must agree on all 8 minhashes."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup_minhash_lsh_pairs(spark, corpus).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs, f"near-dup pair not surfaced: {pairs}"
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_simhash_identical_for_exact_dups(spark, corpus):
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        dedup_simhash,
+    )
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, corpus).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 16 and set(sigs[0]) <= {"0", "1"}
+    # near-dup differs in few bits; unrelated docs differ in more
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[0], sigs[2]) <= ham(sigs[0], sigs[3]) + 2
+
+
+def test_jaccard_exact_value(spark, corpus):
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, corpus).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # doc0 vs doc2: 13 tokens -> 11 trigrams each; one word change breaks 3
+    # shingles -> |inter| = 8, |union| = 14 -> 0.5714
+    assert abs(pairs[(0, 2)] - 8 / 14) < 1e-4

@@ -66,8 +66,11 @@ def test_aggregates_are_partial(spark):
 
 
 def test_whole_stage_codegen_covers_scan_filter_agg(spark):
+    """mode='codegen' lists the WholeStageCodegen subtrees (the formatted
+    plan hides them behind the un-executed AdaptiveSparkPlan wrapper)."""
     df = registry.QUERIES["agg_conditional_single_pass"](spark, SF)
-    assert "WholeStageCodegen" in plan_string(df, mode="formatted")
+    plan = plan_string(df, mode="codegen")
+    assert "WholeStageCodegen" in plan, plan
 
 
 def test_asof_join_no_cartesian(spark):

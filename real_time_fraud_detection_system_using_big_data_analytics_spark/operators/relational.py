@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import q
 from ..plans.registry import register
 from ..sources.tables import load_tables
 
@@ -122,7 +123,7 @@ def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderkey,
       CAST(FLOOR(o_totalprice) AS BIGINT)                  AS price_int,
-      ROUND(o_totalprice * 0.1, 2)                         AS tax_amount,
+      (FLOOR(o_totalprice * 0.1 * 100.0 + 0.5) / 100.0)    AS tax_amount,
       UPPER(o_orderstatus)                                 AS status_uc,
       CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END    AS is_big
     FROM orders
@@ -134,7 +135,9 @@ def project_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
-        F.round(F.col("o_totalprice") * 0.1, 2).alias("tax_amount"),
+        # q(): price*0.1 lands on decimal ties (…2529.05*0.1 = …52.905)
+        # where Spark/DuckDB ROUND disagree; floor-quantize instead
+        q(F.col("o_totalprice") * 0.1, 2).alias("tax_amount"),
         F.upper("o_orderstatus").alias("status_uc"),
         F.when(F.col("o_totalprice") > 200000, 1).otherwise(0).alias("is_big"),
     )

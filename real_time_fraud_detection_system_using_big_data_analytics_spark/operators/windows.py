@@ -112,8 +112,8 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
            CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS event_seq,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3
+           (FLOOR(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5) / 10000.0) AS moving_avg_3
     FROM events
     """,
 )
@@ -133,7 +133,9 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint").alias(
             "event_seq"
         ),
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 2).alias("moving_avg_3"),
+        # q(4): a 2-row frame averages odd cents to exact x.xx5 — a ROUND
+        # tie; scale-4 floor-quantization is tie-free for n<=3 divisors
+        q(F.avg("value").over(w.rowsBetween(-2, 0))).alias("moving_avg_3"),
     )
 
 

@@ -22,14 +22,12 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import q
 from ..plans.registry import register
-from ..sources.tables import load_tables
+from ..sources.tables import fan_out, load_tables
 
 N_SEEDS = 8          # minhash signature length
 BAND_ROWS = 2        # seeds per LSH band -> 4 bands
@@ -52,7 +50,7 @@ def _shingles_spark(d: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return fan_out(d).select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 _SHINGLES_SQL = """
@@ -206,7 +204,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: band the 8-hash signature into 4 bands
     of 2, bucket-join on (band_id, band_hash), estimate Jaccard as the
     fraction of agreeing minhashes. The join is on band buckets — candidate
-    generation never compares all pairs (the LSH scale property)."""
+    generation never compares all pairs (the LSH scale property).
+
+    Plan shape: ONE pass computes signatures; bands come from an in-row
+    ``explode`` of a 4-struct array (not a 4-way union, which would replay
+    the signature aggregation per band); the full signature rides along the
+    band rows so the agreement estimate is computed inside the bucket join
+    itself — no re-join with the signature table afterwards. Duplicate
+    candidates from multi-band collisions carry identical estimates, so one
+    ``distinct`` at the end dedups them."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     sh = _shingles_spark(d)
     sigs = sh.groupBy("doc_id").agg(
@@ -215,36 +221,37 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(N_SEEDS)
         ]
     )
-    band_dfs = [
-        sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"mh{s}") for s in band])).alias("band_hash"),
-        )
-        for b, band in enumerate(_BANDS)
-    ]
-    bands = reduce(lambda x, y: x.unionByName(y), band_dfs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(*[F.col(f"mh{s}") for s in band])).alias("band_hash"),
+            )
+            for b, band in enumerate(_BANDS)
+        ]
+    )
+    mh_cols = [f"mh{s}" for s in range(N_SEEDS)]
+    bands = sigs.select("doc_id", *mh_cols, F.explode(band_arr).alias("bb")).select(
+        "doc_id", *mh_cols, "bb.band_id", "bb.band_hash"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    candidates = (
+    agree = sum(
+        F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0) for s in range(N_SEEDS)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            q(agree / float(N_SEEDS)).alias("est_jaccard"),
+        )
         .distinct()
-    )
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    agree = sum(
-        F.when(F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}"), 1).otherwise(0) for s in range(N_SEEDS)
-    )
-    return (
-        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", q(agree / float(N_SEEDS)).alias("est_jaccard"))
     )
 
 
@@ -278,25 +285,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on both engines, so signatures match bit-for-bit.
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
-    )
-    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos")
-    votes = toks.select("doc_id", F.md5("token").alias("h")).select(
-        "doc_id", "h", pos
-    )
-    digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("pos"), 1)) - 1
-    bit_vote = F.when(digit % 2 == 1, 1).otherwise(-1)
-    bits = votes.groupBy("doc_id", "pos").agg(F.sum(bit_vote).alias("weight"))
-    bitchar = F.when(F.col("weight") >= 0, "1").otherwise("0")
-    return (
-        bits.select("doc_id", "pos", bitchar.alias("bit"))
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda s: s["bit"])
-            ).alias("simhash")
+    # Shuffle-free plan: the vote aggregation is per-document, so it never
+    # needs a groupBy — hash the distinct tokens once into an array, then
+    # derive each bit with higher-order filter/size ("count of odd hex
+    # digits at position p"; sign(2*odd - n) == sign of the +1/-1 vote sum).
+    # Everything after the fan-out is a narrow map stage in one codegen span.
+    hs = F.transform(F.array_distinct(F.split(F.col("text"), " ")), lambda t: F.md5(t))
+    hashed = fan_out(d).select("doc_id", hs.alias("hs"))
+    n = F.size(F.col("hs"))
+
+    def bit(p: int):
+        odd = F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: (F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1) % 2
+                == 1,
+            )
         )
+        return F.when(2 * odd - n >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return hashed.select(
+        "doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash")
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.tables import load_tables
+from ..sources.tables import fan_out, load_tables
 
 DIM = 64
 
@@ -107,15 +107,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector (queries = vec_id % 100 == 0).
     The query set is broadcast; scoring is a map-side cross of corpus
     partitions × broadcast queries, then a per-query top-k window. Ties
-    broken by vec_id for determinism."""
+    broken by vec_id for determinism.
+
+    Norms are precomputed per side BEFORE the cross (corpus norm once per
+    vector, not once per pair — at Q queries that's a Q× saving on a third
+    of the vector math; the doubles are identical, the fold is the same)."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = fan_out(e).select("vec_id", "embedding", _norm("embedding").alias("e_norm"))
     queries = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
     )
-    cos = _cosine("q_emb", "embedding")
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
-        e.crossJoin(F.broadcast(queries))
+        corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w))
@@ -160,13 +167,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.element_at("embedding", 8) >= 0, 2).otherwise(0)
         + F.when(F.element_at("embedding", 20) >= 0, 1).otherwise(0)
     )
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = fan_out(e).select(
+        "vec_id", "embedding", bucket.alias("bucket"), _norm("embedding").alias("e_norm")
+    )
     queries = bucketed.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("e_norm").alias("q_norm"),
     )
-    cos = _cosine("q_emb", "embedding")
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
         bucketed.join(
@@ -209,13 +219,15 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     build step would produce); each query probes only its own cell. At
     scale the cell id is the physical partition key, so the probe is a
     partition-pruned scan."""
-    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ecols = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    e = fan_out(ecols).select("vec_id", "embedding", "label", _norm("embedding").alias("e_norm"))
     queries = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        F.col("e_norm").alias("q_norm"),
     )
-    cos = _cosine("q_emb", "embedding")
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
         e.join(
@@ -246,10 +258,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 20% subset. The pairwise form is the correctness oracle;
     the scale path is ann_lsh_bucketed's bucket join (candidates only)."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    sub = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
-    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = _cosine("emb_a", "emb_b")
+    sub = fan_out(e.filter(F.col("vec_id") % 5 == 0)).select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    a = sub.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+    )
+    cos = _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_raw", cos)

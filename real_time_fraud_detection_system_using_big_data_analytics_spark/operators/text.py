@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import q, q_sql
 from ..plans.registry import register
-from ..sources.tables import load_tables
+from ..sources.tables import fan_out, load_tables
 
 # Marker stopwords per language for the n-gram/stopword heuristic id.
 # Chosen from the corpus vocabulary so scores differ across docs; the
@@ -246,7 +246,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word trigrams: per-doc n-gram expansion with
     higher-order functions (sequence+transform — no Python), explode,
     count, deterministic top-k (ties broken by the gram itself)."""
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = fan_out(load_tables(spark, sf_dir, names=("documents",))["documents"])
     toks = _tokens()
     grams = F.when(
         F.size(toks) >= 3,

@@ -34,6 +34,22 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Redistribute a narrow input across all cores before compute-heavy
+    per-row work (shingling, per-token hashing, 64-dim vector math).
+
+    The driver's small-SF tables are single-row-group parquet files, so the
+    scan is one task — and any expensive projection chained onto it runs on
+    one core. A round-robin repartition is a tiny shuffle (the input is
+    narrow by construction) that unlocks full parallelism for the expansion
+    stage. At 100 TB the same pattern holds whenever a compute-dense stage
+    follows a low-parallelism source (one kafka partition, a coalesced
+    scan): pay a small shuffle to fan the work out.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -188,3 +188,61 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long reshape): four numeric measures per lineitem
+    become (metric, val) rows via the `stack` generator — one scan, no
+    self-union (the 4-way UNION ALL oracle form would scan 4×)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (metric, val)"
+        ),
+    )
+
+
+@register(
+    "agg_array_collect",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           array_to_string(
+             list_transform(
+               list_sort(list(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)))[1:3],
+               x -> CAST(x AS VARCHAR)), ',') AS low3_bal_cents
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation to arrays (collect_list/array_agg): per nation, the 3
+    lowest balances (in cents so the rendering is integer-exact), sorted
+    for determinism — collect order is engine/partition dependent, so any
+    oracle-checkable array agg must impose its own order."""
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    low3 = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.array_sort(F.collect_list(cents)), 1, 3), lambda x: x.cast("string")
+        ),
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"), low3.alias("low3_bal_cents")
+    )

@@ -240,3 +240,54 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("purchase_value", 2).alias("purchase_value"),
         )
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, COUNT(*) AS orders_1995
+      FROM orders WHERE date_part('year', o_orderdate) = 1995 GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey, COUNT(*) AS orders_1996
+      FROM orders WHERE date_part('year', o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           CAST(COALESCE(a.orders_1995, 0) AS BIGINT) AS orders_1995,
+           CAST(COALESCE(b.orders_1996, 0) AS BIGINT) AS orders_1996,
+           CASE WHEN a.o_custkey IS NULL THEN 'only_1996'
+                WHEN b.o_custkey IS NULL THEN 'only_1995'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-customer order counts for 1995 vs 1996 —
+    customers active in only one year produce unmatched rows on BOTH
+    sides, the case inner/left joins cannot express. NULL-key semantics
+    handled with COALESCE + presence tagging.
+
+    Scale: both inputs are pre-aggregated on the join key before the
+    join, so the shuffle carries one row per customer per side (the
+    aggregate-then-join rewrite Catalyst cannot do automatically)."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+
+    def per_year(year: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(out))
+            .withColumnRenamed("o_custkey", f"ck_{out}")
+        )
+
+    a, b = per_year(1995, "orders_1995"), per_year(1996, "orders_1996")
+    return a.join(b, F.col("ck_orders_1995") == F.col("ck_orders_1996"), "full").select(
+        F.coalesce("ck_orders_1995", "ck_orders_1996").alias("custkey"),
+        F.coalesce("orders_1995", F.lit(0)).cast("long").alias("orders_1995"),
+        F.coalesce("orders_1996", F.lit(0)).cast("long").alias("orders_1996"),
+        F.when(F.col("ck_orders_1995").isNull(), "only_1996")
+        .when(F.col("ck_orders_1996").isNull(), "only_1995")
+        .otherwise("both")
+        .alias("presence"),
+    )

@@ -155,3 +155,77 @@ def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "map_functions_props",
+    oracle=r"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER) AS kv
+      FROM events
+    )
+    SELECT event_id,
+           CAST(2 AS INTEGER) AS n_keys,
+           'k,type' AS keys_joined,
+           kv AS k_value,
+           upper(event_type) AS type_upper,
+           kv * 2 AS k_doubled,
+           TRUE AS has_k
+    FROM base
+    """,
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (SURVEY §2.11 array/map row): build a real
+    MapType column from the event's JSON props + event_type, then exercise
+    map_keys / element_at / map_contains_key / transform_values. The
+    oracle re-derives each output from the base columns — i.e. it asserts
+    the *semantics* of every map op (what a unit test would hardcode),
+    while the Spark side routes all values through the map column.
+
+    The JSON value is extracted with regexp_extract, not get_json_object:
+    on this host Jackson-path JSON functions are erratically 10-100×
+    slower (see .claude/skills/verify), and the props payload is a single
+    flat key."""
+    e = load_tables(spark, sf_dir, names=("events",))["events"]
+    kv = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1)
+    m = F.create_map(
+        F.lit("k"), kv, F.lit("type"), F.col("event_type")
+    )  # map<string,string>
+    m_int = F.create_map(F.lit("k"), kv.cast("int"))  # map<string,int>
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_joined"),
+        F.element_at(m, "k").cast("int").alias("k_value"),
+        F.upper(F.element_at(m, "type")).alias("type_upper"),
+        F.element_at(F.transform_values(m_int, lambda k, v: v * 2), "k").alias("k_doubled"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+@register(
+    "array_posexplode",
+    oracle="""
+    SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.token AS token
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' '))),
+               i -> {'pos': i, 'token': string_split(text, ' ')[i]})) AS u
+      FROM documents
+      WHERE doc_id % 100 = 0
+    )
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view with ordinality): token stream
+    with 1-based positions for a deterministic subset of documents — the
+    array-to-rows bridge every tokenization pipeline needs when position
+    matters (n-gram windows, alignment)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+    )

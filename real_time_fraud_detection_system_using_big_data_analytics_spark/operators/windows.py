@@ -224,3 +224,30 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
+
+
+@register(
+    "window_percent_cume",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           (FLOOR(PERCENT_RANK() OVER w * 10000.0 + 0.5) / 10000.0) AS pct_rank,
+           (FLOOR(CUME_DIST() OVER w * 10000.0 + 0.5) / 10000.0) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank and cume_dist per
+    nation over supplier balance. The window order includes the unique
+    s_suppkey tie-break so both engines see identical orderings (tied
+    balances would otherwise give engine-dependent rank positions)."""
+    s = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
+    from ..functions.scalars import q
+
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        q(F.percent_rank().over(w)).alias("pct_rank"),
+        q(F.cume_dist().over(w)).alias("cume"),
+    )

@@ -208,11 +208,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: ONE pass computes signatures; bands come from an in-row
     ``explode`` of a 4-struct array (not a 4-way union, which would replay
-    the signature aggregation per band); the full signature rides along the
-    band rows so the agreement estimate is computed inside the bucket join
-    itself — no re-join with the signature table afterwards. Duplicate
-    candidates from multi-band collisions carry identical estimates, so one
-    ``distinct`` at the end dedups them."""
+    the signature aggregation per band). Candidates are generated by
+    grouping band rows into buckets and expanding pairs INSIDE each bucket
+    with higher-order array functions — a self-join would execute the whole
+    signature pipeline twice (Spark reuses no exchange across the
+    broadcast boundary), while the bucket groupBy computes it once. Bucket
+    sizes are bounded by the LSH design, so the in-bucket expansion is
+    quadratic only in a small constant. Duplicate candidates from
+    multi-band collisions carry identical estimates, so one ``distinct``
+    dedups them."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     sh = _shingles_spark(d)
     sigs = sh.groupBy("doc_id").agg(
@@ -230,25 +234,39 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b, band in enumerate(_BANDS)
         ]
     )
-    mh_cols = [f"mh{s}" for s in range(N_SEEDS)]
-    bands = sigs.select("doc_id", *mh_cols, F.explode(band_arr).alias("bb")).select(
-        "doc_id", *mh_cols, "bb.band_id", "bb.band_hash"
+    sig_arr = F.array(*[F.col(f"mh{s}") for s in range(N_SEEDS)])
+    bands = sigs.select(
+        F.struct(F.col("doc_id"), sig_arr.alias("mhs")).alias("doc"),
+        F.explode(band_arr).alias("bb"),
+    ).select("doc", "bb.band_id", "bb.band_hash")
+    # sort_array orders by doc_id (first struct field) -> pair expansion
+    # below emits each unordered pair exactly once with doc_a < doc_b.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0) for s in range(N_SEEDS)
+    docs = F.col("docs")
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("p.a.mhs"), F.col("p.b.mhs"), lambda u, v: u == v),
+            lambda eq: eq,
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             q(agree / float(N_SEEDS)).alias("est_jaccard"),
         )
         .distinct()

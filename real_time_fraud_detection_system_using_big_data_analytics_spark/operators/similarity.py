@@ -276,3 +276,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.95)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+@register("ann_mllib_brp_lsh")  # MLlib LSH model: RNG hyperplanes, no SQL oracle
+def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH (MLlib) near-neighbor pairs — the
+    library scale path beside our hand-rolled sign-bit LSH
+    (`ann_lsh_bucketed`). approxSimilarityJoin hashes both sides into
+    buckets and joins bucket-wise, never materializing the full cross;
+    seed pinned for determinism of the random hyperplanes.
+
+    Rows-only check: the hash family is RNG-derived (seed=42), so no
+    engine-independent SQL oracle exists — the deterministic variants in
+    this module carry the value-level correctness burden."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    vecs = fan_out(e).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 4.0, distCol="euclidean")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("euclidean", 4).alias("euclidean"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register("ann_mllib_minhash_lsh")  # MLlib LSH model: RNG perm coefficients, no SQL oracle
+def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH (MLlib) near-dup pairs over token sets — the library
+    counterpart of `dedup_minhash_lsh_pairs`. Tokens are hashed into a
+    fixed binary vocabulary space with HashingTF (binary=True: set
+    semantics, as MinHash requires); approxSimilarityJoin returns pairs
+    under a Jaccard-distance threshold. Seeded; rows-only (RNG permutation
+    coefficients have no SQL-expressible twin)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = fan_out(d).select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(toks).filter(F.col("features").isNotNull())
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.35, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -361,3 +361,38 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with blocking: candidate pairs share a
+    blocking key (nation) so the comparison is quadratic only within each
+    block, never across the full table — the standard record-linkage
+    shape. levenshtein() is built-in on both engines with the same
+    definition (unit-cost insert/delete/substitute)."""
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("nk_a") == F.col("nk_b")) & (F.col("cust_a") < F.col("cust_b")))
+        .filter(dist <= 1)
+        .select("cust_a", "cust_b", dist.cast("int").alias("edit_distance"))
+    )

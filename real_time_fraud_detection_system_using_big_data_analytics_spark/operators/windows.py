@@ -251,3 +251,36 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.percent_rank().over(w)).alias("pct_rank"),
         q(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions: first/last/nth order price per
+    customer over the full-partition frame. last_value/nth_value REQUIRE
+    the explicit unbounded frame — the default frame stops at the current
+    row, a classic cross-engine footgun both sides avoid identically.
+    Unique o_orderkey tie-break keeps orderings identical."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

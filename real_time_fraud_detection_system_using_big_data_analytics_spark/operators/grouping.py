@@ -246,3 +246,82 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"), low3.alias("low3_bal_cents")
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(h.hour AS TIMESTAMP) AS hour,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           COALESCE(a.total_value, 0.0) AS total_value
+    FROM hours h LEFT JOIN agg a ON a.hour = h.hour
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine generated with
+    sequence()+explode from the observed min/max, left-joined to the
+    hourly aggregate so silent hours appear as explicit zeros — the
+    resample/densify primitive every downstream time-series model needs.
+    The spine is one row per hour (tiny) and broadcasts; the fact side
+    aggregates before the join."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    agg = ev.groupBy(hour.alias("hour")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return spine.join(agg, "hour", "left").select(
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "agg_histogram_width_bucket",
+    oracle="""
+    -- DuckDB has no width_bucket; this CASE is its exact definition for
+    -- 10 equal buckets over [0, 200): underflow->0, overflow->11
+    SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 200.0 THEN 11
+                     ELSE CAST(FLOOR(value / 20.0) AS INTEGER) + 1 END AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo_val,
+           ROUND(MAX(value), 2) AS hi_val
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (10 buckets over [0,200),
+    underflow->0 / overflow->11 per the standard SQL definition, identical
+    in both engines) — single-pass, map-side-combinable, the profiling
+    primitive for numeric columns at scale."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy(
+        F.width_bucket("value", F.lit(0.0), F.lit(200.0), F.lit(10))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo_val"),
+        F.round(F.max("value"), 2).alias("hi_val"),
+    )

@@ -229,3 +229,35 @@ def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"))
         .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
     )
+
+
+@register(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_suppkey = s.s_suppkey
+                        AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49)
+    """,
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the spark.sql entry point
+    (SURVEY §2.11 'SQL entry point' row): suppliers with a max-quantity
+    shipment but no returned one. Catalyst decorrelates both predicates
+    into a left-semi and a left-anti join — no per-row subquery execution
+    (the plan is identical to hand-written semi/anti joins)."""
+    load_tables(spark, sf_dir, names=("supplier", "lineitem"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_suppkey = s.s_suppkey
+                            AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49)
+        """
+    )

@@ -396,3 +396,84 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("cust_a", "cust_b", dist.cast("int").alias("edit_distance"))
     )
+
+
+# The LSH pair query's oracle SQL, reused as a subquery by the clustering
+# oracle below (registered above, so the lookup is safe at import time).
+from ..plans.registry import ORACLE as _ORACLE  # noqa: E402
+
+_CC_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_cluster_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT doc_a, doc_b FROM ({_ORACLE["dedup_minhash_lsh_pairs"]})
+      WHERE est_jaccard >= {_CC_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.lbl < e.t
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate graph (est_jaccard >= 0.5), labeling every clustered doc
+    with the minimum doc_id of its component — the canonical-keeper rule
+    of a dedup cascade.
+
+    Spark side: iterative min-label propagation (each round joins labels
+    to the edge list and takes the min over neighbors+self) with a
+    driver-side convergence check; the DuckDB oracle computes the SAME
+    fixpoint with a recursive CTE, so the iteration count is verified to
+    have actually converged, not just stopped. The edge list is tiny
+    relative to the corpus (LSH-filtered), so each round is a small
+    shuffle; at 100 TB scale the same loop runs with the alternating
+    large-star/small-star optimization, checkpointed every few rounds to
+    truncate lineage."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _CC_THRESHOLD
+    )
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS t").unionAll(
+        pairs.selectExpr("doc_b AS s", "doc_a AS t")
+    )
+    edges = edges.persist()
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(20):
+        labels = labels.persist()
+        prop = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("t").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    result = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    edges.unpersist()
+    return result

@@ -12,7 +12,7 @@ boundary per row. Shared conventions with the oracle SQL:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import q, q_sql
@@ -266,4 +266,54 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "ngram")
         .limit(20)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             (FLOOR(t.cnt * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000.0 + 0.5) / 10000.0) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.cnt * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                         t.term) AS rn
+      FROM tf t JOIN df ON df.term = t.term CROSS JOIN n
+      WHERE t.doc_id % 50 = 0
+    )
+    SELECT doc_id, term, tfidf, rn FROM scored WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: raw term frequency × ln(N/df), top-3 terms per doc (subset
+    doc_id % 50 = 0; term tie-break). Plan: one token explode feeds both
+    the tf agg and the df agg; df and the N scalar broadcast back onto tf
+    — the fact-side tf rows never shuffle for the joins. ln() on the same
+    input double is bit-identical across engines."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = fan_out(d).select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("cnt") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_raw").desc(), F.col("term"))
+    return (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", q(F.col("score_raw")).alias("tfidf"), "rn")
     )

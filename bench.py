@@ -43,6 +43,10 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_score",
     "text_top_ngrams",
+    "text_tfidf_top_terms",
+    "map_functions_props",
+    "timeseries_gapfill",
+    "unpivot_stack",
 ]
 
 

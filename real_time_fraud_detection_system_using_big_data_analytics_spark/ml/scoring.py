@@ -74,3 +74,32 @@ def ml_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fraud_prediction"),
         F.round("fraud_probability", 4).alias("fraud_probability"),
     )
+
+
+@register("ml_evaluation_metrics")  # MLlib evaluator + LR training: not SQL-expressible
+def ml_evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full evaluation block (M8, fraud_detection_model.py
+    :229-305) as one row: AUC via BinaryClassificationEvaluator plus
+    accuracy/precision/recall/F1/confusion — computed from ONE cached
+    transform and a single 5-aggregate pass, where the reference runs
+    seven separate actions each replaying the full lineage."""
+    df = events_as_transactions(spark, sf_dir)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    model = FraudPipeline().fit(train)
+    m = FraudPipeline.evaluate(model, test)
+    cm = m["confusion_matrix"]
+    row = [
+        (
+            round(float(m["auc"]), 4),
+            round(float(m["accuracy"]), 4),
+            round(float(m["precision"]), 4),
+            round(float(m["recall"]), 4),
+            round(float(m["f1"]), 4),
+            int(cm["tp"]), int(cm["fp"]), int(cm["tn"]), int(cm["fn"]),
+            int(m["n"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "auc double, accuracy double, precision double, recall double, "
+             "f1 double, tp long, fp long, tn long, fn long, n long"
+    )

@@ -78,3 +78,46 @@ def test_asof_join_no_cartesian(spark):
     never a cartesian/broadcast-nested-loop over the full tables."""
     df = registry.QUERIES["join_asof"](spark, SF)
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark):
+    """EXISTS / NOT EXISTS through spark.sql must decorrelate into
+    semi/anti hash joins — never a per-row subquery or nested loop."""
+    df = registry.QUERIES["sql_correlated_exists"](spark, SF)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_levenshtein_block_join_no_cartesian(spark):
+    """The edit-distance pairs join must hash on the blocking key; the
+    quadratic comparison happens only inside each block."""
+    df = registry.QUERIES["dedup_levenshtein_pairs"](spark, SF)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    """The document-frequency side of TF-IDF broadcasts; the tf fact side
+    must not shuffle for the join."""
+    df = registry.QUERIES["text_tfidf_top_terms"](spark, SF)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_full_outer_preaggregates_before_join(spark):
+    """Both sides aggregate to one row per key BEFORE the full outer join
+    (aggregate-then-join: the shuffle carries customers, not orders)."""
+    df = registry.QUERIES["join_full_outer"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    join_pos = plan.find("FullOuter")
+    assert join_pos != -1, plan
+    after = plan[join_pos:]
+    assert after.count("HashAggregate") >= 2, plan
+
+
+def test_unpivot_single_scan(spark):
+    """stack() unpivots in one scan — the UNION ALL formulation would
+    read the table four times."""
+    df = registry.QUERIES["unpivot_stack"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Scan parquet") == 1, plan

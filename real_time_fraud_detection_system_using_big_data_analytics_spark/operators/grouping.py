@@ -325,3 +325,53 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo_val"),
         F.round(F.max("value"), 2).alias("hi_val"),
     )
+
+
+@register(
+    "timeseries_multi_rollup",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, value
+      FROM events
+    )
+    SELECT 'hour' AS grain, hour AS bucket_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM g GROUP BY hour, event_type
+    UNION ALL
+    SELECT 'day', day, event_type, COUNT(*), ROUND(SUM(value), 2)
+    FROM g GROUP BY day, event_type
+    UNION ALL
+    SELECT 'day_all_types', day, NULL, COUNT(*), ROUND(SUM(value), 2)
+    FROM g GROUP BY day
+    """,
+)
+def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly-by-type,
+    daily-by-type, and daily-total aggregates produced by ONE grouping-sets
+    pass over one scan (the oracle's UNION ALL form scans three times).
+    At scale this is the continuous-aggregate build: each finer grain
+    could also feed the coarser one, but grouping sets keeps it a single
+    shuffle with partial aggregation."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    g = ev.select(hour.alias("hour"), day.alias("day"), "event_type", "value")
+    gs = g.groupingSets(
+        [["hour", "event_type"], ["day", "event_type"], ["day"]],
+        "hour", "day", "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    grain = (
+        F.when(F.col("hour").isNotNull(), "hour")
+        .when(F.col("event_type").isNotNull(), "day")
+        .otherwise("day_all_types")
+    )
+    bucket = F.coalesce(F.col("hour"), F.col("day"))
+    return gs.select(
+        grain.alias("grain"),
+        bucket.alias("bucket_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the cross-engine invariants the
+oracle harness depends on, and for the single-pass rewrites that replace
+the reference's multi-action formulations."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.functions.scalars import (
+    q,
+    q_sql,
+)
+
+finite_ratio = st.floats(
+    min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(finite_ratio, min_size=1, max_size=50))
+def test_quantization_matches_duckdb(spark, xs):
+    """q() (Spark) and q_sql() (DuckDB) must agree bit-for-bit on any
+    non-negative double — this is the foundation of every value-hash
+    comparison in the oracle harness."""
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    spark_vals = [r[0] for r in df.select(q(F.col("x")).alias("v")).collect()]
+    con = duckdb.connect()
+    # cast the literal: bare decimals parse as DECIMAL in DuckDB (overflow
+    # at scale 4); real oracle inputs are always DOUBLE expressions
+    duck_vals = [
+        con.execute(f"SELECT {q_sql(f'CAST({x!r} AS DOUBLE)')}").fetchone()[0]
+        for x in xs
+    ]
+    assert spark_vals == duck_vals
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 1)), min_size=1, max_size=60
+    )
+)
+def test_confusion_single_pass_equals_four_filter_counts(spark, rows):
+    """The engine's one-pass confusion aggregate must equal the
+    reference's four filter+count jobs (fraud_detection_model.py:268-271)
+    on ANY (prediction, label) distribution — including all-one-class."""
+    df = spark.createDataFrame(rows, "prediction int, label int")
+    one = df.agg(
+        F.sum(((F.col("prediction") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("prediction") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("prediction") == 0) & (F.col("label") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("prediction") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+    ).first()
+    four = {
+        "tp": df.filter((F.col("prediction") == 1) & (F.col("label") == 1)).count(),
+        "fp": df.filter((F.col("prediction") == 1) & (F.col("label") == 0)).count(),
+        "tn": df.filter((F.col("prediction") == 0) & (F.col("label") == 0)).count(),
+        "fn": df.filter((F.col("prediction") == 0) & (F.col("label") == 1)).count(),
+    }
+    assert {k: one[k] for k in four} == four
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1_000_000),
+            st.floats(0, 1e4, allow_nan=False, allow_infinity=False),
+            st.floats(0, 1e4, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_unpivot_is_lossless(spark, rows):
+    """stack() must emit exactly one (metric, val) row per input measure
+    with values preserved — pivoting the long form back reproduces the
+    wide frame."""
+    df = spark.createDataFrame(rows, "k long, a double, b double")
+    long = df.select(
+        "k", F.expr("stack(2, 'a', a, 'b', b) AS (metric, val)")
+    )
+    wide = (
+        long.groupBy("k").pivot("metric", ["a", "b"]).agg(F.first("val"))
+    )
+    orig = {r["k"]: (r["a"], r["b"]) for r in df.collect()}
+    back = {r["k"]: (r["a"], r["b"]) for r in wide.collect()}
+    assert orig == back

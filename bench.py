@@ -21,6 +21,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F
+
 from real_time_fraud_detection_system_using_big_data_analytics_spark import get_session
 from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
 
@@ -77,6 +79,12 @@ def main() -> None:
         times[name] = round(min(run_once(name) for _ in range(3)), 3)
 
     total = round(sum(times.values()), 3)
+
+    # Reference-defined metrics (BASELINE.md): the quantities the
+    # reference's own instrumentation measures, re-measured on our engine
+    # at the same sf so the bench report stays comparable.
+    ref_metrics = reference_metrics(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -85,10 +93,59 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reference_metrics": ref_metrics,
             }
         )
     )
     spark.stop()
+
+
+def reference_metrics(spark, sf_dir: str) -> dict:
+    """Streaming throughput, batch-scoring throughput, model quality and
+    fraud rate — the reference's own metric set (BASELINE.md rows 1-7)
+    measured end-to-end on this engine."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.ml.scoring import (
+        events_as_transactions,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.ml.fraud_pipeline import (
+        FraudPipeline,
+    )
+
+    out: dict = {}
+
+    # streaming: hermetic replay of the events table through the in-plan
+    # rule-alert stream (micro-batch engine, availableNow) -> events/sec
+    t0 = time.perf_counter()
+    alerts = registry.QUERIES["stream_rule_alerts"](spark, sf_dir)
+    n_alerts = alerts.count()
+    stream_wall = time.perf_counter() - t0
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    out["streaming_events_per_sec"] = round(n_events / stream_wall, 1)
+    out["streaming_alerts"] = n_alerts
+    out["streaming_wall_sec"] = round(stream_wall, 3)
+
+    # ML: train + single-pass eval (reference fraud_detection_model.py M1-M8)
+    df = events_as_transactions(spark, sf_dir)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    t0 = time.perf_counter()
+    model = FraudPipeline().fit(train)
+    out["train_wall_sec"] = round(time.perf_counter() - t0, 3)
+    m = FraudPipeline.evaluate(model, test)
+    out["model_auc"] = round(float(m["auc"]), 4)
+    out["model_f1"] = round(float(m["f1"]), 4)
+
+    # batch inference throughput (postgres_model_inference parity, no pagination)
+    t0 = time.perf_counter()
+    n_scored = FraudPipeline.score(model, df).count()
+    score_wall = time.perf_counter() - t0
+    out["batch_score_rows_per_sec"] = round(n_scored / score_wall, 1)
+
+    # fraud rate (reference logs this per run)
+    fraud = df.agg(
+        (F.sum("isFraud") / F.count("*") * 100.0).alias("pct")
+    ).first()["pct"]
+    out["fraud_pct"] = round(float(fraud), 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -184,3 +184,105 @@ def stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH user_stats AS (
+      SELECT user_id, COUNT(*) AS user_total_events,
+             ROUND(SUM(value), 2) AS user_total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, u.user_total_events, u.user_total_value
+    FROM events e JOIN user_stats u ON u.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (enrichment): each streaming purchase event is
+    joined to a STATIC per-user profile snapshot (batch-aggregated from
+    history) — the standard feature-enrichment shape for online scoring.
+    The static side broadcasts; the stream never shuffles. In-order
+    single-batch replay makes the batch join the exact oracle."""
+    from ..sources.tables import load_tables
+
+    ev_static = load_tables(spark, sf_dir, names=("events",))["events"]
+    profile = ev_static.groupBy("user_id").agg(
+        F.count("*").alias("user_total_events"),
+        F.round(F.sum("value"), 2).alias("user_total_value"),
+    )
+    stream = events_file_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    enriched = stream.join(F.broadcast(profile), "user_id").select(
+        "event_id", "user_id", "user_total_events", "user_total_value"
+    )
+    name = "enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error'
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 15 MINUTE
+    WHERE p.event_type = 'purchase' AND p.value > 180.0
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range constraint: big
+    purchases joined to error events by the same user within the next 15
+    minutes (a fraud-review shape: payment followed by errors). Both
+    sides carry watermarks and the join condition bounds event time, so
+    Spark can expire buffered state — the REQUIRED ingredients for a
+    scalable stream-stream join. Single in-order replay -> the batch
+    range join is the exact oracle."""
+    purchases = (
+        events_file_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 180.0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 15 MINUTES")),
+    ).select("purchase_id", "error_id", "user_id")
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

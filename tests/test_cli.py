@@ -1,0 +1,52 @@
+"""End-to-end CLI test: train -> score -> hermetic stream, the same
+three-script workflow a reference user runs (fraud_detection_model.py,
+postgres_model_inference.py, spark_streaming_app.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark import cli
+
+CSV_HEADER = (
+    "step,type,amount,nameOrig,oldbalanceOrg,newbalanceOrig,"
+    "nameDest,oldbalanceDest,newbalanceDest,isFraud,isFlaggedFraud"
+)
+
+
+@pytest.fixture()
+def paysim_csv(tmp_path):
+    rows = [CSV_HEADER]
+    for i in range(200):
+        fraud = 1 if i % 25 == 0 else 0
+        ttype = "TRANSFER" if fraud else ("PAYMENT" if i % 2 else "CASH_IN")
+        amount = 250000.0 + i if fraud else 100.0 + i
+        rows.append(
+            f"{1 + i % 24},{ttype},{amount},C{i},{amount if fraud else 5000.0},"
+            f"{0.0 if fraud else 4900.0},{'C' if fraud else 'M'}{i % 7},0.0,0.0,"
+            f"{fraud},0"
+        )
+    p = tmp_path / "tx.csv"
+    p.write_text("\n".join(rows))
+    return str(p)
+
+
+def test_cli_train_score_stream(spark, tmp_path, paysim_csv, capsys):
+    model_dir = str(tmp_path / "model")
+    out_dir = str(tmp_path / "flagged")
+
+    assert cli.main(["train", paysim_csv, "--model-dir", model_dir]) == 0
+    train_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert train_out["metrics"]["n"] > 0
+    assert 0.0 <= train_out["metrics"]["auc"] <= 1.0
+
+    assert cli.main(["score", paysim_csv, "--model-dir", model_dir, "--out", out_dir]) == 0
+    score_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert score_out["n_scored"] == 200
+    assert score_out["n_flagged"] >= 1  # weighted LR must catch the drains
+
+    assert cli.main(["stream", "--events-dir", "/root/testdata/sf0.001"]) == 0
+    stream_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stream_out["alerts"] >= 0

@@ -291,3 +291,79 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "join_asof_pandas",
+    oracle="""
+    WITH pairs AS (
+      SELECT e.event_id, e.user_id, e.ts AS error_ts,
+             p.ts AS purchase_ts, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM events e
+      JOIN events p
+        ON p.user_id = e.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= e.ts
+      WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id, error_ts, purchase_ts,
+           ROUND(purchase_value, 2) AS purchase_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join as `join_asof`, implemented as a cogrouped
+    Arrow-batched applyInPandas (pd.merge_asof per user) — the
+    custom-operator escape hatch for semantics the relational form can't
+    express (SURVEY §2.8: the engine's sanctioned UDF path). Sharing the
+    oracle with the relational variant proves the two implementations
+    agree value-for-value.
+
+    Scale: cogroup shuffles both sides once on user_id (same cost as the
+    equi-join) and each group is processed in one Arrow batch; the skew
+    hazard is a single hot user, the same hazard the join form has."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "error_ts", "purchase_ts", "purchase_value"]
+            )
+        left = left.sort_values("error_ts", kind="mergesort")
+        # secondary sort by event_id: merge_asof keeps the LAST right row at
+        # equal timestamps, reproducing the (ts DESC, event_id DESC) rank
+        right = right.sort_values(["purchase_ts", "p_event_id"], kind="mergesort")
+        out = pd.merge_asof(
+            left,
+            right[["purchase_ts", "purchase_value"]],
+            left_on="error_ts",
+            right_on="purchase_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out.dropna(subset=["purchase_ts"])
+        out["purchase_value"] = out["purchase_value"].round(2)
+        return out[["event_id", "user_id", "error_ts", "purchase_ts", "purchase_value"]]
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id bigint, user_id bigint, error_ts timestamp, "
+            "purchase_ts timestamp, purchase_value double",
+        )
+    )

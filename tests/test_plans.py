@@ -121,3 +121,37 @@ def test_unpivot_single_scan(spark):
     df = registry.QUERIES["unpivot_stack"](spark, SF)
     plan = plan_string(df, mode="simple")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Co-located joins: two tables bucketed+sorted on the join key join
+    with ZERO Exchange in the plan — the storage-level answer to repeated
+    fact-fact joins at 100 TB (pay the shuffle once at write time)."""
+    from pyspark.sql import functions as F
+
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    a = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 10_000).withColumn("w", F.col("id") % 7)
+    for name, df in [("bk_a", a), ("bk_b", b)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{warehouse}/{name}")
+            .bucketBy(8, "id")
+            .sortBy("id")
+            .saveAsTable(name)
+        )
+    # disable auto-broadcast so the join planning reflects the big-big
+    # case this test models (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "id")
+        plan = plan_string(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bk_a", "bk_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

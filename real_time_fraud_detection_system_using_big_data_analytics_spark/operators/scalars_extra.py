@@ -261,3 +261,33 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49)
         """
     )
+
+
+@register(
+    "json_parse_props",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER) AS k,
+           (CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER) >= 50) AS k_high
+    FROM events
+    """,
+)
+def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch JSON decode (S4): from_json with an explicit schema turns the
+    props payload into a typed struct in-plan — the same parse the
+    streaming path uses (streaming/sources.parse_json_stream). The oracle
+    extracts the value with a regex (DuckDB-side JSON functions are
+    extension-dependent); both produce the same typed value.
+
+    Note: Jackson-path JSON functions are fine at this frequency but are
+    kept OUT of hot loops on this host (see .claude/skills/verify)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.select("event_id", F.from_json("props", schema).alias("p"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") >= 50).alias("k_high"),
+    )

@@ -155,3 +155,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bk_a", "bk_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path_factory):
+    """write_parquet_partitioned + a partition-key filter must prune at
+    plan time: the scan's PartitionFilters carries the predicate and only
+    the matching directory is read (the 100 TB layout primitive)."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.files import (
+        write_parquet_partitioned,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("part")) + "/events_by_type"
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    write_parquet_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "event_type" in pf, plan
+    assert back.count() == ev.filter(F.col("event_type") == "purchase").count()

@@ -117,3 +117,39 @@ def sample_frames(multimodal: DataFrame, n_frames: int = 3) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return multimodal.select("doc_id", "payload").mapInPandas(sampler, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payload(multimodal: DataFrame, target_bytes: int = 256, real: bool = False) -> DataFrame:
+    """Resize/downsample plumbing: cap each payload at ``target_bytes``
+    (the stub for an image resize / audio resample), emitting the resized
+    size and content hash. ``real=True`` is the seam for an actual
+    Pillow/librosa resample and raises here — the batching, schema, and
+    hash verification are the real, tested part."""
+    if real and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "codec libraries absent; run with real=False for the byte-cap stub"
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p)[:target_bytes] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "out_bytes": [len(r) for r in resized],
+                    "out_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -67,3 +67,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.count("*").over(Window.partitionBy()).alias("total_frames"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS orig_bytes,
+           LEAST(octet_length(encode(text)), 256) AS out_bytes,
+           md5(substr(text, 1, 256)) AS out_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing, fully oracle-checked: the Arrow-batched byte-cap
+    runs in mapInPandas (python hashlib md5 over the resized bytes); the
+    oracle recomputes the same hash from the text prefix — valid because
+    the synthetic corpus is pure ASCII, so byte slice == char slice. A
+    real image resize swaps one function (codec.resize_payload)."""
+    from .codec import resize_payload
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return resize_payload(attach_binary_payload(d), target_bytes=256)

@@ -145,6 +145,17 @@ def reference_metrics(spark, sf_dir: str) -> dict:
         (F.sum("isFraud") / F.count("*") * 100.0).alias("pct")
     ).first()["pct"]
     out["fraud_pct"] = round(float(fraud), 3)
+
+    # resource snapshot (reference: psutil sampling, spark_streaming_app.py
+    # :64-131 / postgres_model_inference.py:42-80); gated — psutil may be
+    # absent in this image
+    try:
+        import psutil
+
+        out["cpu_pct"] = psutil.cpu_percent(interval=0.1)
+        out["mem_pct"] = psutil.virtual_memory().percent
+    except ImportError:
+        pass
     return out
 
 

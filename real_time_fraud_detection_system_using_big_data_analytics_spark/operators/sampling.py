@@ -144,3 +144,32 @@ def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@register(
+    "split_by_hash",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '19999999999999999999999999999999' THEN 'validation'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) < '33333333333333333333333333333333' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n
+    FROM assigned GROUP BY split
+    """,
+)
+def split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split by key hash — the
+    scalable alternative to randomSplit: assignment depends only on the
+    row key (stable across reruns, cluster sizes, and engines; no RNG, no
+    seed coordination), so the split is reproducible AND joinable. Hex
+    range boundaries give ~10% validation / ~10% test / ~80% train."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < "19999999999999999999999999999999", "validation")
+        .when(h < "33333333333333333333333333333333", "test")
+        .otherwise("train")
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(F.count("*").alias("n"))

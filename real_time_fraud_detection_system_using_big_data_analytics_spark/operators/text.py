@@ -317,3 +317,111 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", q(F.col("score_raw")).alias("tfidf"), "rn")
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the first stage of every training-data
+    pipeline): lowercase, strip non-alphanumerics, collapse whitespace,
+    trim — plus the normalized-content hash that feeds dedup. All
+    regexp_replace/lower/trim built-ins, one codegen stage."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash"))
+
+
+@register(
+    "text_vocabulary_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT t.token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY t.token
+    ),
+    total AS (SELECT SUM(n) AS total_n FROM counts),
+    ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      FROM counts
+    )
+    SELECT rnk, token, CAST(n AS BIGINT) AS n,
+           (FLOOR(cum_n * 1.0 / total_n * 10000.0 + 0.5) / 10000.0) AS cum_coverage
+    FROM ranked CROSS JOIN total
+    WHERE rnk <= 25
+    """,
+)
+def text_vocabulary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary analysis: top-25 tokens with cumulative corpus coverage
+    (the 'how big must the vocab be' curve). Token counts aggregate
+    map-side; the running-sum window runs over the tiny ranked head, not
+    the corpus. Ties broken by token for cross-engine determinism."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    counts = (
+        fan_out(d)
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total_n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "token")
+    ranked = counts.select(
+        "token", "n", F.row_number().over(w_rank).alias("rnk")
+    ).filter(F.col("rnk") <= 25)
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "token",
+            F.col("n").cast("bigint").alias("n"),
+            q(F.sum("n").over(w_cum) / F.col("total_n")).alias("cum_coverage"),
+        )
+    )
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_len,
+           CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200
+                          AND len(list_distinct(string_split(text, ' '))) * 1.0
+                              / len(string_split(text, ' ')) >= 0.4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_len_quality
+    FROM documents
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel accounting: survivors after each pipeline stage
+    (language -> length -> diversity) computed as ONE conditional
+    aggregate over one scan — the pattern for auditing what each cleaning
+    stage costs without running N count jobs."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = _tokens()
+    ttr = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    lang = F.col("lang") == "en"
+    length = F.col("n_chars") >= 200
+    quality = ttr >= 0.4
+    return d.agg(
+        F.count("*").alias("n_total"),
+        F.sum(lang.cast("long")).alias("n_lang"),
+        F.sum((lang & length).cast("long")).alias("n_lang_len"),
+        F.sum((lang & length & quality).cast("long")).alias("n_lang_len_quality"),
+    )

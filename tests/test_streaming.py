@@ -176,7 +176,7 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
-    out_name = "ckpt_resume_sink"
+    out = str(tmp_path / "out")
 
     def write_batch(fname: str, ids: range) -> None:
         spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.mode(
@@ -186,27 +186,27 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
         part = next((tmp_path / "stage").glob("*.parquet"))
         shutil.copy(part, src / fname)
 
-    def drain() -> set[int]:
+    def drain() -> list[int]:
         stream = spark.readStream.schema(
             T.StructType([T.StructField("id", T.LongType())])
         ).parquet(str(src))
+        # file sink: the one that actually supports checkpoint recovery
+        # (the memory sink refuses to resume)
         q = (
             stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(out_name)
+            .format("parquet")
+            .option("path", out)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return {r["id"] for r in spark.table(out_name).collect()}
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
 
     write_batch("a.parquet", range(0, 100))
-    first = drain()
-    assert first == set(range(0, 100))
+    assert drain() == list(range(0, 100))
 
     write_batch("b.parquet", range(100, 150))
-    second = drain()
-    # the memory sink is fresh per query restart, so the second drain
-    # must contain EXACTLY the new rows: checkpoint skipped a.parquet
-    assert second == set(range(100, 150))
+    # resume from the same checkpoint: a.parquet must NOT be reprocessed
+    # (exactly-once across restarts -> no duplicates), b.parquet must land
+    assert drain() == list(range(0, 150))

@@ -74,9 +74,15 @@ def main() -> None:
     for name in names:  # warmup pass
         run_once(name)
 
-    times: dict[str, float] = {}
-    for name in names:
-        times[name] = round(min(run_once(name) for _ in range(3)), 3)
+    # Interleaved rounds: the host's multi-second stalls are BURSTY, so a
+    # query's samples must not run back-to-back (one burst then poisons
+    # all of them). Round-robin spreads each query's 4 samples across the
+    # whole bench window; min-per-query then sees at least one calm run.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(4):
+        for name in names:
+            samples[name].append(run_once(name))
+    times = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(times.values()), 3)
 

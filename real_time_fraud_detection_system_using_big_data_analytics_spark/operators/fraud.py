@@ -206,3 +206,51 @@ def fraud_velocity_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_prior_10m") >= 2)
         .select("user_id", "event_id", "ts", F.round("value", 2).alias("amount"), "n_prior_10m")
     )
+
+
+@register(
+    "fraud_top_counterparties",
+    oracle="""
+    WITH tx AS (
+      SELECT 'C' || CAST(user_id AS VARCHAR) AS name_orig,
+             'M' || CAST(event_id % 100 AS VARCHAR) AS name_dest,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT name_orig, name_dest, COUNT(*) AS n_tx,
+             ROUND(SUM(amount), 2) AS total_amount
+      FROM tx GROUP BY name_orig, name_dest
+    )
+    SELECT name_orig, name_dest, n_tx, total_amount, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY name_orig
+                                   ORDER BY total_amount DESC, name_dest) AS rnk
+      FROM agg
+    )
+    WHERE rnk <= 3
+    """,
+)
+def fraud_top_counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-style entity query (SURVEY §1.5: 'top counterparties via
+    joins/groupBy — no GraphFrames needed'): for each origin account, the
+    3 destination merchants receiving the most money. Edge aggregation
+    (groupBy on the pair) then per-origin top-k window; the same
+    account/merchant id synthesis as ml/scoring.events_as_transactions."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    tx = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("C"), F.col("user_id")).alias("name_orig"),
+        F.concat(F.lit("M"), (F.col("event_id") % 100)).alias("name_dest"),
+        F.col("value").alias("amount"),
+    )
+    agg = tx.groupBy("name_orig", "name_dest").agg(
+        F.count("*").alias("n_tx"), F.round(F.sum("amount"), 2).alias("total_amount")
+    )
+    w = Window.partitionBy("name_orig").orderBy(F.col("total_amount").desc(), "name_dest")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("name_orig", "name_dest", "n_tx", "total_amount", "rnk")
+    )

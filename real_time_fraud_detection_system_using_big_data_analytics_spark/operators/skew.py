@@ -1,0 +1,50 @@
+"""Skew-handling join: explicit key salting.
+
+AQE's skew-join split (enabled in session.py) handles most skew at
+runtime, but it only splits the SHUFFLE partitions of a sort-merge join —
+when one key utterly dominates (the classic 'null key' / 'default id'
+hotspot), pre-salting is still the deterministic fix: the hot side's key
+is split into N sub-keys, the other side is replicated N ways, and the
+join runs on (key, salt) with N× the parallelism on the hot key.
+
+Deterministic salt: pmod(xxhash64(unique_id), n) — no RNG, so results are
+reproducible and the operator is oracle/unit testable (the salt column
+never leaks into the output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``skewed`` (hot keys) to ``other`` on ``key`` with an N-way
+    salt.
+
+    skewed gains salt = pmod(xxhash64(salt_from), n_salts); other is
+    replicated once per salt value via an in-row explode (NOT a UNION — one
+    scan). The join key becomes (key, salt), spreading each hot key over
+    n_salts shuffle partitions. Output columns = the plain join's columns.
+
+    At 100 TB: n_salts is sized to the observed hot-key row count per
+    partition target; the replication cost is n_salts × |other|, so salt
+    only the joins whose right side is small-ish (dimension or
+    pre-aggregated) — exactly the joins where one hot fact key hurts most.
+    """
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    )
+    # (generators can't nest inside expressions; sequence of int literals
+    # already explodes to int, matching the casted pmod on the other side)
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted.join(replicated, on=[key, "__salt"], how=how).drop("__salt")

@@ -90,3 +90,27 @@ def test_jaccard_exact_value(spark, corpus):
     # doc0 vs doc2: 13 tokens -> 11 trigrams each; one word change breaks 3
     # shingles -> |inter| = 8, |union| = 14 -> 0.5714
     assert abs(pairs[(0, 2)] - 8 / 14) < 1e-4
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's rows on a skewed
+    fixture (90% of left rows share one hot key)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.skew import (
+        salted_join,
+    )
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 5).alias("k"),
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(10)], "k long, label string"
+    )
+    plain = {(r["row_id"], r["label"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["row_id"], r["label"])
+        for r in salted_join(left, right, key="k", salt_from="row_id", n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 1000

@@ -300,11 +300,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 50 = 0; term tie-break). Plan: one token explode feeds both
     the tf agg and the df agg; df and the N scalar broadcast back onto tf
     — the fact-side tf rows never shuffle for the joins. ln() on the same
-    input double is bit-identical across engines."""
+    input double is bit-identical across engines.
+
+    df is derived FROM the tf aggregate ((doc,term) rows are unique, so
+    count(*) == count_distinct(doc)) — this removes the count_distinct
+    expand (2 shuffles -> 1 cheap re-agg) from the df branch. (AQE does
+    not dedupe the shared tf subtree across branches — measured, not
+    assumed — so the token expansion still runs per branch; the tf-side
+    branch prunes to the doc subset via pushed filter.)"""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     toks = fan_out(d).select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
-    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     score = F.col("cnt") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score_raw").desc(), F.col("term"))

@@ -245,3 +245,56 @@ def scalar_string_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single-key object the anchored regex is semantically identical.
         F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("int").alias("prop_k"),
     )
+
+
+@register(
+    "dq_audit_rules",
+    oracle="""
+    SELECT 'lineitem_null_keys' AS rule,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orphan_lineitems',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def dq_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: null-key, range, and referential-integrity
+    checks as one report. The three column rules fuse into a single
+    conditional aggregate over one scan; the FK check is a left-anti join
+    (never a per-row subquery). The stable (rule, violations) shape is
+    what a pipeline gate consumes — every rule must read 0 on the
+    synthetic tables, which the oracle confirms rather than assumes."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    li, o = t["lineitem"], t["orders"]
+    cols = li.agg(
+        F.sum(
+            (F.col("l_orderkey").isNull() | F.col("l_partkey").isNull()).cast("long")
+        ).alias("lineitem_null_keys"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("lineitem_nonpositive_qty"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")).alias(
+            "lineitem_discount_range"
+        ),
+    )
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    wide = cols.crossJoin(orphans)
+    return wide.select(
+        F.expr(
+            "stack(4, 'lineitem_null_keys', lineitem_null_keys,"
+            " 'lineitem_nonpositive_qty', lineitem_nonpositive_qty,"
+            " 'lineitem_discount_range', lineitem_discount_range,"
+            " 'orphan_lineitems', orphan_lineitems) AS (rule, violations)"
+        )
+    )

@@ -88,3 +88,30 @@ def test_kafka_json_encode_roundtrip(spark, paysim_csv):
     ).select("data.*")
     assert decoded.schema == PAYSIM_SCHEMA
     assert decoded.subtract(df).count() == 0 and df.subtract(decoded).count() == 0
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Incremental backfill: with partitionOverwriteMode=dynamic, an
+    overwrite write that contains only one partition's data replaces ONLY
+    that partition — the other partitions' files stay untouched (the
+    reprocess-one-day pattern at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "by_type")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, part string"
+    )
+    base.write.partitionBy("part").mode("overwrite").parquet(out)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame([(30, "b"), (31, "b")], "id long, part string")
+        patch.write.partitionBy("part").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {
+        (r["id"], r["part"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, "a"), (2, "a"), (30, "b"), (31, "b"), (4, "c")}

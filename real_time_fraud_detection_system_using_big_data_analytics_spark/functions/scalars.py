@@ -29,3 +29,9 @@ def q_sql(expr: str, scale: int = 4) -> str:
     """DuckDB-side twin of :func:`q` (keep both in sync)."""
     factor = float(10**scale)
     return f"(FLOOR(({expr}) * {factor} + 0.5) / {factor})"
+
+
+def register_udf_examples() -> None:  # pragma: no cover - imported for side effects
+    """Placeholder kept intentionally empty: engine policy is built-ins
+    first (SURVEY §2.8); the sanctioned Python escape hatches live in
+    operators/udf_surface.py with oracle-checked demonstrations."""

@@ -1,0 +1,126 @@
+"""The sanctioned Python UDF surface, demonstrated (SURVEY §2.8).
+
+The reference defines zero UDFs; engine policy is built-ins first. When
+Python IS needed, these are the approved shapes, each oracle-checked to
+prove the API wrapper does not change semantics:
+
+- scalar pandas_udf (Arrow-vectorized batches) — `udf_pandas_cosine`
+- Python UDTF (one row in, many rows out, lateral-join style) —
+  `udtf_tokenize_positions`
+- applyInPandas / mapInPandas / applyInPandasWithState live in
+  operators/joins.py (join_asof_pandas), multimodal/codec.py, and
+  streaming/velocity.py respectively.
+
+Determinism note: the pandas UDF accumulates dot/norm LEFT-TO-RIGHT per
+row (explicit fold, not numpy SIMD reductions) so the doubles are
+bit-identical to both the Spark higher-order-function fold and DuckDB's
+list_sum — numpy's pairwise summation would diverge in the last bits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalars import q
+from ..plans.registry import register
+from ..sources.tables import fan_out, load_tables
+
+
+def _cosine_pandas_udf():
+    # built lazily: the pandas_udf decorator parses its DDL return type
+    # through the ACTIVE SparkContext, so it cannot run at module import
+    @F.pandas_udf("double")
+    def _cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+        def cos(x, y) -> float:
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for xi, yi in zip(x, y):
+                xi = float(xi)
+                yi = float(yi)
+                dot += xi * yi
+                na += xi * xi
+                nb += yi * yi
+            return dot / ((na ** 0.5) * (nb ** 0.5))
+
+        return pd.Series([cos(x, y) for x, y in zip(a, b)])
+
+    return _cosine_pandas
+
+
+@register(
+    "udf_pandas_cosine",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (FLOOR((list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
+            * 10000.0 + 0.5) / 10000.0) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    """,
+)
+def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf computing pairwise cosine on a
+    5% vector subset — oracle-checked against the pure-SQL formulation to
+    prove the Python boundary preserves values bit-for-bit. This is the
+    DEMO of the API; the production cosine operators in
+    operators/similarity.py stay JVM-side (10-100× less overhead)."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    sub = fan_out(e.filter(F.col("vec_id") % 20 == 0)).select("vec_id", "embedding")
+    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cosine = _cosine_pandas_udf()
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", q(cosine("emb_a", "emb_b")).alias("cosine"))
+    )
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle="""
+    SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.token AS token,
+           CAST(length(u.token) AS INTEGER) AS token_len
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' '))),
+               i -> {'pos': i, 'token': string_split(text, ' ')[i]})) AS u
+      FROM documents
+      WHERE doc_id % 200 = 0
+    )
+    """,
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function: one row in, N rows out) tokenizing a
+    document subset with 1-based positions — the lateral-view shape for
+    row-expanding Python logic that built-in generators can't express.
+    Oracle-checked against the pure-SQL unnest to prove equivalence; the
+    equivalent built-in (posexplode, see array_posexplode) remains the
+    hot-path choice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("tokenize_positions", Tokenize)
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d.filter(F.col("doc_id") % 200 == 0).createOrReplaceTempView("docs_subset")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token, t.token_len
+        FROM docs_subset, LATERAL tokenize_positions(text) t
+        """
+    )

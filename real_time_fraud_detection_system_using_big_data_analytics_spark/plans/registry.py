@@ -53,6 +53,7 @@ def load_all() -> None:
         setops,
         similarity,
         text,
+        udf_surface,
         windows,
     )
     from ..ml import scoring  # noqa: F401

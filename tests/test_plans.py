@@ -178,3 +178,24 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path_factory):
     pf = plan.split("PartitionFilters")[1][:200]
     assert "event_type" in pf, plan
     assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+_SWEEP_EXCLUDE_PREFIXES = ("stream_", "ml_", "dedup_cluster")  # construct = execute
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in registry.QUERIES
+        if not n.startswith(_SWEEP_EXCLUDE_PREFIXES)
+    ),
+)
+def test_no_query_plans_a_cartesian_product(spark, name):
+    """Sweeping invariant: NO registered query may plan a CartesianProduct.
+    Intentional small-side crosses (ANN scoring) must be broadcast
+    nested-loop, never a shuffled cartesian. Streaming/ML/iterative
+    queries are excluded only because constructing them executes them —
+    their shapes are pinned by their own tests."""
+    df = registry.QUERIES[name](spark, SF)
+    assert "CartesianProduct" not in plan_string(df, mode="simple")

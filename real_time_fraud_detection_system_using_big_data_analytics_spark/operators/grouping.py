@@ -375,3 +375,40 @@ def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "agg_statistical_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(stddev_samp(l_quantity), 3) AS qty_stddev,
+           ROUND(skewness(l_quantity), 3) AS qty_skew,
+           ROUND(kurtosis(l_quantity), 3) AS qty_kurt,
+           ROUND(var_samp(l_quantity), 2) AS qty_var,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 1) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile per group: sample stddev, skewness, kurtosis,
+    correlation, covariance — all single-pass streaming-moment aggregates
+    (map-side partial, merge associative), i.e. they keep the one-shuffle
+    shape at any scale. Moment accumulations differ across engines AND
+    across Spark runs (partition order) in the last float bits, so every
+    output is rounded at a scale far above that noise — and the
+    covariance uses a large-magnitude pair (and correlation of
+    independent columns is excluded: its sign is noise): a near-zero value sits
+    ON the rounding boundary, where the noise flips the last digit
+    (measured, the first draft did exactly that).
+    Spark kurtosis and DuckDB kurtosis both report EXCESS kurtosis."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 3).alias("qty_stddev"),
+        F.round(F.skewness("l_quantity"), 3).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 3).alias("qty_kurt"),
+        F.round(F.var_samp("l_quantity"), 2).alias("qty_var"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("qty_price_covar"),
+    )

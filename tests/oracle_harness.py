@@ -40,7 +40,8 @@ def _norm(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and trailing-precision noise at a fixed scale
+        if v == 0.0:  # collapse -0.0 / 0.0 (f-string would keep the sign)
+            v = 0.0
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"

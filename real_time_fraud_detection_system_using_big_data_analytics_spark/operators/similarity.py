@@ -278,6 +278,106 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAXABS_SQL = "list_max(list_transform({a}, y -> abs(CAST(y AS DOUBLE))))"
+
+
+@register(
+    "ann_int8_rerank",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             127.0 / {_MAXABS_SQL.format(a='embedding')} AS s
+      FROM embeddings
+      WHERE {_MAXABS_SQL.format(a='embedding')} > 0
+    ),
+    base AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * s + 0.5)) AS q8
+      FROM scaled
+    ),
+    queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, q8 AS q_q8
+      FROM base WHERE vec_id % 100 = 0
+    ),
+    coarse AS (
+      SELECT q.q_id, b.vec_id, q.q_emb, b.embedding,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_cosine_sql('q.q_q8', 'b.q8')} DESC, b.vec_id) AS rn_coarse
+      FROM queries q JOIN base b ON b.vec_id <> q.q_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id,
+             {_cosine_sql('q_emb', 'embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY {_cosine_sql('q_emb', 'embedding')} DESC, vec_id) AS rn
+      FROM coarse WHERE rn_coarse <= 20
+    )
+    SELECT q_id, vec_id, ROUND(cosine, 4) AS cosine, rn
+    FROM exact WHERE rn <= 5
+    """,
+)
+def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized coarse search + exact rerank — the memory-bandwidth
+    play for billion-vector corpora: score candidates against a 4×-smaller
+    symmetric-quantized copy (per-vector scale 127/max|x|, round-half-up),
+    keep the coarse top-20 per query, then rerank those with full-precision
+    cosine to a final top-5.
+
+    Quantization is deterministic arithmetic (``floor(x·s + 0.5)``, the
+    same q() convention the scalar layer uses), so unlike the RNG-seeded
+    MLlib LSH variants this compresses-then-searches with a bit-exact DuckDB
+    twin. Cosine over the quantized vectors needs no dequantization — the
+    per-vector scales cancel in the normalization.
+
+    Plan shape: the quantized copy is computed once per vector BELOW the
+    fan_out exchange (the shuffle materializes q8, so the per-pair coarse
+    dot consumes a stored attribute instead of re-quantizing 64 floors per
+    candidate — the CollapseProject trap). At scale the rerank would
+    re-fetch full vectors by id; at test SF they ride along the candidate
+    rows."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = e.select("vec_id", "embedding", max_abs.alias("max_abs")).filter(
+        F.col("max_abs") > 0
+    )
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
+        ).cast("double"),
+    )
+    base = fan_out(scaled.select("vec_id", "embedding", q8.alias("q8"))).select(
+        "vec_id", "embedding", "q8", _norm("q8").alias("q8_norm"), _norm("embedding").alias("e_norm")
+    )
+    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("q8").alias("q_q8"),
+        F.col("q8_norm").alias("q_q8_norm"),
+        F.col("e_norm").alias("q_norm"),
+    )
+    coarse_cos = _dot("q_q8", "q8") / (F.col("q_q8_norm") * F.col("q8_norm"))
+    w_coarse = Window.partitionBy("q_id").orderBy(F.col("coarse_raw").desc(), F.col("vec_id"))
+    exact_cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w_exact = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "q_emb", "embedding", "q_norm", "e_norm",
+            coarse_cos.alias("coarse_raw"),
+        )
+        .withColumn("rn_coarse", F.row_number().over(w_coarse))
+        .filter(F.col("rn_coarse") <= 20)
+        .select("q_id", "vec_id", exact_cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"), "rn")
+    )
+
+
 @register("ann_mllib_brp_lsh")  # MLlib LSH model: RNG hyperplanes, no SQL oracle
 def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH (MLlib) near-neighbor pairs — the

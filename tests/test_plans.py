@@ -199,3 +199,16 @@ def test_no_query_plans_a_cartesian_product(spark, name):
     their shapes are pinned by their own tests."""
     df = registry.QUERIES[name](spark, SF)
     assert "CartesianProduct" not in plan_string(df, mode="simple")
+
+
+def test_int8_quantization_materialized_below_exchange(spark):
+    """The int8 copy must be computed once per vector below the fan-out
+    exchange — FLOOR appears exactly twice in the plan (corpus branch +
+    broadcast query branch), never inlined into the per-pair coarse dot
+    (the CollapseProject trap). Both top-k windows must carry partial
+    WindowGroupLimit so the per-partition top-20 is cut before the
+    shuffle."""
+    df = registry.QUERIES["ann_int8_rerank"](spark, SF)
+    plan = plan_string(df)
+    assert plan.upper().count("FLOOR") == 2, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan

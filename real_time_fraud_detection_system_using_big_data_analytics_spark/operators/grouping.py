@@ -412,3 +412,33 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 2).alias("qty_var"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("qty_price_covar"),
     )
+
+
+@register("agg_hll_sketch_mergeable")  # DataSketches HLL binary: no SQL oracle
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 DataSketches HLL): build a
+    per-event_type sketch of user_id, then hll_union_agg the partial
+    sketches into a corpus-wide estimate WITHOUT rescanning the input —
+    the property that makes sketches the 100 TB answer for rollup-able
+    distinct counts (store one sketch per partition/day, union at query
+    time; exact count-distinct cannot pre-aggregate).
+
+    Rows-only: the sketch registers are DataSketches-binary-specific, so no
+    engine-independent SQL twin exists; tests/test_properties.py pins the
+    estimate within rel-error bounds of the exact count and pins
+    union-of-partials == single-pass-global."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    per_type = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_users"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+    ).select(F.lit("__ALL__").alias("event_type"), "approx_users", "exact_users")
+    return per_type.unionByName(merged)

@@ -291,3 +291,34 @@ def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") >= 50).alias("k_high"),
     )
+
+
+@register(
+    "variant_extract_props",
+    oracle=r"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json -> open VARIANT
+    column -> typed variant_get extraction, then a plain aggregate. Unlike
+    json_parse_props' fixed from_json schema, VARIANT keeps the full
+    document with no up-front schema — the engine shreds on access, which
+    is the right trade for heterogeneous 100 TB event payloads where the
+    schema drifts by producer. The oracle reads the same field with a regex
+    (engine-independent)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )

@@ -432,3 +432,51 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((lang & length).cast("long")).alias("n_lang_len"),
         F.sum((lang & length & quality).cast("long")).alias("n_lang_len_quality"),
     )
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok / 24 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start_tok + 1, start_tok + 32)) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' '))
+             AS chunk_hash
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 32 tokens, stride 24 — 8-token
+    overlap): the flatMap that turns a raw corpus into fixed-size training
+    contexts. Pure generate-and-explode (sequence + posexplode + slice), so
+    the fan-out is JVM-side codegen with no Python boundary and no shuffle —
+    chunks inherit the document partitioning, which is exactly what the
+    downstream tokenize/pack stage wants at 100 TB. Trailing partial windows
+    are kept (slice clamps at the end on both engines); chunk identity is the
+    md5 of the re-joined window so the oracle compares content, not offsets
+    alone."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = fan_out(d).select("doc_id", _tokens().alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, 32)
+    return (
+        toks.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )

@@ -89,3 +89,27 @@ def test_unpivot_is_lossless(spark, rows):
     orig = {r["k"]: (r["a"], r["b"]) for r in df.collect()}
     back = {r["k"]: (r["a"], r["b"]) for r in wide.collect()}
     assert orig == back
+
+
+def test_hll_sketch_estimate_bounds_and_mergeability(spark):
+    """The HLL estimate must sit within the lgK=12 relative-error envelope
+    of the exact distinct count, and the union of per-group partial
+    sketches must estimate the same value as a single global sketch —
+    the pre-aggregation property agg_hll_sketch_mergeable relies on."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["agg_hll_sketch_mergeable"](spark, sf).collect()
+    per = [r for r in rows if r["event_type"] != "__ALL__"]
+    assert per, rows
+    for r in per:
+        # lgK=12 -> ~1.6% standard error; allow 3 sigma plus integer slack
+        tol = max(3, 0.05 * r["exact_users"])
+        assert abs(r["approx_users"] - r["exact_users"]) <= tol, r
+    merged = next(r for r in rows if r["event_type"] == "__ALL__")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    global_est = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")
+    ).collect()[0]["e"]
+    assert merged["approx_users"] == global_est

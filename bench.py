@@ -43,7 +43,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_int8_rerank",
     "text_quality_score",
+    "text_chunk_windows",
     "text_top_ngrams",
     "text_tfidf_top_terms",
     "map_functions_props",

@@ -322,3 +322,34 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("sum_k"),
         F.max(k).cast("bigint").alias("max_k"),
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n JOIN LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t ON TRUE
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    SQL spelling of top-k-per-group. Catalyst decorrelates the lateral into
+    a ranked window over a single customer shuffle (same physical plan
+    family as window_topk_per_group), so the per-nation LIMIT never loops;
+    DuckDB runs the identical statement minus the ON TRUE dialect wart
+    (Spark's LATERAL join takes no ON clause)."""
+    load_tables(spark, sf_dir, names=("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )

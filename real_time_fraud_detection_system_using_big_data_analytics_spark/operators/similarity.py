@@ -332,9 +332,11 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the quantized copy is computed once per vector BELOW the
     fan_out exchange (the shuffle materializes q8, so the per-pair coarse
     dot consumes a stored attribute instead of re-quantizing 64 floors per
-    candidate — the CollapseProject trap). At scale the rerank would
-    re-fetch full vectors by id; at test SF they ride along the candidate
-    rows."""
+    candidate — the CollapseProject trap). The coarse pass ships ONLY the
+    quantized arrays through the pair join and its top-k shuffle — the
+    candidate list is (q_id, vec_id) — and the rerank re-fetches full
+    vectors by id (broadcast the tiny candidate set against the corpus;
+    the corpus side is a ReusedExchange of the same fan-out shuffle)."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     max_abs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
@@ -348,29 +350,34 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
         ).cast("double"),
     )
-    base = fan_out(scaled.select("vec_id", "embedding", q8.alias("q8"))).select(
-        "vec_id", "embedding", "q8", _norm("q8").alias("q8_norm"), _norm("embedding").alias("e_norm")
-    )
-    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+    base = fan_out(scaled.select("vec_id", "embedding", q8.alias("q8")))
+    coarse_side = base.select("vec_id", "q8", _norm("q8").alias("q8_norm"))
+    coarse_queries = coarse_side.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("q8").alias("q_q8"),
         F.col("q8_norm").alias("q_q8_norm"),
-        F.col("e_norm").alias("q_norm"),
     )
     coarse_cos = _dot("q_q8", "q8") / (F.col("q_q8_norm") * F.col("q8_norm"))
     w_coarse = Window.partitionBy("q_id").orderBy(F.col("coarse_raw").desc(), F.col("vec_id"))
+    candidates = (
+        coarse_side.crossJoin(F.broadcast(coarse_queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", coarse_cos.alias("coarse_raw"))
+        .withColumn("rn_coarse", F.row_number().over(w_coarse))
+        .filter(F.col("rn_coarse") <= 20)
+        .select("q_id", "vec_id")
+    )
+    full = base.select("vec_id", "embedding", _norm("embedding").alias("e_norm"))
+    q_full = full.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
+    )
     exact_cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
     w_exact = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
-        base.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id", "vec_id", "q_emb", "embedding", "q_norm", "e_norm",
-            coarse_cos.alias("coarse_raw"),
-        )
-        .withColumn("rn_coarse", F.row_number().over(w_coarse))
-        .filter(F.col("rn_coarse") <= 20)
+        full.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q_full), "q_id")
         .select("q_id", "vec_id", exact_cos.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w_exact))
         .filter(F.col("rn") <= 5)

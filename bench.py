@@ -51,6 +51,8 @@ HEADLINE = [
     "map_functions_props",
     "timeseries_gapfill",
     "unpivot_stack",
+    "feature_winsorize",
+    "scd2_intervals",
 ]
 
 

@@ -1,0 +1,186 @@
+"""Training-feature engineering operators: stratified sampling, per-group
+standardization, percentile winsorization, SCD2 validity intervals.
+
+The reference's only feature transforms are its five MLlib stages
+(fraud_detection_model.py:110-169) and the classWeight arithmetic column
+(fraud_detection_model.py:206-209); everything here is the wider feature-
+engineering surface a training-data pipeline needs (SURVEY §2.11 north
+star). All four operators are pure built-in-function plans — no UDFs — so
+they stay inside whole-stage codegen and are DuckDB-oracle-checkable.
+
+Scale posture:
+- stratified sampling is a stateless per-row hash test: no shuffle at all,
+  embarrassingly parallel, stable across reruns/engines (same md5 trick as
+  ``split_by_hash``);
+- z-score uses one shuffle on the group key; group cardinality is tiny
+  (event types), so AQE coalesces the post-shuffle partitions;
+- winsorize computes per-group exact percentiles in one aggregate over the
+  same shuffle, then broadcasts the tiny bounds table back onto the fact
+  side — the fact table is never shuffled twice;
+- SCD2 intervals shuffle once on the entity key; at 100 TB the entity key
+  is the natural partition key so the sort inside each partition is local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             md5(CAST(event_id AS VARCHAR)) AS h
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_sampled
+    FROM tagged
+    WHERE h < CASE WHEN event_type = 'purchase'
+                   THEN 'ffffffffffffffffffffffffffffffff'
+                   ELSE '33333333333333333333333333333333' END
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ALL rows of the rare class
+    (purchase — the analogue of isFraud=1, ~class imbalance the reference
+    fights with classWeight at fraud_detection_model.py:197-209) and a
+    fixed ~20% hash slice of everything else. Unlike ``sampleBy`` this is
+    RNG-free: membership depends only on the row key, so the sample is
+    reproducible across engines and joinable against itself at any later
+    pipeline stage. No shuffle until the final tiny count."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    h = F.md5(F.col("event_id").cast("string"))
+    keep = F.when(
+        F.col("event_type") == "purchase",
+        F.lit("ffffffffffffffffffffffffffffffff"),
+    ).otherwise(F.lit("33333333333333333333333333333333"))
+    return (
+        ev.filter(h < keep)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@register(
+    "feature_zscore_by_group",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, value, event_type,
+             AVG(value)         OVER (PARTITION BY event_type) AS mu,
+             STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+      FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    ORDER BY event_id LIMIT 500
+    """,
+)
+def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization of a numeric feature — the distributed
+    equivalent of the reference's StandardScaler stage
+    (fraud_detection_model.py:151-157), but grouped: each event_type gets
+    its own mu/sigma. Expressed as unbounded window aggregates so the fact
+    table is shuffled ONCE on the group key and both moments come out of
+    the same sort."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@register(
+    "feature_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(CASE WHEN e.value < b.lo THEN b.lo
+                          WHEN e.value > b.hi THEN b.hi
+                          ELSE e.value END), 4) AS avg_clipped,
+           SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS n_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (outlier clipping) — standard before
+    feeding heavy-tailed amounts into a linear model like the reference's
+    LogisticRegression (fraud_detection_model.py:160-169). Exact per-group
+    p05/p95 via one aggregate; the bounds table (one row per event type)
+    broadcasts back onto the fact scan, so the plan is agg + broadcast-join
+    + agg with a single fact shuffle."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    out_of_range = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(clipped), 4).alias("avg_clipped"),
+            F.sum(out_of_range.cast("bigint")).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    WHERE user_id < 50
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction: turn an append-only
+    event log into validity intervals [valid_from, valid_to) per entity,
+    open-ended for the current version. This is the warehouse-side inverse
+    of the reference's append-only transactions table (to_sql.py:40-62) —
+    it recovers point-in-time state from the log. One shuffle on the entity
+    key; LEAD comes out of the same per-partition sort. Filtered to a
+    stable entity slice so the oracle result is small."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Event-flow analytics: ordered funnel conversion, cohort retention,
+per-entity mode. The event-log cousins of the reference's per-run
+aggregate stats (spark_streaming_app.py:201-232 keeps totals/fraud-rate in
+a driver dict) — here they are single declarative plans over the events
+table, so they distribute instead of accumulating on the driver.
+
+Scale posture:
+- the funnel is ONE shuffle on user_id: ordered-prefix window minimums
+  feed a per-user aggregate out of the same sort (no self-joins, which the
+  naive 3-stage formulation would need);
+- cohort retention shuffles the distinct (user, day) activity set and the
+  first-seen aggregate on the same user_id key, so the join co-locates;
+  cohort sizes come from a window over the tiny per-cohort result, not a
+  second pass over the fact table;
+- mode is groupBy + row_number over the (key, value) count table —
+  cardinality is keys × distinct values, far below the event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS r1
+      FROM events
+    ), w2 AS (
+      SELECT user_id, event_id, ts, event_type, r1,
+             MIN(CASE WHEN event_type = 'click' AND ts > r1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS r2
+      FROM w1
+    ), per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > r1 THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > r2 THEN ts END) AS t3
+      FROM w2 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_view_click,
+           SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users performed
+    the three steps in strict temporal order. Formulated as running-prefix
+    window minimums — "earliest view so far", then "earliest click after
+    that view" — so the whole funnel is one shuffle + one sort per user,
+    instead of the naive chain of three self-joins. The second window runs
+    over a column derived from the first, but both share the same
+    partitioning/ordering, so Spark plans back-to-back Window nodes with
+    no second exchange."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step1 = F.when(F.col("event_type") == "view", F.col("ts"))
+    staged = ev.withColumn("r1", F.min(step1).over(w))
+    step2 = F.when(
+        (F.col("event_type") == "click") & (F.col("ts") > F.col("r1")), F.col("ts")
+    )
+    staged = staged.withColumn("r2", F.min(step2).over(w))
+    step3 = F.when(
+        (F.col("event_type") == "purchase") & (F.col("ts") > F.col("r2")), F.col("ts")
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(step1).alias("t1"),
+        F.min(step2).alias("t2"),
+        F.min(step3).alias("t3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("bigint")).alias("n_view"),
+        F.sum(F.col("t2").isNotNull().cast("bigint")).alias("n_view_click"),
+        F.sum(F.col("t3").isNotNull().cast("bigint")).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cells AS (
+      SELECT weekofyear(f.first_day) AS cohort_week,
+             CAST(FLOOR(datediff('day', f.first_day, a.day) / 7) AS BIGINT)
+               AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           ROUND(100.0 * n_active
+                 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                     OVER (PARTITION BY cohort_week), 2) AS retention_pct
+    FROM cells
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen ISO week, then
+    the share still active N weeks later. The activity set is distinct
+    (user, day) pairs and joins the first-seen aggregate on the same
+    user_id shuffle key, so the join co-locates. Cohort size is the
+    offset-0 cell (every user is active on their first day by definition),
+    read with a window over the tiny cohort×offset result instead of a
+    second fact-table pass."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.weekofyear("first_day").alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+        Window.partitionBy("cohort_week")
+    )
+    return cells.withColumn(
+        "retention_pct", F.round(100.0 * F.col("n_active") / size, 2)
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events WHERE user_id < 100
+      GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS top_event_type, cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per key (mode) with a deterministic alphabetical
+    tie-break — unlike the built-in ``mode()`` aggregate, whose tie winner
+    is evaluation-order-dependent and therefore not reproducible across
+    engines or partitionings. Count table is keys × distinct values (tiny
+    vs. the fact table); row_number picks the winner on the same shuffle."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    counts = (
+        ev.filter(F.col("user_id") < 100)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
+    )

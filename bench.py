@@ -55,6 +55,7 @@ HEADLINE = [
     "scd2_intervals",
     "funnel_conversion",
     "cohort_retention",
+    "cdc_snapshot_diff",
 ]
 
 

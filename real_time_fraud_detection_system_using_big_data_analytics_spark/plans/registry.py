@@ -43,6 +43,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every operator module so its ``@register`` calls run."""
     from ..operators import (  # noqa: F401
+        cdc,
         dedup,
         eventflow,
         features,

@@ -212,3 +212,29 @@ def test_int8_quantization_materialized_below_exchange(spark):
     plan = plan_string(df)
     assert plan.upper().count("FLOOR") == 2, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_cdc_diff_is_one_full_outer_smj(spark):
+    """The snapshot diff is ONE full-outer sort-merge join: each snapshot
+    shuffles exactly once on the key, the delta classification is a
+    project on the join output, and the summary aggregate is partial
+    (map-side combine) before its own exchange."""
+    df = registry.QUERIES["cdc_snapshot_diff"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert plan.count("Join") == 1, plan
+    join_pos = plan.find("FullOuter")
+    # two snapshot exchanges below the join, one agg exchange above
+    assert plan[join_pos:].count("Exchange") == 2, plan
+    assert plan[:join_pos].count("Exchange") == 1, plan
+
+
+def test_merge_upsert_source_preaggregated(spark):
+    """MERGE's source side collapses to one row per key BEFORE the full
+    outer join (partial+final HashAggregate below the join), so the join
+    carries customer-grain rows, never the raw orders fact table."""
+    df = registry.QUERIES["merge_upsert"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    join_pos = plan.find("FullOuter")
+    assert join_pos != -1, plan
+    assert plan[join_pos:].count("HashAggregate") >= 2, plan

@@ -1,0 +1,120 @@
+"""Corpus-level statistics for training-data curation: distribution
+entropy and token-budget sequence packing.
+
+The reference's data profiling is limited to global counts and a fraud
+ratio (fraud_detection_model.py:79-81); a 100 TB pretraining pipeline
+additionally needs distribution diagnostics (is a source collapsing to one
+language?) and the packing step that turns ragged documents into
+fixed-budget training sequences. Both are pure built-in-function plans —
+no UDFs — and DuckDB-oracle-checkable.
+
+Scale posture:
+- entropy aggregates the (source, lang) count table — two cheap shuffles
+  over a grouping whose cardinality is sources × languages, microscopic
+  next to the corpus; the per-source normalization reuses the same
+  shuffle via a window, so the fact table is read once;
+- packing's window partitions on lang. Language is a LOW-cardinality key,
+  so at 100 TB a single per-lang window would funnel everything through a
+  handful of tasks: the production layout range-partitions doc_id within
+  lang and packs per partition (bin ids get a partition prefix) — packing
+  only needs *a* deterministic order, not one global order, so the
+  semantics are unchanged. At test scale the single window is exact and
+  matches the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "corpus_entropy_by_source",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ), probs AS (
+      SELECT source, lang, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY source) AS p
+      FROM counts
+    )
+    SELECT source,
+           SUM(n) AS n_docs,
+           COUNT(*) AS n_langs,
+           ROUND(SUM(-p * LN(p)), 4) AS lang_entropy
+    FROM probs GROUP BY source
+    """,
+)
+def corpus_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the curation
+    diagnostic for skewed/collapsed sources (entropy 0 = monolingual,
+    ln(k) = uniform over k languages). The fact table is aggregated once;
+    the per-source total comes from a window over the tiny count table, so
+    normalization adds no extra pass."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    p = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("source"))
+    return (
+        counts.withColumn("p", p)
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(F.sum(-F.col("p") * F.log(F.col("p"))), 4).alias("lang_entropy"),
+        )
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), offsets AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(off / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens
+    FROM offsets GROUP BY lang, bin
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents to training bins of
+    ~512 tokens (_PACK_BUDGET) by cumulative token offset within each language
+    stream. This is the offset-chunking packer (deterministic, one window
+    pass) rather than first-fit-decreasing — the standard trade at scale,
+    where bin assignment must be a pure function of the ordered prefix so
+    it can run per-partition without coordination. Token counts use the
+    corpus' space-tokenizer convention (see text.py). Returns per-bin
+    document and token totals — downstream, the same bin key drives a
+    partitioned write so each training shard is one file."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = toks.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        offsets.groupBy(
+            "lang", F.floor(F.col("off") / _PACK_BUDGET).cast("bigint").alias("bin")
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every operator module so its ``@register`` calls run."""
     from ..operators import (  # noqa: F401
         cdc,
+        corpus_stats,
         dedup,
         eventflow,
         features,

@@ -238,3 +238,21 @@ def test_merge_upsert_source_preaggregated(spark):
     join_pos = plan.find("FullOuter")
     assert join_pos != -1, plan
     assert plan[join_pos:].count("HashAggregate") >= 2, plan
+
+
+def test_entropy_single_fact_pass(spark):
+    """Entropy normalizes per-source probabilities with a window over the
+    (source, lang) count table — the documents fact table is scanned
+    exactly once."""
+    df = registry.QUERIES["corpus_entropy_by_source"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_pack_sequences_single_window_pass(spark):
+    """Packing is one window pass: a single scan, a single sort for the
+    cumulative offset, then partial aggregation on (lang, bin)."""
+    df = registry.QUERIES["text_pack_sequences"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan, plan

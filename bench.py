@@ -56,6 +56,7 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "cdc_snapshot_diff",
+    "graph_pagerank_bipartite",
 ]
 
 

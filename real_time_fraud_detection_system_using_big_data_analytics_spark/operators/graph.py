@@ -1,0 +1,181 @@
+"""Graph analytics over relational edge lists: weighted PageRank (power
+iteration) and degree distribution.
+
+The reference's nearest graph notion is the nameOrig/nameDest counterparty
+pair in each transaction (spark_streaming_app.py:33-45); SURVEY §1.5 maps
+entity relationships to plain joins/groupBy — no graph framework. This
+module makes that concrete: the graph IS a DataFrame of (src, dst, w)
+edges, and PageRank is a fixed-depth chain of join+groupBy rounds, i.e.
+pure Catalyst-optimizable relational algebra. With the iteration count
+fixed (3), the oracle SQL unrolls the same rounds as CTEs, so even this
+"iterative" operator is value-checked against DuckDB — stronger than the
+rows-only escape hatch the driver allows for iterative algorithms.
+
+Scale posture:
+- the edge list is built by ONE join+groupBy (map-side partial agg) and
+  symmetrized with an in-plan union of the same aggregate — no second
+  scan of the fact table;
+- each iteration is: join ranks to edges on src (both pre-partitioned on
+  the same key → co-located), partial-agg contributions by dst, join back
+  to nodes. At 1000 executors you persist() ranks and localCheckpoint
+  every few iterations to cut lineage; with 3 unrolled iterations the
+  single lazy plan is fine and lets AQE plan every exchange;
+- the only driver scalar is n_nodes (a count) — the same pattern as the
+  reference's class-ratio constant (fraud_detection_model.py:197-202);
+- top-k is TakeOrderedAndProject (per-partition heap), never a global
+  sort; ranks are tie-broken on the rounded score + node id so the
+  result set is deterministic across engines and summation orders.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+_DAMPING = 0.85
+_ITERATIONS = 3
+_TOPK = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted edge list: customer Ci — supplier Sj, weight =
+    number of lineitems customer i bought from supplier j."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    directed = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+_EDGES_SQL = """
+    edges0 AS (
+      SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS src,
+             'S' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+             COUNT(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT src, dst, w FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM edges0
+    )
+"""
+
+
+def _iteration_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS (
+      SELECT nd.node,
+             0.15 / MAX(n.n_nodes)
+               + 0.85 * COALESCE(SUM(r.rank * e.w / ow.wout), 0) AS rank
+      FROM nodes nd CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN {prev} r ON r.node = e.src
+      LEFT JOIN outw ow ON ow.src = e.src
+      GROUP BY nd.node
+    )"""
+
+
+_PAGERANK_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + """
+    , nodes AS (SELECT DISTINCT src AS node FROM edges)
+    , outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src)
+    , n AS (SELECT COUNT(*) AS n_nodes FROM nodes)
+    , r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN n)
+    """
+    + "".join("," + _iteration_sql(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
+    + f"""
+    SELECT node,
+           ROUND(rank * (SELECT n_nodes FROM n), 5) AS rank_scaled
+    FROM r{_ITERATIONS}
+    ORDER BY rank_scaled DESC, node
+    LIMIT {_TOPK}
+    """
+)
+
+
+@register("graph_pagerank_bipartite", oracle=_PAGERANK_SQL)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 power iterations) over the
+    customer↔supplier purchase graph; returns the top-20 nodes by rank
+    scaled to mean 1. Each iteration is join(ranks, edges on src) →
+    groupBy(dst) partial agg → left join back onto nodes for the teleport
+    term — relational algebra only, so Catalyst plans every round.
+    Ranks are reported rounded to 5 decimals and ordered by
+    (rounded rank, node id): double summation order differs between
+    engines (and between AQE re-plans), so the raw float must never be
+    the sort key of a cross-engine-checked top-k."""
+    edges = _edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    edges_n = edges.join(outw, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(_ITERATIONS):
+        contribs = (
+            edges_n.join(ranks, edges_n.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15 / n_nodes)
+                + F.lit(_DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return (
+        ranks.select(
+            "node", F.round(F.col("rank") * n_nodes, 5).alias("rank_scaled")
+        )
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(_TOPK)
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="WITH "
+    + _EDGES_SQL
+    + """
+    , degrees AS (
+      SELECT src AS node, COUNT(*) AS degree, SUM(w) AS strength
+      FROM edges GROUP BY src
+    )
+    SELECT degree, COUNT(*) AS n_nodes, SUM(strength) AS total_strength
+    FROM degrees GROUP BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the purchase graph — the first thing to look
+    at before choosing a partitioning for any graph workload (a power-law
+    tail means hot vertices that need the salted-join treatment from
+    skew.py). Two cascaded aggregates over the edge list, both with
+    map-side partial aggregation."""
+    edges = _edges(spark, sf_dir)
+    degrees = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree"), F.sum("w").alias("strength")
+    )
+    return degrees.groupBy("degree").agg(
+        F.count("*").alias("n_nodes"), F.sum("strength").alias("total_strength")
+    )

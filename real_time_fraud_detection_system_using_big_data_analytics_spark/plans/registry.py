@@ -49,6 +49,7 @@ def load_all() -> None:
         eventflow,
         features,
         fraud,
+        graph,
         grouping,
         joins,
         relational,

@@ -256,3 +256,10 @@ def test_pack_sequences_single_window_pass(spark):
     plan = plan_string(df, mode="simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_pagerank_topk_is_take_ordered(spark):
+    """The PageRank result is a top-k: per-partition heap merge
+    (TakeOrderedAndProject), never a global sort of all node ranks."""
+    df = registry.QUERIES["graph_pagerank_bipartite"](spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")

@@ -122,14 +122,22 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort key of a cross-engine-checked top-k."""
     edges = _edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    edges_n = edges.join(outw, "src")
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # materialize the edge list ONCE: every iteration (and the node set)
+    # reads the persisted copy instead of re-running the fact-table join —
+    # the iterative-plan recomputation trap. w/wout stays two columns (not
+    # pre-divided) so each iteration's arithmetic matches the oracle.
+    edges_n = edges.join(outw, "src").persist()
+    nodes = edges_n.select(F.col("src").alias("node")).distinct().persist()
     n_nodes = nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(_ITERATIONS):
+        # ranks is |V| rows — broadcast it so the big edge side is never
+        # reshuffled; the only shuffle per iteration is the partial agg on
+        # dst. (Beyond broadcastable |V|, co-partition ranks with edges
+        # on src instead — same loop, one more exchange.)
         contribs = (
-            edges_n.join(ranks, edges_n.src == ranks.node)
+            edges_n.join(F.broadcast(ranks), edges_n.src == ranks.node)
             .select(
                 F.col("dst"),
                 (F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"),
@@ -137,7 +145,9 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").alias("mass"))
         )
-        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes.node == contribs.dst, "left"
+        ).select(
             "node",
             (
                 F.lit(0.15 / n_nodes)

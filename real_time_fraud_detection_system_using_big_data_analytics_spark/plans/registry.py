@@ -63,4 +63,4 @@ def load_all() -> None:
     )
     from ..ml import scoring  # noqa: F401
     from ..multimodal import queries as multimodal_queries  # noqa: F401
-    from ..streaming import pipeline, stateful_queries  # noqa: F401
+    from ..streaming import materialize, pipeline, stateful_queries  # noqa: F401

@@ -210,3 +210,71 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # resume from the same checkpoint: a.parquet must NOT be reprocessed
     # (exactly-once across restarts -> no duplicates), b.parquet must land
     assert drain() == list(range(0, 150))
+
+
+def test_merge_stream_materializes_snapshot(spark, tmp_path):
+    """CDC-apply: a change stream (upserts + deletes) merged into a
+    versioned parquet snapshot via foreachBatch. Checks (a) latest-change-
+    per-key wins within a batch, (b) deletes drop rows, (c) a re-drain
+    with no new input changes nothing (exactly-once), and (d) the
+    incremental result equals a one-shot batch apply of all changes —
+    the incremental-view-maintenance invariant."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.materialize import (
+        apply_changes,
+        read_snapshot,
+        start_merge_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_changes(fname: str, rows: list[tuple]) -> None:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage"))
+        part = next((tmp_path / "stage").glob("*.parquet"))
+        shutil.copy(part, src / fname)
+
+    def drain() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_merge_stream(stream, snap, ckpt, key="k", order_by="seq")
+        q.awaitTermination()
+
+    def state() -> dict[int, float]:
+        df = read_snapshot(spark, snap)
+        return {r["k"]: r["bal"] for r in df.collect()}
+
+    batch1 = [(k, "upsert", 10.0 * k, k) for k in range(1, 6)]
+    batch1 += [(3, "upsert", 999.0, 100)]  # later seq beats the first k=3
+    write_changes("b1.parquet", batch1)
+    drain()
+    assert state() == {1: 10.0, 2: 20.0, 3: 999.0, 4: 40.0, 5: 50.0}
+
+    batch2 = [(2, "delete", None, 200), (6, "upsert", 60.0, 201),
+              (1, "upsert", 11.0, 202)]
+    write_changes("b2.parquet", batch2)
+    drain()
+    expected = {1: 11.0, 3: 999.0, 4: 40.0, 5: 50.0, 6: 60.0}
+    assert state() == expected
+
+    drain()  # no new files: snapshot must not change
+    assert state() == expected
+
+    # incremental == one-shot batch apply of the full change log
+    all_changes = spark.createDataFrame(batch1 + batch2, schema)
+    oneshot = apply_changes(None, all_changes, key="k", order_by="seq")
+    assert {r["k"]: r["bal"] for r in oneshot.collect()} == expected

@@ -5,6 +5,7 @@ the '.explain and iterate' loop, automated."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_fraud_detection_system_using_big_data_analytics_spark.plans.explain import (
     assert_in_plan,
@@ -263,3 +264,40 @@ def test_pagerank_topk_is_take_ordered(spark):
     (TakeOrderedAndProject), never a global sort of all node ranks."""
     df = registry.QUERIES["graph_pagerank_bipartite"](spark, SF)
     assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """When the dim side is too big to broadcast, Spark injects a runtime
+    bloom filter built from the selective dim keys into the fact scan —
+    the shuffle-join equivalent of dynamic partition pruning. At 100 TB
+    this is what keeps a selective dim filter from paying a full fact
+    shuffle. (Thresholds are test-tuned: broadcast disabled to force the
+    shuffle join, application-side scan floor dropped to fire at KB
+    scale.)"""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = plan_string(j)
+        assert "bloom" in plan.lower(), plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

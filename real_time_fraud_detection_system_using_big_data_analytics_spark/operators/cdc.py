@@ -98,7 +98,7 @@ _SNAPSHOT_SQL = """
       USING (o_orderkey)
     )
     SELECT change_type, COUNT(*) AS n,
-           SUM(CAST(price AS DECIMAL(18,2))) AS total_price
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
     FROM classified GROUP BY change_type
     """,
 )
@@ -132,7 +132,9 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classified.groupBy("change_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("price").cast("decimal(18,2)")).alias("total_price"),
+        # decimal(38,2) on both sides — Spark's sum widens 18,2 -> 28,2 while
+        # DuckDB widens to 38,2; identical casts keep the typed hash stable
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_price"),
     )
 
 
@@ -154,7 +156,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                + COALESCE(s.delta, 0) AS new_acctbal
       FROM customer b FULL OUTER JOIN source s ON b.c_custkey = s.c_custkey
     )
-    SELECT action, COUNT(*) AS n, SUM(new_acctbal) AS total_bal
+    SELECT action, COUNT(*) AS n,
+           CAST(SUM(new_acctbal) AS DECIMAL(38,2)) AS total_bal
     FROM merged GROUP BY action
     """,
 )
@@ -198,5 +201,11 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.select(action.alias("action"), new_bal.alias("new_acctbal"))
         .groupBy("action")
-        .agg(F.count("*").alias("n"), F.sum("new_acctbal").alias("total_bal"))
+        .agg(
+            F.count("*").alias("n"),
+            # pin the output width: Spark's sum widens to decimal(38,2) here,
+            # but DuckDB reports a different logical width — identical casts
+            # on both sides keep the driver's typed value-hash stable
+            F.sum("new_acctbal").cast("decimal(38,2)").alias("total_bal"),
+        )
     )

@@ -45,9 +45,9 @@ _PACK_BUDGET = 512
       FROM counts
     )
     SELECT source,
-           SUM(n) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
            COUNT(*) AS n_langs,
-           ROUND(SUM(-p * LN(p)), 4) AS lang_entropy
+           CAST(ROUND(SUM(-p * LN(p)), 4) AS DOUBLE) AS lang_entropy
     FROM probs GROUP BY source
     """,
 )
@@ -64,9 +64,12 @@ def corpus_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("p", p)
         .groupBy("source")
         .agg(
-            F.sum("n").alias("n_docs"),
+            # BIGINT on both sides — DuckDB widens SUM(BIGINT) to INT128
+            F.sum("n").cast("bigint").alias("n_docs"),
             F.count("*").alias("n_langs"),
-            F.round(F.sum(-F.col("p") * F.log(F.col("p"))), 4).alias("lang_entropy"),
+            F.round(F.sum(-F.col("p") * F.log(F.col("p"))), 4)
+            .cast("double")
+            .alias("lang_entropy"),
         )
     )
 
@@ -88,7 +91,7 @@ def corpus_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(FLOOR(off / {_PACK_BUDGET}) AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM offsets GROUP BY lang, bin
     """,
 )
@@ -116,5 +119,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets.groupBy(
             "lang", F.floor(F.col("off") / _PACK_BUDGET).cast("bigint").alias("bin")
         )
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
     )

@@ -48,9 +48,9 @@ from ..sources.tables import load_tables
       FROM w2 GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_view_click,
-           SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_full_funnel
+           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM per_user
     """,
 )
@@ -100,7 +100,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), activity AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ), cells AS (
-      SELECT weekofyear(f.first_day) AS cohort_week,
+      SELECT CAST(weekofyear(f.first_day) AS INTEGER) AS cohort_week,
              CAST(FLOOR(datediff('day', f.first_day, a.day) / 7) AS BIGINT)
                AS week_offset,
              COUNT(DISTINCT a.user_id) AS n_active

@@ -113,10 +113,10 @@ def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           ROUND(AVG(CASE WHEN e.value < b.lo THEN b.lo
+           CAST(ROUND(AVG(CASE WHEN e.value < b.lo THEN b.lo
                           WHEN e.value > b.hi THEN b.hi
-                          ELSE e.value END), 4) AS avg_clipped,
-           SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS n_clipped
+                          ELSE e.value END), 4) AS DOUBLE) AS avg_clipped,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN bounds b USING (event_type)
     GROUP BY e.event_type
     """,

@@ -252,5 +252,11 @@ def fraud_top_counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("name_orig", "name_dest", "n_tx", "total_amount", "rnk")
+        .select(
+            "name_orig",
+            "name_dest",
+            "n_tx",
+            "total_amount",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )

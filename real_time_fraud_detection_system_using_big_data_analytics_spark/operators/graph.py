@@ -169,10 +169,12 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _EDGES_SQL
     + """
     , degrees AS (
-      SELECT src AS node, COUNT(*) AS degree, SUM(w) AS strength
+      SELECT src AS node, COUNT(*) AS degree,
+             CAST(SUM(w) AS BIGINT) AS strength
       FROM edges GROUP BY src
     )
-    SELECT degree, COUNT(*) AS n_nodes, SUM(strength) AS total_strength
+    SELECT degree, COUNT(*) AS n_nodes,
+           CAST(SUM(strength) AS BIGINT) AS total_strength
     FROM degrees GROUP BY degree
     """,
 )
@@ -187,5 +189,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("degree"), F.sum("w").alias("strength")
     )
     return degrees.groupBy("degree").agg(
-        F.count("*").alias("n_nodes"), F.sum("strength").alias("total_strength")
+        F.count("*").alias("n_nodes"),
+        # BIGINT on both sides — DuckDB widens SUM(BIGINT) to INT128
+        F.sum("strength").cast("bigint").alias("total_strength"),
     )

@@ -224,7 +224,7 @@ def agg_grouped_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_id,
       UPPER(event_type)                                    AS type_uc,
       SUBSTR(event_type, 1, 2)                             AS type_prefix,
-      LENGTH(event_type)                                   AS type_len,
+      CAST(LENGTH(event_type) AS INTEGER)                  AS type_len,
       CAST(date_trunc('day', ts) AS TIMESTAMP)             AS day,
       CAST(EXTRACT(hour FROM ts) AS INTEGER)               AS hour_of_day,
       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS prop_k

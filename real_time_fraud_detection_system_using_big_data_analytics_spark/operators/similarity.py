@@ -127,7 +127,12 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", cos.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("q_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"), "rn")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 
@@ -191,7 +196,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("bucket").cast("int").alias("bucket"),
             F.round("cosine_raw", 4).alias("cosine"),
-            "rn",
+            F.col("rn").cast("bigint").alias("rn"),
         )
     )
 
@@ -237,7 +242,13 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "label", cos.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("q_id", "vec_id", "label", F.round("cosine_raw", 4).alias("cosine"), "rn")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 
@@ -381,7 +392,12 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", exact_cos.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w_exact))
         .filter(F.col("rn") <= 5)
-        .select("q_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"), "rn")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 

@@ -322,7 +322,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", score.alias("score_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", q(F.col("score_raw")).alias("tfidf"), "rn")
+        .select(
+            "doc_id",
+            "term",
+            q(F.col("score_raw")).alias("tfidf"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 
@@ -388,7 +393,7 @@ def text_vocabulary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("n").alias("total_n"))
     w_rank = Window.orderBy(F.col("n").desc(), "token")
     ranked = counts.select(
-        "token", "n", F.row_number().over(w_rank).alias("rnk")
+        "token", "n", F.row_number().over(w_rank).cast("bigint").alias("rnk")
     ).filter(F.col("rnk") <= 25)
     w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -39,7 +39,13 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            # BIGINT on both sides — Spark ranks are int, DuckDB's bigint
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 
@@ -62,9 +68,10 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        # BIGINT on both sides — Spark ranks are int, DuckDB's bigint
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         q(F.percent_rank().over(w)).alias("pct_rank"),
     )
 

@@ -33,6 +33,29 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Logical schema each table must present after loading. Guards against the
+# testdata generator changing physical types under us (it moved events.ts
+# from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds): a drifted
+# column costs one readable error here instead of dozens of opaque
+# AnalysisExceptions downstream. Only types with one valid logical reading
+# are pinned; ``ts`` is normalized by load_tables and checked post-fix.
+EXPECTED_COLUMNS: dict[str, dict[str, str]] = {
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {"doc_id": "bigint", "text": "string", "lang": "string", "source": "string"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+}
+
+
+class SchemaDriftError(RuntimeError):
+    """A loaded table's column types no longer match the pinned logical schema."""
+
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Redistribute a narrow input across all cores before compute-heavy
@@ -62,16 +85,37 @@ def load_tables(
     is stable regardless of who created the session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamps, so
-    # read it as a raw long and truncate to micros — identical to DuckDB's
-    # ns -> us truncation, keeping oracle comparisons exact.
+    # Older driver testdata stored events.ts as parquet TIMESTAMP(NANOS);
+    # Spark has no ns timestamps, so with nanosAsLong it surfaces as bigint.
+    # Current testdata stores TIMESTAMP(MICROS) which reads natively as
+    # timestamp. Branch on the column's actual dtype so both vintages load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dfs: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                # raw ns long -> truncate to micros (same as DuckDB's ns->us)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ in
+                # Spark 4; with the session tz pinned to UTC this cast keeps
+                # the same wall-clock instant and gives every consumer one
+                # uniform TimestampType
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        expected = EXPECTED_COLUMNS.get(name)
+        if expected is not None:
+            actual = dict(df.dtypes)
+            for col, want in expected.items():
+                got = actual.get(col)
+                if got != want:
+                    raise SchemaDriftError(
+                        f"table {name!r} column {col!r}: expected {want!r}, "
+                        f"got {got!r} (testdata schema drifted under "
+                        f"{sf_dir}; update sources/tables.py to handle it)"
+                    )
         if register:
             df.createOrReplaceTempView(name)
         dfs[name] = df

@@ -70,28 +70,31 @@ def parse_json_stream(raw: DataFrame, schema: T.StructType) -> DataFrame:
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hermetic file source over the events parquet — the test stand-in for
-    the Kafka topic (same schema, replayable)."""
+    the Kafka topic (same schema, replayable).
+
+    Streaming file sources need an explicit schema, so the physical type of
+    ``ts`` is taken from the parquet footer via a (lazy, footer-only) batch
+    read and the same normalization as sources/tables.load_tables is
+    applied: ns-as-long -> truncate to micros; TIMESTAMP_NTZ -> cast to
+    TimestampType under the UTC-pinned session; native timestamp passes
+    through. Keeps the stream's event-time column identical to the batch
+    twin so streaming == batch comparisons hold.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(
-            T.StructType(
-                [
-                    T.StructField("event_id", T.LongType(), True),
-                    T.StructField("ts", T.LongType(), True),  # ns as long
-                    T.StructField("user_id", T.LongType(), True),
-                    T.StructField("event_type", T.StringType(), True),
-                    T.StructField("value", T.DoubleType(), True),
-                    T.StructField("props", T.StringType(), True),
-                ]
-            )
-        )
+        spark.readStream.schema(physical)
         # the source path must be a directory; select just the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

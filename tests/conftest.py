@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -22,4 +23,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMOKE
+    """sf0.001 for the fast default suite. Set SPARK_GRAFT_TEST_SF_DIR
+    (e.g. to /root/testdata/sf0.01) for the driver-faithful nightly run —
+    all oracle comparisons then execute at exactly the driver's scale:
+
+        SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+            python -m pytest tests/test_oracle.py -q
+    """
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMOKE)

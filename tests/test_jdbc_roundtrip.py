@@ -1,0 +1,93 @@
+"""Real JDBC round-trip over Apache Derby embedded (bundled in Spark's
+jars — no external database needed).
+
+Converts sources/jdbc.py from "config-complete" to "verified": a
+distributed ``df.write.jdbc`` egress followed by a partitioned
+``read_table_partitioned`` scan whose N disjoint key ranges must
+reassemble the exact original rows. Derby's embedded engine runs inside
+the Spark JVM, so local-mode executor threads all see the same in-memory
+database — the same code path a deployment pointing at Postgres uses,
+minus the network.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.jdbc import (
+    read_table_partitioned,
+    write_table,
+)
+from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+    load_tables,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+DERBY_URL = "jdbc:derby:memory:jdbc_rt;create=true"
+
+
+def _derby_available(spark) -> bool:
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture(scope="module")
+def derby(spark):
+    if not _derby_available(spark):
+        pytest.skip("Derby embedded driver not on the Spark classpath")
+    return DERBY_URL
+
+
+def test_jdbc_write_then_partitioned_read_roundtrip(spark, sf_dir, derby):
+    src = (
+        load_tables(spark, sf_dir, names=("orders",), register=False)["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .limit(500)
+    )
+    expected = {tuple(r) for r in src.collect()}
+    lo = src.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = src.agg(F.max("o_orderkey")).collect()[0][0]
+
+    write_table(
+        src,
+        derby,
+        "ORDERS_RT",
+        mode="overwrite",
+        properties={"driver": DERBY_DRIVER},
+    ).save()
+
+    reader = read_table_partitioned(
+        spark,
+        derby,
+        "ORDERS_RT",
+        partition_column="o_orderkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        properties={"driver": DERBY_DRIVER},
+    )
+    back = reader.load()
+    # the scan must actually be split into disjoint key-range partitions
+    assert back.rdd.getNumPartitions() == 4
+    got = {tuple(r) for r in back.collect()}
+    assert got == expected
+
+
+def test_jdbc_count_pushdown_remote(spark, derby):
+    """A3: COUNT against the remote table via a pushed-down subquery —
+    the database does the counting, Spark reads one row."""
+    n = (
+        spark.read.format("jdbc")
+        .option("url", derby)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "(SELECT COUNT(*) AS N FROM ORDERS_RT) t")
+        .load()
+        .collect()[0][0]
+    )
+    assert n == 500

@@ -41,6 +41,11 @@ def cmd_train(args: argparse.Namespace) -> int:
 
 def cmd_score(args: argparse.Namespace) -> int:
     spark = get_session("cli-score")
+    if args.wait_for_model and not FraudPipeline.wait_until_ready(
+        args.model_dir, args.wait_for_model
+    ):
+        print(json.dumps({"error": "model not ready", "model_dir": args.model_dir}))
+        return 1
     model, _meta = FraudPipeline.load(args.model_dir)
     df = read_paysim_csv(spark, args.csv)
     scored = FraudPipeline.score(model, df)
@@ -63,6 +68,11 @@ def cmd_stream(args: argparse.Namespace) -> int:
     alert counts printed); with --kafka, reads the PaySim JSON topic and
     writes alerts back through the in-plan Kafka sink."""
     spark = get_session("cli-stream")
+    if args.model_dir and args.wait_for_model and not FraudPipeline.wait_until_ready(
+        args.model_dir, args.wait_for_model
+    ):
+        print(json.dumps({"error": "model not ready", "model_dir": args.model_dir}))
+        return 1
     if args.kafka:
         import tempfile
 
@@ -104,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("csv")
     s.add_argument("--model-dir", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument(
+        "--wait-for-model",
+        type=float,
+        default=0,
+        help="seconds to wait for the model_ready marker (reference: "
+        "transaction_producer.py --wait-for-model)",
+    )
     s.set_defaults(fn=cmd_score)
 
     st = sub.add_parser("stream", help="streaming scoring (reference: spark_streaming_app.py)")
@@ -112,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--topic", default="transaction_data_topic")
     st.add_argument("--alert-topic", default="fraud_alerts_topic")
     st.add_argument("--model-dir", default=None)
+    st.add_argument("--wait-for-model", type=float, default=0)
     st.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)

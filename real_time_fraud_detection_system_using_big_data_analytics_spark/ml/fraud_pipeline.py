@@ -174,6 +174,33 @@ class FraudPipeline:
         }
         with open(os.path.join(path, "feature_columns.json"), "w") as f:
             json.dump(sidecar, f)
+        # readiness handshake (reference: fraud_detection_model.py:336 writes
+        # model_ready.txt in CWD; the producer and streaming app poll it,
+        # transaction_producer.py:163-203 / spark_streaming_app.py:248).
+        # Here the marker lives INSIDE the model dir so concurrent trainings
+        # can't clobber each other's signal, and it is written last so its
+        # existence implies every model file is fully flushed.
+        import time
+
+        with open(os.path.join(path, "model_ready.json"), "w") as f:
+            json.dump({"ready_at_unix": time.time(), "model_dir": path}, f)
+
+    @staticmethod
+    def wait_until_ready(path: str, max_wait_sec: float = 60.0, poll_sec: float = 1.0) -> bool:
+        """Block until the readiness marker appears (producer-gating parity,
+        transaction_producer.py:163-203). ``max_wait_sec <= 0`` checks once
+        without waiting. Returns True when the model is ready."""
+        import time
+
+        marker = os.path.join(path, "model_ready.json")
+        if max_wait_sec <= 0:
+            return os.path.exists(marker)
+        deadline = time.monotonic() + max_wait_sec
+        while time.monotonic() < deadline:
+            if os.path.exists(marker):
+                return True
+            time.sleep(poll_sec)
+        return os.path.exists(marker)
 
     @staticmethod
     def load(path: str) -> tuple[PipelineModel, dict]:

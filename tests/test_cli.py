@@ -42,7 +42,12 @@ def test_cli_train_score_stream(spark, tmp_path, paysim_csv, capsys):
     assert train_out["metrics"]["n"] > 0
     assert 0.0 <= train_out["metrics"]["auc"] <= 1.0
 
-    assert cli.main(["score", paysim_csv, "--model-dir", model_dir, "--out", out_dir]) == 0
+    # train wrote the readiness marker, so gated scoring proceeds at once
+    # (model_ready handshake parity: transaction_producer.py:163-203)
+    assert cli.main(
+        ["score", paysim_csv, "--model-dir", model_dir, "--out", out_dir,
+         "--wait-for-model", "5"]
+    ) == 0
     score_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert score_out["n_scored"] == 200
     assert score_out["n_flagged"] >= 1  # weighted LR must catch the drains
@@ -50,3 +55,15 @@ def test_cli_train_score_stream(spark, tmp_path, paysim_csv, capsys):
     assert cli.main(["stream", "--events-dir", "/root/testdata/sf0.001"]) == 0
     stream_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stream_out["alerts"] >= 0
+
+
+def test_cli_score_gated_on_missing_model(tmp_path, capsys):
+    """A score pointed at an untrained model dir with a zero-wait gate must
+    fail fast with the not-ready error, not a stack trace."""
+    rc = cli.main(
+        ["score", "/nonexistent.csv", "--model-dir", str(tmp_path / "nope"),
+         "--out", str(tmp_path / "out"), "--wait-for-model", "-1"]
+    )
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert err["error"] == "model not ready"

@@ -48,6 +48,8 @@ HEADLINE = [
     "text_chunk_windows",
     "text_top_ngrams",
     "text_tfidf_top_terms",
+    "curation_decontaminate",
+    "curation_mix_weighted_sample",
     "map_functions_props",
     "timeseries_gapfill",
     "unpivot_stack",

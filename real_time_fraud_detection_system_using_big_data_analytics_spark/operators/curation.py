@@ -1,0 +1,236 @@
+"""Training-corpus curation operators: decontamination, repetition
+detection, PII scrubbing, source-weighted mixing, shard assignment.
+
+The reference has no corpus tooling at all (its data prep is one CSV read,
+fraud_detection_model.py:76); these are the operations a 100 TB pretraining
+pipeline runs between raw crawl and tokenizer, expressed as pure built-in
+DataFrame plans (JVM-side, codegen — no Python in any hot path) with DuckDB
+oracle twins.
+
+Scale posture per operator:
+- decontamination: the benchmark side is tiny by construction (eval sets
+  are MBs, the corpus is TBs) → broadcast the benchmark shingles; the
+  corpus-side shingle expansion is map-only, so the whole check is one
+  broadcast hash join + partial agg, no corpus shuffle. The shared
+  doc-frequency cap from dedup.py drops stop-shingles before the join —
+  the same skew guard, and it removes exactly the n-grams that would
+  false-positive ("the of and ...").
+- repetition ratio: two cascaded aggregates with map-side combine; the
+  (doc, token) key is high-cardinality so no skew.
+- PII scrub: per-row regexp, embarrassingly parallel, zero shuffles.
+- mix sampling: per-row multiplicative-hash gate, zero shuffles before the
+  per-source count agg. The hash is plain 64-bit arithmetic (identical in
+  any engine) — NOT rand(): resampling the same corpus twice must keep the
+  same rows for reproducible data lineage.
+- shard assignment: per-row hash, one partial agg; at production scale the
+  same expression feeds partitionBy at write time so each shard is one
+  file set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import q, q_sql
+from ..plans.registry import register
+from ..sources.tables import load_tables
+from .dedup import MAX_DOC_FREQ, _SHINGLES_SQL, _shingles_spark
+
+# Deterministic "benchmark" slice standing in for an eval set: every 97th doc.
+_BENCH_MOD = 97
+# Multiplicative hash (Knuth): 64-bit-safe for doc_id < 2^31.
+_HASH_PRIME = 2654435761
+_N_SHARDS = 16
+# Per-source sampling rates for the data-mix (default 35%).
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+_MIX_DEFAULT = 0.35
+
+
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hot AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
+    ),
+    filtered AS (
+      SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM filtered WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    SELECT f.doc_id,
+           COUNT(DISTINCT f.shingle) AS n_hit_shingles
+    FROM filtered f JOIN bench b ON f.shingle = b.shingle
+    WHERE f.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY f.doc_id
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents that share any
+    word-3-shingle with the benchmark slice (doc_id % 97 == 0), reporting
+    how many distinct shingles leak. The benchmark shingle set broadcasts;
+    the corpus side never shuffles before its per-doc count."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
+    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    bench = (
+        filtered.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        filtered.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
+    )
+
+
+@register(
+    "curation_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(MAX(c) AS BIGINT) AS max_token_freq,
+           {q_sql("CAST(MAX(c) AS DOUBLE) / SUM(c)")} AS rep_ratio,
+           CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1 THEN 1 ELSE 0 END
+             AS is_repetitive
+    FROM counts GROUP BY doc_id
+    """,
+)
+def curation_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher-style quality rule): fraction of the
+    document occupied by its single most frequent token; >10% flags the doc.
+    Cascaded aggregates, both with map-side combine; only counts are
+    emitted (never the argmax token — ties would be non-deterministic)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    counts = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.max("c").cast("double") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max("c").cast("bigint").alias("max_token_freq"),
+        q(ratio).alias("rep_ratio"),
+        F.when(ratio > 0.1, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+@register(
+    "curation_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER)
+             AS n_redactions,
+           md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrubbed_hash
+    FROM events
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing over the raw payload column: every digit run
+    (IDs, phone numbers, account numbers) becomes a `<NUM>` placeholder.
+    Per-row regexp only — zero shuffles, scales linearly. The scrubbed
+    output is reported as an md5 so the oracle checks redacted CONTENT,
+    not just counts. (Real pipelines add email/SSN patterns to the same
+    single-pass alternation; one regex pass, not one per pattern.)"""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0))).alias("n_redactions"),
+        F.md5(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias("scrubbed_hash"),
+    )
+
+
+def _mix_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {cases} ELSE {_MIX_DEFAULT} END"
+
+
+def _mix_rate_spark() -> F.Column:
+    col = F
+    expr = None
+    for s, r in sorted(_MIX_RATES.items()):
+        expr = (
+            F.when(F.col("source") == s, F.lit(r))
+            if expr is None
+            else expr.when(F.col("source") == s, F.lit(r))
+        )
+    return expr.otherwise(F.lit(_MIX_DEFAULT))
+
+
+@register(
+    "curation_mix_weighted_sample",
+    oracle=f"""
+    WITH gated AS (
+      SELECT source,
+             CASE WHEN (doc_id * {_HASH_PRIME}) % 1000 < ({_mix_rate_sql()}) * 1000
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           {q_sql("CAST(SUM(kept) AS DOUBLE) / COUNT(*)")} AS realized_rate
+    FROM gated GROUP BY source
+    """,
+)
+def curation_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted data mixing: each source keeps a configured fraction
+    of its documents (upsampling curated sources, downsampling crawl) via a
+    deterministic multiplicative-hash gate on doc_id — reproducible
+    lineage, unlike rand()-based sampling, and identical arithmetic in any
+    engine. Zero shuffles before the per-source audit aggregate."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    kept = F.when(
+        (F.col("doc_id") * _HASH_PRIME) % 1000 < _mix_rate_spark() * 1000, 1
+    ).otherwise(0)
+    gated = d.select("source", kept.alias("kept"))
+    return gated.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        q(F.sum("kept").cast("double") / F.count("*")).alias("realized_rate"),
+    )
+
+
+@register(
+    "curation_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (doc_id * {_HASH_PRIME}) % {_N_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM assigned GROUP BY shard
+    """,
+)
+def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resharding for training: multiplicative hash of
+    doc_id -> one of 16 shards, audited by per-shard doc and token totals
+    (the test asserts balance). At write time the same expression is the
+    partitionBy key, so every training shard lands as one file set with no
+    extra shuffle beyond the write's own exchange."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    assigned = d.select(
+        ((F.col("doc_id") * _HASH_PRIME) % _N_SHARDS).cast("bigint").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )

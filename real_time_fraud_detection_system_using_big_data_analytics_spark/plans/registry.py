@@ -45,6 +45,7 @@ def load_all() -> None:
     from ..operators import (  # noqa: F401
         cdc,
         corpus_stats,
+        curation,
         dedup,
         eventflow,
         features,

@@ -301,3 +301,40 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    """The benchmark shingle set is eval-set-sized (tiny vs the corpus):
+    it must broadcast onto the corpus shingle stream — a corpus-side
+    shuffle before the join would move TBs at production scale."""
+    df = registry.QUERIES["curation_decontaminate"](spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """Per-row regexp scrubbing must stay map-only: no Exchange anywhere."""
+    df = registry.QUERIES["curation_pii_scrub"](spark, SF)
+    assert_not_in_plan(df, "Exchange")
+
+
+def test_mix_sample_gate_is_pre_shuffle(spark):
+    """The hash gate runs before the audit agg's single exchange — the
+    only shuffle carries (source, kept), never document text."""
+    df = registry.QUERIES["curation_mix_weighted_sample"](spark, SF)
+    plan = plan_string(df)
+    assert plan.count("Exchange") <= 2, plan  # partial agg + final agg exchange
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema, plan
+
+
+def test_shard_assignment_balanced(spark):
+    """16-shard multiplicative-hash assignment: every shard populated and
+    no shard more than 3x the mean doc count (the skew audit a real
+    reshard job runs before writing)."""
+    rows = registry.QUERIES["curation_shard_assignment"](spark, SF).collect()
+    assert len(rows) == 16
+    counts = [r["n_docs"] for r in rows]
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 3 * mean, counts

@@ -61,7 +61,7 @@ _MIX_DEFAULT = 0.35
       SELECT DISTINCT shingle FROM filtered WHERE doc_id % {_BENCH_MOD} = 0
     )
     SELECT f.doc_id,
-           COUNT(DISTINCT f.shingle) AS n_hit_shingles
+           COUNT(*) AS n_hit_shingles
     FROM filtered f JOIN bench b ON f.shingle = b.shingle
     WHERE f.doc_id % {_BENCH_MOD} <> 0
     GROUP BY f.doc_id
@@ -81,11 +81,15 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
+    # (doc_id, shingle) pairs are already distinct (per-doc array_distinct
+    # before the explode) and bench is distinct, so a plain COUNT(*) equals
+    # COUNT(DISTINCT shingle) without the expand+dedup shuffle the latter
+    # would plan.
     return (
         filtered.filter(F.col("doc_id") % _BENCH_MOD != 0)
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
+        .agg(F.count("*").alias("n_hit_shingles"))
     )
 
 

@@ -121,13 +121,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (and between AQE re-plans), so the raw float must never be
     the sort key of a cross-engine-checked top-k."""
     edges = _edges(spark, sf_dir)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).persist()
     # materialize the edge list ONCE: every iteration (and the node set)
     # reads the persisted copy instead of re-running the fact-table join —
     # the iterative-plan recomputation trap. w/wout stays two columns (not
     # pre-divided) so each iteration's arithmetic matches the oracle.
-    edges_n = edges.join(outw, "src").persist()
-    nodes = edges_n.select(F.col("src").alias("node")).distinct().persist()
+    # outw already holds exactly one row per source node, so it doubles as
+    # the node set (no separate distinct over the edge list) and is |V|
+    # rows — broadcast it onto the edge side instead of shuffling edges.
+    edges_n = edges.join(F.broadcast(outw), "src").persist()
+    nodes = outw.select(F.col("src").alias("node"))
     n_nodes = nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

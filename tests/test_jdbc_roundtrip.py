@@ -91,3 +91,28 @@ def test_jdbc_count_pushdown_remote(spark, derby):
         .collect()[0][0]
     )
     assert n == 500
+
+
+def test_catalog_introspection_local_and_remote(spark, sf_dir, derby):
+    """P8: column listing + existence checks, Spark-catalog side and via the
+    zero-row JDBC schema probe (the portable information_schema)."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.catalog import (
+        list_columns,
+        remote_table_exists,
+        remote_table_schema,
+        table_exists,
+    )
+
+    load_tables(spark, sf_dir, names=("nation",))
+    assert table_exists(spark, "nation")
+    assert not table_exists(spark, "no_such_table")
+    cols = {c["name"] for c in list_columns(spark, "nation")}
+    assert {"n_nationkey", "n_name"} <= cols
+
+    props = {"driver": DERBY_DRIVER}
+    assert remote_table_exists(spark, derby, "ORDERS_RT", props)
+    assert not remote_table_exists(spark, derby, "NO_SUCH_TABLE", props)
+    schema = remote_table_schema(spark, derby, "ORDERS_RT", props)
+    assert {f.name.lower() for f in schema} == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+    }

@@ -91,6 +91,27 @@ def cmd_stream(args: argparse.Namespace) -> int:
         q = sink.start()
         q.awaitTermination()
         return 0
+    if args.chunks > 1:
+        # multi-micro-batch replay (reference producer parity: the stream
+        # sees a sequence of batches, state carries across them)
+        from pyspark.sql import functions as F
+
+        from .streaming.replay import chunked_replay
+
+        out, n_batches = chunked_replay(
+            spark,
+            args.events_dir,
+            lambda s: s.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+            ).select("event_id", "user_id", "event_type", "value"),
+            n_chunks=args.chunks,
+        )
+        print(
+            json.dumps(
+                {"alerts": out.count(), "batches": n_batches, "source": args.events_dir}
+            )
+        )
+        return 0
     from .plans import registry
 
     registry.load_all()
@@ -130,6 +151,13 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--alert-topic", default="fraud_alerts_topic")
     st.add_argument("--model-dir", default=None)
     st.add_argument("--wait-for-model", type=float, default=0)
+    st.add_argument(
+        "--chunks",
+        type=int,
+        default=1,
+        help="replay the events table as N micro-batches (producer parity); "
+        "1 = single availableNow batch",
+    )
     st.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)

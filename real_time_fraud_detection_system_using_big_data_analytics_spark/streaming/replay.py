@@ -1,0 +1,111 @@
+"""Chunked replay harness (SURVEY §2.1 S10): feed a table through a
+streaming query as a SEQUENCE of micro-batches, not one availableNow gulp.
+
+The reference's producer replays a CSV row-at-a-time into Kafka
+(transaction_producer.py:93-151) precisely so the streaming app sees many
+small batches. A single-batch availableNow replay never exercises what
+multi-batch execution exercises: keyed state carried ACROSS batches,
+watermark advancement, and per-batch sink semantics. This harness restores
+that coverage hermetically:
+
+1. the events table is split into N contiguous event-time chunks (ordered
+   by (ts, event_id) so the replay is in-order, like the producer's);
+2. each chunk lands in a spool directory as one parquet file with strictly
+   increasing modification times;
+3. the stream reads the spool with ``maxFilesPerTrigger=1`` — the file
+   source admits one file per micro-batch, so chunk boundaries ARE batch
+   boundaries.
+
+Test usage: run a stateful operator through ``chunked_replay`` and assert
+the result equals the batch formulation — if state is dropped or
+double-counted between batches, the comparison fails (a bug class the
+one-batch replay can never catch).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def spool_event_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int, spool_dir: str | None = None
+) -> str:
+    """Split the events table into ``n_chunks`` event-time-ordered parquet
+    files under a spool directory; returns the directory path."""
+    spool = spool_dir or tempfile.mkdtemp(prefix="replay_spool_")
+    os.makedirs(spool, exist_ok=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # contiguous event-time ranges via ntile over (ts, event_id)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("_chunk", F.ntile(n_chunks).over(w))
+    for i in range(1, n_chunks + 1):
+        part_dir = os.path.join(spool, f"_stage_{i}")
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(spool, f"chunk_{i:04d}.parquet")
+        shutil.move(part_file, dest)
+        shutil.rmtree(part_dir)
+        # strictly increasing mtimes: the file source admits files in
+        # modification-time order, so this pins chunk order = batch order
+        os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
+    return spool
+
+
+def chunked_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    n_chunks: int = 5,
+    output_mode: str = "append",
+) -> tuple[DataFrame, int]:
+    """Replay events through ``transform`` (stream-DF -> stream-DF) in
+    ``n_chunks`` micro-batches; returns (result table, batches executed).
+
+    The batch count is read back from the query's progress so tests can
+    assert the replay was genuinely multi-batch."""
+    spool = spool_event_chunks(spark, sf_dir, n_chunks)
+    # events_file_stream expects <dir>/events.parquet; the spool holds
+    # chunk files directly, so build the reader here with the same dtype
+    # normalization (see sources.events_file_stream).
+    physical = spark.read.parquet(os.path.join(spool, "chunk_0001.parquet")).schema
+    raw = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    out = transform(stream)
+    name = "replay_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_replay_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    shutil.rmtree(spool, ignore_errors=True)
+    return spark.table(name), n_batches

@@ -55,9 +55,19 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    return directed.unionByName(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    # Both directions in ONE pass: a union of `directed` with its reversed
+    # copy would recompute the lineitem⋈orders join + aggregate per branch
+    # (uncached plans execute per consumer); exploding a 2-element struct
+    # array emits the same rows from a single execution of the join.
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src"), F.col("dst"), F.col("w")),
+            F.struct(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+            ),
+        )
     )
+    return directed.select(both.alias("e")).select("e.*")
 
 
 _EDGES_SQL = """

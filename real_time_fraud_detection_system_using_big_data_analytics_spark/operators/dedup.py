@@ -463,10 +463,16 @@ def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> Data
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= _CC_THRESHOLD
     )
-    edges = pairs.selectExpr("doc_a AS s", "doc_b AS t").unionAll(
-        pairs.selectExpr("doc_b AS s", "doc_a AS t")
+    # both directions in ONE pass — a self-union would execute the whole
+    # MinHash+LSH candidate pipeline once per branch (uncached plans run
+    # per consumer; persist() below only caches the union's OUTPUT)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")),
+            F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")),
+        )
     )
-    edges = edges.persist()
+    edges = pairs.select(both.alias("e")).select("e.*").persist()
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

@@ -384,11 +384,15 @@ def text_vocabulary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the running-sum window runs over the tiny ranked head, not
     the corpus. Ties broken by token for cross-engine determinism."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    # persist: the vocab-count table (|vocab| rows, tiny) feeds BOTH the
+    # grand total and the ranking — uncached, each consumer would replay
+    # the corpus-wide token explode + aggregate
     counts = (
         fan_out(d)
         .select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
+        .persist()
     )
     total = counts.agg(F.sum("n").alias("total_n"))
     w_rank = Window.orderBy(F.col("n").desc(), "token")

@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_int8_rerank",
+    "cluster_kmeans_embeddings",
     "text_quality_score",
     "text_chunk_windows",
     "text_top_ngrams",

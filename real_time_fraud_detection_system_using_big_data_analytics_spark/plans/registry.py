@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every operator module so its ``@register`` calls run."""
     from ..operators import (  # noqa: F401
         cdc,
+        clustering,
         corpus_stats,
         curation,
         dedup,

@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import q, q_sql
 from ..plans.registry import register
 from .sources import events_file_stream
 
@@ -156,12 +157,25 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(deduped, spark)
 
 
-@register("stream_rule_alerts")  # foreachBatch side effects: rows-only
+@register(
+    "stream_rule_alerts",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS amount,
+           1 AS prediction,
+           {q_sql("LEAST(value / 200.0, 1.0)")} AS probability
+    FROM events
+    WHERE event_type = 'purchase' AND value > 150.0
+    """,
+)
 def stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's streaming scoring loop re-expressed in-plan
     (spark_streaming_app.py:308-400): filter + alert projection stay inside
     the streaming plan; foreachBatch is only the delivery edge. Here the
-    stream runs hermetically and returns the alert rows."""
+    stream runs hermetically and returns the alert rows — a stateless
+    append stream, so the batch filter over the same table is an exact
+    oracle (upgraded from rows-only: the registered form has no
+    foreachBatch side effects)."""
     stream = events_file_stream(spark, sf_dir)
     alerts = (
         stream.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
@@ -170,11 +184,11 @@ def stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.round("value", 2).alias("amount"),
             F.lit(1).alias("prediction"),
-            F.round(F.least(F.col("value") / 200.0, F.lit(1.0)), 4).alias("probability"),
+            q(F.least(F.col("value") / 200.0, F.lit(1.0))).alias("probability"),
         )
     )
     name = "alerts_" + uuid.uuid4().hex[:8]
-    q = (
+    query = (
         alerts.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -182,7 +196,7 @@ def stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    query.awaitTermination()
     return spark.table(name)
 
 

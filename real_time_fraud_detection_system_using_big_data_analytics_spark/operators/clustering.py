@@ -45,6 +45,23 @@ def _sq_dist(e: Column, c: Column) -> Column:
     )
 
 
+def _best_assignment(centroids: list[list[float]]) -> Column:
+    """(dist, cid) of the nearest centroid as ONE expression: the K×dim
+    centroid matrix rides along as a single nested-array literal and the
+    argmin is a transform over centroid indices + array_min — a compact
+    expression tree (K unrolled distance folds made Catalyst
+    analysis/codegen the dominant cost at small data sizes)."""
+    matrix = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            _sq_dist(F.col("e"), F.element_at(matrix, i + 1)).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+    return F.array_min(cands)
+
+
 def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     vecs = fan_out(base).select(
@@ -62,18 +79,9 @@ def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [list(r["c"]) for r in seeds]
 
     for _ in range(ITERATIONS):
-        # argmin assignment: array_min over (dist, cid) structs — the K
-        # centroids ride into the executors as literals (K×dim doubles)
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("e"), F.array(*[F.lit(v) for v in c])).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in enumerate(centroids)
-            ]
+        assigned = vecs.select(
+            "vec_id", "e", _best_assignment(centroids)["cid"].alias("cid")
         )
-        assigned = vecs.select("vec_id", "e", F.array_min(cands)["cid"].alias("cid"))
         # mean per (cluster, dim): one partial-aggregated shuffle of K×dim sums
         means = (
             assigned.select("cid", F.posexplode("e").alias("pos", "x"))
@@ -91,17 +99,8 @@ def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # clusters that lost every point keep their previous centroid
         centroids = [new_centroids.get(cid, centroids[cid]) for cid in range(K)]
 
-    cands = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("e"), F.array(*[F.lit(v) for v in c])).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
-    )
     final = vecs.select(
-        "vec_id", F.array_min(cands).alias("best")
+        "vec_id", _best_assignment(centroids).alias("best")
     ).select("vec_id", F.col("best.d").alias("d"), F.col("best.cid").alias("cid"))
     out = final.groupBy("cid").agg(
         F.count("*").alias("n_points"),

@@ -24,7 +24,7 @@ scanned once per iteration with no self-join anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import q, q_sql
@@ -62,12 +62,19 @@ def _best_assignment(centroids: list[list[float]]) -> Column:
     return F.array_min(cands)
 
 
-def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _prepare_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e=double[]) fanned out and persisted — the working set every
+    Lloyd pass re-reads."""
     base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    vecs = fan_out(base).select(
+    return fan_out(base).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).persist()
 
+
+def fit_centroids(vecs: DataFrame) -> list[list[float]]:
+    """Deterministic Lloyd fit; returns the K quantized centroids. The
+    IVF build step (ann_ivf_kmeans) calls this directly — clustering IS
+    the coarse quantizer."""
     # seed rounding happens in Spark SQL (same ROUND semantics as the
     # oracle's, not Python's banker rounding)
     seeds = (
@@ -98,7 +105,12 @@ def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_centroids = {r["cid"]: list(r["c"]) for r in means}
         # clusters that lost every point keep their previous centroid
         centroids = [new_centroids.get(cid, centroids[cid]) for cid in range(K)]
+    return centroids
 
+
+def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _prepare_vecs(spark, sf_dir)
+    centroids = fit_centroids(vecs)
     final = vecs.select(
         "vec_id", _best_assignment(centroids).alias("best")
     ).select("vec_id", F.col("best.d").alias("d"), F.col("best.cid").alias("cid"))
@@ -110,11 +122,7 @@ def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cid").cast("bigint").alias("cluster_id"), "n_points", "avg_sq_dist")
 
 
-def _kmeans_oracle() -> str:
-    """Same fixpoint in DuckDB SQL: iterative CTE chain (unrolled — the
-    iteration count is a compile-time constant on both sides)."""
-
-    def assign(cent: str, this: str) -> str:
+def _assign_sql(cent: str, this: str) -> str:
         return f"""
     {this} AS (
       SELECT v.vec_id, v.e, v.cid, v.dist FROM (
@@ -128,7 +136,8 @@ def _kmeans_oracle() -> str:
       ) AS v(vec_id, e, cid, dist, rn) WHERE rn = 1
     )"""
 
-    def recompute(assigned: str, prev: str, this: str) -> str:
+
+def _recompute_sql(assigned: str, prev: str, this: str) -> str:
         return f"""
     {this}_m AS (
       SELECT a.cid, i.i AS pos, ROUND(AVG(a.e[i.i]), {_CROUND}) AS m
@@ -143,6 +152,10 @@ def _kmeans_oracle() -> str:
       FROM {prev} p LEFT JOIN {this}_new n ON n.cid = p.cid
     )"""
 
+
+def centroid_chain_sql() -> tuple[str, str]:
+    """(WITH-prefix building the fitted centroids, final centroid CTE name)
+    — shared by the k-means oracle and the IVF-build oracle."""
     sql = f"""
     WITH vecs AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -157,10 +170,17 @@ def _kmeans_oracle() -> str:
     )"""
     cent = "c0"
     for it in range(ITERATIONS):
-        sql += "," + assign(cent, f"a{it}")
-        sql += "," + recompute(f"a{it}", cent, f"c{it + 1}")
+        sql += "," + _assign_sql(cent, f"a{it}")
+        sql += "," + _recompute_sql(f"a{it}", cent, f"c{it + 1}")
         cent = f"c{it + 1}"
-    sql += "," + assign(cent, "afinal")
+    return sql, cent
+
+
+def _kmeans_oracle() -> str:
+    """Same fixpoint in DuckDB SQL: iterative CTE chain (unrolled — the
+    iteration count is a compile-time constant on both sides)."""
+    sql, cent = centroid_chain_sql()
+    sql += "," + _assign_sql(cent, "afinal")
     sql += f"""
     SELECT CAST(cid AS BIGINT) AS cluster_id,
            COUNT(*) AS n_points,
@@ -176,3 +196,93 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus; returns per-cluster sizes and mean squared distance.
     See module docstring for the determinism contract and scale shape."""
     return _kmeans_spark(spark, sf_dir)
+
+
+def _ivf_kmeans_oracle() -> str:
+    """IVF probe oracle: the fitted centroid chain assigns every vector to
+    its cell; each query (vec_id % 100 = 0) ranks by exact cosine within
+    its own cell only (nprobe=1)."""
+    from .similarity import _cosine_sql
+
+    sql, cent = centroid_chain_sql()
+    sql += "," + _assign_sql(cent, "cells")
+    cos = _cosine_sql("q.embedding", "v.embedding")
+    sql += f"""
+    , scored AS (
+      SELECT cq.vec_id AS q_id, cv.vec_id, cq.cid AS cell,
+             {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY cq.vec_id
+                                ORDER BY {cos} DESC, cv.vec_id) AS rn
+      FROM cells cq
+      JOIN cells cv ON cv.cid = cq.cid AND cv.vec_id <> cq.vec_id
+      JOIN embeddings q ON q.vec_id = cq.vec_id
+      JOIN embeddings v ON v.vec_id = cv.vec_id
+      WHERE cq.vec_id % 100 = 0
+    )
+    SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell,
+           ROUND(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= 3
+    """
+    return sql
+
+
+@register("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL k-means coarse quantizer (the build step
+    ann_ivf_partitioned's docstring promises): fit_centroids produces the
+    cells, every vector is assigned map-only, and each query probes only
+    its own cell (nprobe=1) with exact cosine re-ranking inside.
+
+    Scale shape: the build is the k-means above (one small shuffle per
+    iteration); assignment adds NO shuffle (broadcast centroid matrix in a
+    single in-row argmin); the probe is an equi-join on the cell id — at
+    production scale the cell id is the physical partition key, so a probe
+    is a partition-pruned scan plus a per-cell top-k. Raising recall =
+    nprobe>1 = joining each query to its n nearest cells (same plan, a
+    query-side explode)."""
+    from .similarity import _dot, _norm
+
+    vecs = _prepare_vecs(spark, sf_dir)
+    centroids = fit_centroids(vecs)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = (
+        fan_out(base)
+        .select(
+            "vec_id",
+            "embedding",
+            _norm("embedding").alias("e_norm"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "e_norm",
+            _best_assignment(centroids)["cid"].cast("bigint").alias("cell"),
+        )
+    )
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    out = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+    vecs.unpersist()
+    return out

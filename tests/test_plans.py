@@ -338,3 +338,14 @@ def test_shard_assignment_balanced(spark):
     counts = [r["n_docs"] for r in rows]
     mean = sum(counts) / len(counts)
     assert max(counts) <= 3 * mean, counts
+
+
+def test_ivf_kmeans_probe_is_broadcast_equijoin(spark):
+    """The IVF probe joins queries to their cell via broadcast — the corpus
+    side must never shuffle for the probe, and no cartesian may appear
+    (the cell equi-join is what makes IVF sub-linear at scale)."""
+    df = registry.QUERIES["ann_ivf_kmeans"](spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -50,6 +50,22 @@ EXPECTED_COLUMNS: dict[str, dict[str, str]] = {
     },
     "documents": {"doc_id": "bigint", "text": "string", "lang": "string", "source": "string"},
     "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+    # TPC-H fact tables: pin the columns whose physical type a generator
+    # change would most plausibly move (dates/timestamps and money) — every
+    # oracle was validated against exactly these readings
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_shipdate": "timestamp_ntz",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+    },
+    "customer": {"c_custkey": "bigint", "c_acctbal": "double"},
 }
 
 

@@ -8,9 +8,11 @@ those ties constantly.
 
 ``q()`` / ``q_sql()`` quantize with FLOOR(x·10^s + 0.5)/10^s instead: both
 engines then execute the same IEEE-754 double ops on the same input double,
-so results are bit-identical — no tie-break semantics involved. Valid for
-non-negative values (all our ratios/scores); for signed values the floor
-formula rounds -0.5 toward +inf, so keep ROUND for plain signed outputs.
+so results are bit-identical — no tie-break semantics involved. Signed
+values are fine as long as BOTH sides use q (the formula rounds a -.5 tie
+toward +inf, deterministically on both engines — it just isn't the same
+convention as either engine's ROUND, so never mix q on one side with ROUND
+on the other).
 """
 
 from __future__ import annotations

@@ -22,10 +22,16 @@ Scale posture:
 - neither plan ever collects: the delta/merged table is itself a DataFrame
   ready for a partitioned write, unlike the reference's pandas round-trip
   sinks (fraud_detection_model.py:91-93).
-- money totals are summed as DECIMAL(18,2), not double: a double sum over
-  millions of rows is order-dependent and two engines (or two runs of the
-  same plan under AQE) can disagree in the cents digit. Decimal partial
-  aggregation is exact and still map-side combinable.
+- money totals are summed as BIGINT *cents*, not double and not decimal:
+  a double sum over millions of rows is order-dependent, and decimal sums
+  sit on engine-specific precision-widening edges (DuckDB widens
+  SUM(DECIMAL(18,2)) to DECIMAL(38,2); an addition of 18,2 + 38,2 has
+  formal precision 39, exactly on DuckDB's precision-38 cliff where
+  behavior is version-dependent — saturate vs promote-to-double). Integer
+  cent arithmetic is exact, order-independent, map-side combinable, and
+  has no widening rules to disagree about. The source values carry at most
+  2 decimal digits, so ROUND(x*100) is always a clean integer regardless
+  of either engine's tie-breaking mode.
 
 Both snapshots are derived deterministically from the orders table (key
 slices + an additive price bump) so the operator is DuckDB-oracle-checkable
@@ -98,7 +104,8 @@ _SNAPSHOT_SQL = """
       USING (o_orderkey)
     )
     SELECT change_type, COUNT(*) AS n,
-           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+             AS total_price_cents
     FROM classified GROUP BY change_type
     """,
 )
@@ -132,9 +139,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classified.groupBy("change_type").agg(
         F.count("*").alias("n"),
-        # decimal(38,2) on both sides — Spark's sum widens 18,2 -> 28,2 while
-        # DuckDB widens to 38,2; identical casts keep the typed hash stable
-        F.sum(F.col("price").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_price"),
+        # BIGINT cents on both sides — no decimal widening rules in play,
+        # so the typed value hash cannot depend on the engine version
+        F.sum(F.round(F.col("price") * 100).cast("long"))
+        .cast("long")
+        .alias("total_price_cents"),
     )
 
 
@@ -144,7 +153,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH source AS (
       SELECT CASE WHEN o_custkey % 50 = 0 THEN o_custkey + 1000000
                   ELSE o_custkey END AS c_custkey,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS delta_cents,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     ), merged AS (
@@ -152,12 +161,12 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN b.c_custkey IS NULL THEN 'insert'
                   WHEN s.c_custkey IS NULL THEN 'keep'
                   ELSE 'update' END AS action,
-             COALESCE(CAST(b.c_acctbal AS DECIMAL(18,2)), 0)
-               + COALESCE(s.delta, 0) AS new_acctbal
+             COALESCE(CAST(ROUND(b.c_acctbal * 100) AS BIGINT), 0)
+               + COALESCE(s.delta_cents, 0) AS new_acctbal_cents
       FROM customer b FULL OUTER JOIN source s ON b.c_custkey = s.c_custkey
     )
     SELECT action, COUNT(*) AS n,
-           CAST(SUM(new_acctbal) AS DECIMAL(38,2)) AS total_bal
+           CAST(SUM(new_acctbal_cents) AS BIGINT) AS total_bal_cents
     FROM merged GROUP BY action
     """,
 )
@@ -169,7 +178,9 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer — partial aggregation runs map-side, so the join input is one
     row per key, never the raw fact table. A slice of source keys is
     displaced (+1000000) to exercise the insert branch deterministically.
-    Balances are decimal so the merge is exact and order-independent."""
+    Balances are summed as BIGINT cents so the merge is exact,
+    order-independent, and free of decimal-widening edges (see module
+    docstring)."""
     orders, customer = (
         load_tables(spark, sf_dir, names=("orders", "customer"))[t]
         for t in ("orders", "customer")
@@ -183,7 +194,9 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_custkey")
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("delta"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "delta_cents"
+            ),
             F.count("*").alias("n_orders"),
         )
         .alias("s")
@@ -195,17 +208,16 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s.c_custkey").isNull(), "keep")
         .otherwise("update")
     )
-    new_bal = F.coalesce(
-        F.col("b.c_acctbal").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
-    ) + F.coalesce(F.col("s.delta"), F.lit(0).cast("decimal(18,2)"))
+    new_bal_cents = F.coalesce(
+        F.round(F.col("b.c_acctbal") * 100).cast("long"), F.lit(0).cast("long")
+    ) + F.coalesce(F.col("s.delta_cents"), F.lit(0).cast("long"))
     return (
-        merged.select(action.alias("action"), new_bal.alias("new_acctbal"))
+        merged.select(action.alias("action"), new_bal_cents.alias("new_acctbal_cents"))
         .groupBy("action")
         .agg(
             F.count("*").alias("n"),
-            # pin the output width: Spark's sum widens to decimal(38,2) here,
-            # but DuckDB reports a different logical width — identical casts
-            # on both sides keep the driver's typed value-hash stable
-            F.sum("new_acctbal").cast("decimal(38,2)").alias("total_bal"),
+            # BIGINT cents on both sides — no widening rules, no version
+            # sensitivity; the sum is exact integer arithmetic
+            F.sum("new_acctbal_cents").cast("long").alias("total_bal_cents"),
         )
     )

@@ -8,11 +8,15 @@ whole iterative algorithm is value-checked cross-engine:
 - init = the K lowest vec_ids' embeddings (no RNG);
 - assignment = argmin over squared L2 with ties broken by centroid id
   (array_min over (dist, cid) structs — lexicographic, deterministic);
-- after each mean-recompute the centroid coordinates are ROUNDED to 6
-  decimals on both sides, so iteration N+1 starts from bit-identical
-  centroids in both engines (unrounded means differ in the last float
-  bits because summation order differs — quantization is the same trick
-  the rank-score rounding uses, applied to the iterative state).
+- after each mean-recompute the centroid coordinates are quantized to 6
+  decimals on both sides with the signed-safe q()/q_sql formula
+  (FLOOR(x*1e6 + 0.5)/1e6 — identical IEEE double ops in both engines,
+  deterministic for negative coordinates too, unlike engine ROUND whose
+  half-up-vs-half-even tie modes differ), so iteration N+1 starts from
+  bit-identical centroids in both engines (unrounded means differ in the
+  last float bits because summation order differs — quantization is the
+  same trick the rank-score rounding uses, applied to the iterative
+  state).
 
 Scale posture: classic Spark k-means shape — centroids are K×dim (tiny,
 always driver-safe) and broadcast into a single in-row argmin expression,
@@ -75,12 +79,13 @@ def fit_centroids(vecs: DataFrame) -> list[list[float]]:
     """Deterministic Lloyd fit; returns the K quantized centroids. The
     IVF build step (ann_ivf_kmeans) calls this directly — clustering IS
     the coarse quantizer."""
-    # seed rounding happens in Spark SQL (same ROUND semantics as the
-    # oracle's, not Python's banker rounding)
+    # seed quantization happens in Spark SQL with the signed-safe q()
+    # formula (identical floor expression in the oracle — engine ROUND has
+    # divergent tie modes, Python rounds banker-style; q avoids all three)
     seeds = (
         vecs.orderBy("vec_id")
         .limit(K)
-        .select(F.transform("e", lambda x: F.round(x, _CROUND)).alias("c"))
+        .select(F.transform("e", lambda x: q(x, _CROUND)).alias("c"))
         .collect()
     )
     centroids = [list(r["c"]) for r in seeds]
@@ -98,7 +103,7 @@ def fit_centroids(vecs: DataFrame) -> list[list[float]]:
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
             )
-            .select("cid", F.transform("pm", lambda s: F.round(s["m"], _CROUND)).alias("c"))
+            .select("cid", F.transform("pm", lambda s: q(s["m"], _CROUND)).alias("c"))
             .orderBy("cid")
             .collect()
         )
@@ -140,8 +145,13 @@ def _assign_sql(cent: str, this: str) -> str:
 def _recompute_sql(assigned: str, prev: str, this: str) -> str:
         return f"""
     {this}_m AS (
-      SELECT a.cid, i.i AS pos, ROUND(AVG(a.e[i.i]), {_CROUND}) AS m
-      FROM {assigned} a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+      -- dim-agnostic: the series bound is derived from the data, so an
+      -- embedding-width drift in the testdata surfaces as a clean length
+      -- change, not a silently-truncated mean
+      SELECT a.cid, i.i AS pos, {q_sql(f"AVG(a.e[i.i])", _CROUND)} AS m
+      FROM {assigned} a CROSS JOIN (
+        SELECT unnest(generate_series(1, (SELECT MAX(len(e)) FROM vecs))) AS i
+      ) i
       GROUP BY a.cid, i.i
     ),
     {this}_new AS (
@@ -166,7 +176,7 @@ def centroid_chain_sql() -> tuple[str, str]:
       FROM vecs ORDER BY vec_id LIMIT {K}
     ),
     c0 AS (
-      SELECT cid, list_transform(e, x -> ROUND(x, {_CROUND})) AS cvec FROM seeds
+      SELECT cid, list_transform(e, x -> {q_sql("x", _CROUND)}) AS cvec FROM seeds
     )"""
     cent = "c0"
     for it in range(ITERATIONS):

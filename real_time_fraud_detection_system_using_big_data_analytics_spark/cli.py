@@ -41,7 +41,10 @@ def cmd_train(args: argparse.Namespace) -> int:
 
 def cmd_score(args: argparse.Namespace) -> int:
     spark = get_session("cli-score")
-    if args.wait_for_model and not FraudPipeline.wait_until_ready(
+    # None = flag not passed = no readiness gate; 0 / negative reach
+    # wait_until_ready's documented "check once without waiting" path
+    # (a plain truthiness test would silently disable gating at 0)
+    if args.wait_for_model is not None and not FraudPipeline.wait_until_ready(
         args.model_dir, args.wait_for_model
     ):
         print(json.dumps({"error": "model not ready", "model_dir": args.model_dir}))
@@ -68,8 +71,10 @@ def cmd_stream(args: argparse.Namespace) -> int:
     alert counts printed); with --kafka, reads the PaySim JSON topic and
     writes alerts back through the in-plan Kafka sink."""
     spark = get_session("cli-stream")
-    if args.model_dir and args.wait_for_model and not FraudPipeline.wait_until_ready(
-        args.model_dir, args.wait_for_model
+    if (
+        args.model_dir
+        and args.wait_for_model is not None
+        and not FraudPipeline.wait_until_ready(args.model_dir, args.wait_for_model)
     ):
         print(json.dumps({"error": "model not ready", "model_dir": args.model_dir}))
         return 1
@@ -138,8 +143,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--wait-for-model",
         type=float,
-        default=0,
-        help="seconds to wait for the model_ready marker (reference: "
+        default=None,
+        help="seconds to wait for the model_ready marker; 0 or negative = "
+        "check once without waiting; omit = no readiness gate (reference: "
         "transaction_producer.py --wait-for-model)",
     )
     s.set_defaults(fn=cmd_score)
@@ -150,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--topic", default="transaction_data_topic")
     st.add_argument("--alert-topic", default="fraud_alerts_topic")
     st.add_argument("--model-dir", default=None)
-    st.add_argument("--wait-for-model", type=float, default=0)
+    st.add_argument("--wait-for-model", type=float, default=None)
     st.add_argument(
         "--chunks",
         type=int,

@@ -11,6 +11,14 @@ in that batch — exactly a streaming materialized view of
 kept incrementally, which is what makes it DuckDB-oracle-checkable on an
 availableNow replay.
 
+Value totals are accumulated as BIGINT *cents*: each value is quantized
+per-row with FLOOR(v*100 + 0.5) — the same IEEE double ops numpy and
+DuckDB both execute — BEFORE summation, so the running total is exact
+integer arithmetic and cannot depend on batch arrival order. A double
+accumulator here would sum in Python batch order while the oracle sums in
+DuckDB's scan order; the strict value-hash comparison would then flake on
+last-bit drift. Same cents trick as operators/cdc.py.
+
 Why both APIs exist in this repo: applyInPandasWithState (velocity.py) is
 the stable per-group-buffer form; transformWithState adds composable typed
 state (value/list/map), timers, and TTL — the API a new stateful operator
@@ -42,22 +50,29 @@ OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
-        T.StructField("max_value", T.DoubleType()),
+        T.StructField("total_value_cents", T.LongType()),
+        T.StructField("max_value_cents", T.LongType()),
     ]
 )
 
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
-        T.StructField("mx", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("mx_cents", T.LongType()),
     ]
 )
 
 
+def _to_cents(values: pd.Series) -> "pd.Series":
+    """FLOOR(v*100 + 0.5) as int64 — the q()/q_sql quantizer, per row."""
+    import numpy as np
+
+    return np.floor(values.to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64")
+
+
 class AccountProfileProcessor(StatefulProcessor):
-    """ValueState-backed running (count, sum, max) per account."""
+    """ValueState-backed running (count, sum cents, max cents) per account."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._profile = handle.getValueState("profile", _STATE_SCHEMA)
@@ -65,20 +80,21 @@ class AccountProfileProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, total, mx = 0, 0.0, float("-inf")
+        n, total, mx = 0, 0, -(1 << 62)
         if self._profile.exists():
             n, total, mx = self._profile.get()
         for pdf in rows:
+            cents = _to_cents(pdf["value"])
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            mx = max(mx, float(pdf["value"].max()))
+            total += int(cents.sum())
+            mx = max(mx, int(cents.max()))
         self._profile.update((n, total, mx))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
-                "max_value": [mx],
+                "total_value_cents": [total],
+                "max_value_cents": [mx],
             }
         )
 

@@ -59,15 +59,18 @@ def _stream_account_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4 arbitrary-state API): per-account
     lifetime (count, sum, max) kept in a ValueState across micro-batches.
     The availableNow replay's final state must equal the batch GROUP BY —
-    which is the oracle. See streaming/account_state.py for the processor."""
+    which is the oracle. Totals are BIGINT cents quantized per-row BEFORE
+    summation (account_state.py module docstring), so the comparison is
+    exact integer equality regardless of batch order vs DuckDB scan order.
+    See streaming/account_state.py for the processor."""
     from .account_state import run_account_profile_hermetic
 
     out = run_account_profile_hermetic(spark, sf_dir)
     return out.select(
         "user_id",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("total_value", 2).alias("total_value"),
-        F.round("max_value", 2).alias("max_value"),
+        F.col("total_value_cents").cast("bigint").alias("total_value_cents"),
+        F.col("max_value_cents").cast("bigint").alias("max_value_cents"),
     )
 
 
@@ -77,8 +80,10 @@ if _tws_available():  # pragma: no cover - dependency absent in the sandbox
         oracle="""
         SELECT user_id,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value,
-               ROUND(MAX(value), 2) AS max_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_value_cents,
+               CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS max_value_cents
         FROM events GROUP BY user_id
         """,
     )(_stream_account_profile_tws)

@@ -57,12 +57,15 @@ def test_cli_train_score_stream(spark, tmp_path, paysim_csv, capsys):
     assert stream_out["alerts"] >= 0
 
 
-def test_cli_score_gated_on_missing_model(tmp_path, capsys):
+@pytest.mark.parametrize("wait", ["-1", "0"])
+def test_cli_score_gated_on_missing_model(tmp_path, capsys, wait):
     """A score pointed at an untrained model dir with a zero-wait gate must
-    fail fast with the not-ready error, not a stack trace."""
+    fail fast with the not-ready error, not a stack trace. 0 means
+    check-once (it must NOT silently disable the gate — that regression
+    existed when the gate was a plain truthiness test)."""
     rc = cli.main(
         ["score", "/nonexistent.csv", "--model-dir", str(tmp_path / "nope"),
-         "--out", str(tmp_path / "out"), "--wait-for-model", "-1"]
+         "--out", str(tmp_path / "out"), "--wait-for-model", wait]
     )
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

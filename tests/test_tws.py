@@ -27,20 +27,23 @@ def test_tws_profile_matches_batch_groupby(spark):
     sf = "/root/testdata/sf0.001"
     got = {r["user_id"]: r for r in _stream_account_profile_tws(spark, sf).collect()}
     ev = load_tables(spark, sf, names=("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     want = {
         r["user_id"]: r
         for r in ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.max("value"), 2).alias("max_value"),
+            F.sum(cents).alias("total_value_cents"),
+            F.max(cents).alias("max_value_cents"),
         )
         .collect()
     }
     assert set(got) == set(want)
     for uid, row in want.items():
         assert got[uid]["n_events"] == row["n_events"]
-        assert abs(got[uid]["total_value"] - row["total_value"]) < 1e-6
+        # exact integer equality — cents are quantized per-row pre-sum
+        assert got[uid]["total_value_cents"] == row["total_value_cents"]
+        assert got[uid]["max_value_cents"] == row["max_value_cents"]
 
 
 def test_tws_processor_contract():
@@ -83,11 +86,11 @@ def test_tws_processor_contract():
     batch1 = pd.DataFrame({"value": [1.0, 2.0, 3.0]})
     (out1,) = list(p.handleInputRows((7,), iter([batch1]), None))
     assert out1["n_events"].iloc[0] == 3
-    assert out1["total_value"].iloc[0] == 6.0
-    assert out1["max_value"].iloc[0] == 3.0
+    assert out1["total_value_cents"].iloc[0] == 600
+    assert out1["max_value_cents"].iloc[0] == 300
 
     batch2 = pd.DataFrame({"value": [10.0]})
     (out2,) = list(p.handleInputRows((7,), iter([batch2]), None))
     assert out2["n_events"].iloc[0] == 4
-    assert out2["total_value"].iloc[0] == 16.0
-    assert out2["max_value"].iloc[0] == 10.0
+    assert out2["total_value_cents"].iloc[0] == 1600
+    assert out2["max_value_cents"].iloc[0] == 1000

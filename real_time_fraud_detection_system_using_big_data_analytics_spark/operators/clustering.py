@@ -49,21 +49,37 @@ def _sq_dist(e: Column, c: Column) -> Column:
     )
 
 
-def _best_assignment(centroids: list[list[float]]) -> Column:
-    """(dist, cid) of the nearest centroid as ONE expression: the K×dim
-    centroid matrix rides along as a single nested-array literal and the
-    argmin is a transform over centroid indices + array_min — a compact
-    expression tree (K unrolled distance folds made Catalyst
+def _assignment_candidates(centroids: list[list[float]]) -> Column:
+    """Array of (dist, cid) structs, one per centroid, as ONE expression:
+    the K×dim centroid matrix rides along as a single nested-array literal
+    and the distances come from a transform over centroid indices — a
+    compact expression tree (K unrolled distance folds made Catalyst
     analysis/codegen the dominant cost at small data sizes)."""
     matrix = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
-    cands = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: F.struct(
             _sq_dist(F.col("e"), F.element_at(matrix, i + 1)).alias("d"),
             i.alias("cid"),
         ),
     )
-    return F.array_min(cands)
+
+
+def _best_assignment(centroids: list[list[float]]) -> Column:
+    """(dist, cid) of the nearest centroid — argmin via array_min over the
+    candidate structs (lexicographic: distance first, centroid id breaks
+    ties deterministically)."""
+    return F.array_min(_assignment_candidates(centroids))
+
+
+def _top_cells(centroids: list[list[float]], n: int) -> Column:
+    """The ``n`` nearest centroid ids, nearest first — the query-side probe
+    list for nprobe>1 IVF. Same candidate structs, sorted instead of
+    min'd; still one map-only expression, no shuffle."""
+    return F.transform(
+        F.slice(F.array_sort(_assignment_candidates(centroids)), 1, n),
+        lambda s: s["cid"],
+    )
 
 
 def _prepare_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +307,122 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell",
             F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+    vecs.unpersist()
+    return out
+
+
+NPROBE = 2
+
+
+def _ivf_nprobe2_oracle() -> str:
+    """nprobe=2 oracle: each query ranks by exact cosine over the UNION of
+    its two nearest cells. Corpus assignment is unchanged (top-1); only the
+    query side probes wider."""
+    from .similarity import _cosine_sql
+
+    sql, cent = centroid_chain_sql()
+    sql += "," + _assign_sql(cent, "cells")
+    cos = _cosine_sql("q.embedding", "v.embedding")
+    sql += f"""
+    , qcells AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), c.cid) AS rn
+        FROM vecs v CROSS JOIN {cent} c
+        WHERE v.vec_id % 100 = 0
+      ) WHERE rn <= {NPROBE}
+    )
+    , scored AS (
+      SELECT qc.vec_id AS q_id, cv.vec_id, cv.cid AS cell,
+             {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY qc.vec_id
+                                ORDER BY {cos} DESC, cv.vec_id) AS rn
+      FROM qcells qc
+      JOIN cells cv ON cv.cid = qc.cid AND cv.vec_id <> qc.vec_id
+      JOIN embeddings q ON q.vec_id = qc.vec_id
+      JOIN embeddings v ON v.vec_id = cv.vec_id
+    )
+    SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell,
+           {q_sql("cosine")} AS cosine, rn
+    FROM scored WHERE rn <= 3
+    """
+    return sql
+
+
+@register("ann_ivf_kmeans_nprobe2", oracle=_ivf_nprobe2_oracle())
+def ann_ivf_kmeans_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with nprobe=2 — the recall knob ann_ivf_kmeans documents,
+    implemented: each query explodes to its 2 nearest coarse cells and
+    ranks by exact cosine over the union of both cells' vectors. A vector
+    near a cell boundary whose true neighbors landed one cell over is now
+    reachable — the defining recall-vs-cost trade of IVF at scale.
+
+    Scale shape: identical to nprobe=1. Corpus assignment stays top-1
+    map-only; the probe list is a query-side array (one sorted K-candidate
+    expression, no shuffle) exploded to nprobe rows BEFORE the broadcast,
+    so the corpus side still sees one broadcast-hash equi-join on the cell
+    id — at production scale each probe row is a partition-pruned scan of
+    one cell. Candidate cost scales linearly in nprobe; no duplicate
+    candidates are possible because a corpus vector lives in exactly one
+    cell."""
+    from .similarity import _dot, _norm
+
+    vecs = _prepare_vecs(spark, sf_dir)
+    centroids = fit_centroids(vecs)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = (
+        fan_out(base)
+        .select(
+            "vec_id",
+            "embedding",
+            _norm("embedding").alias("e_norm"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "e_norm",
+            _best_assignment(centroids)["cid"].cast("bigint").alias("cell"),
+        )
+    )
+    # probe list computed on the (tiny) query side only, then exploded to
+    # (query, cell) rows — the join below stays a plain equi-join
+    queries = (
+        base.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm("embedding").alias("q_norm"),
+            F.explode(
+                _top_cells(centroids, NPROBE).cast("array<bigint>")
+            ).alias("probe_cell"),
+        )
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    out = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            q(F.col("cosine_raw")).alias("cosine"),
             F.col("rn").cast("bigint").alias("rn"),
         )
     )

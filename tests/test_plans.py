@@ -349,3 +349,15 @@ def test_ivf_kmeans_probe_is_broadcast_equijoin(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_nprobe2_probe_is_broadcast_equijoin(spark):
+    """nprobe=2 must keep the exact nprobe=1 plan shape: the query-side
+    explode happens before the broadcast, so the corpus still sees one
+    broadcast-hash equi-join on the cell id — no cartesian, no corpus
+    shuffle."""
+    df = registry.QUERIES["ann_ivf_kmeans_nprobe2"](spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

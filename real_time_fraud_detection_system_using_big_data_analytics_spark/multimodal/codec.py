@@ -2,10 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed batch-wise via
 ``mapInPandas`` (Arrow-batched — never row-at-a-time Python).
 
-The container has no image/audio libraries, so the actual decode is STUBBED
-(documented below); everything around it — schema, batch iteration,
+AUDIO decode is REAL: ``attach_wav_payload`` writes genuine RIFF/WAVE
+bytes (mono 16-bit PCM) with the stdlib ``wave`` encoder and
+``decode_wav_features`` parses them back with the stdlib ``wave`` reader —
+header fields, frame counts, and PCM sample statistics all come from the
+actual byte format, and the synthesis formula is SQL-expressible so the
+whole encode->decode loop is DuckDB-oracle-checked.
+
+The container has no IMAGE/VIDEO libraries, so those decodes stay STUBBED
+(documented below); everything around them — schema, batch iteration,
 partition behavior, metadata extraction — is real and tested. Swapping the
-stub for Pillow/torchaudio is a one-function change.
+stub for Pillow/cv2 is a one-function change.
 
 Scale posture: binary payloads dominate row size, so these operators
 (a) select only the columns they need (no payload dragging through later
@@ -24,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/cv2/torchaudio in this image
+REAL_DECODERS_AVAILABLE = False  # no PIL/cv2 in this image (image/video)
+AUDIO_DECODER_AVAILABLE = True  # stdlib `wave` — real RIFF/WAVE round-trip
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -153,3 +161,122 @@ def resize_payload(multimodal: DataFrame, target_bytes: int = 256, real: bool = 
             )
 
     return multimodal.select("doc_id", "payload").mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+# --- REAL audio codec (stdlib wave) -----------------------------------------
+
+WAV_FRAME_RATE = 8000  # Hz; 1e6/8000 = 125 exact µs per frame
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_width_bytes", T.LongType()),
+        T.StructField("frame_rate", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("max_amp", T.LongType()),
+    ]
+)
+
+
+def _wav_samples(doc_id: int, n_samples: int):
+    """Deterministic PCM synthesis: sample[i] = ((doc_id*31 + i*7) % 2001)
+    - 1000. Pure integer arithmetic — the DuckDB oracle reproduces it with
+    generate_series, which is what lets a binary codec be value-checked."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 2001 - 1000).astype("<i2")
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL RIFF/WAVE payload per document: mono 16-bit PCM at
+    8 kHz, n_samples = 40 + (length(text) % 50), samples from
+    :func:`_wav_samples`. The bytes that leave this operator parse in any
+    WAV reader — this is the honest replacement for the fake-payload stub.
+
+    Arrow-batched mapInPandas; only (doc_id, text-length) cross the
+    encoder, and the emitted payload is the single binary column — the
+    same bounded-memory batch shape as the other codecs."""
+    import io
+    import wave
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n_samples = 40 + (int(n_chars) % 50)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_FRAME_RATE)
+                    w.writeframes(_wav_samples(int(doc_id), n_samples).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).mapInPandas(encode, schema=out_schema)
+
+
+def decode_wav_features(multimodal: DataFrame) -> DataFrame:
+    """REAL audio decode via the stdlib ``wave`` parser: every output field
+    is read from the RIFF header or the PCM frames themselves — channel
+    count, sample width, frame rate, frame count, exact duration in µs,
+    and integer amplitude statistics (sum/max over int16 samples — exact,
+    order-independent, hence strictly value-checkable).
+
+    Scale posture identical to the other codecs: payloads never outlive
+    the Arrow batch, the output is fixed-width numeric, and a later
+    shuffle moves 8 longs per row, not audio bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n_ch = w.getnchannels()
+                    width = w.getsampwidth()
+                    rate = w.getframerate()
+                    n_frames = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n_frames), dtype="<i2")
+                rows.append(
+                    (
+                        doc_id,
+                        n_ch,
+                        width,
+                        rate,
+                        n_frames,
+                        n_frames * 1_000_000 // rate,
+                        int(pcm.sum()),
+                        int(pcm.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURE_SCHEMA])
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        extract, schema=WAV_FEATURE_SCHEMA
+    )

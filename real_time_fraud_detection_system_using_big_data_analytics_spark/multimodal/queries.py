@@ -34,11 +34,51 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # mapInPandas stub decoder: rows-only
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 40 + (length(text) % 50) AS n_samples FROM documents
+    ), samples AS (
+      SELECT p.doc_id, p.n_samples,
+             ((p.doc_id * 31 + i.i * 7) % 2001) - 1000 AS amp
+      FROM params p CROSS JOIN (SELECT unnest(generate_series(0, 88)) AS i) i
+      WHERE i.i < p.n_samples
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 AS BIGINT) AS sample_width_bytes,
+           CAST(8000 AS BIGINT) AS frame_rate,
+           CAST(MAX(n_samples) AS BIGINT) AS n_frames,
+           CAST(MAX(n_samples) * 125 AS BIGINT) AS duration_us,
+           CAST(SUM(amp) AS BIGINT) AS sum_amp,
+           CAST(MAX(amp) AS BIGINT) AS max_amp
+    FROM samples GROUP BY doc_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (stub decoder —
-    see multimodal/codec.py). Deterministic output; rows-only check because
-    sha256-derived floats aren't SQL-reproducible in DuckDB."""
+    """REAL multimodal decode, fully oracle-checked: each document gets a
+    genuine RIFF/WAVE payload (stdlib ``wave`` encoder, mono 16-bit PCM,
+    8 kHz) whose PCM samples follow a deterministic integer formula; the
+    query then parses those bytes back with the stdlib ``wave`` reader and
+    emits header metadata + exact amplitude statistics. The oracle
+    recomputes the same statistics from the synthesis formula in pure SQL
+    — so a header-layout bug, a byte-order bug, or a truncated frame read
+    on the Spark side all surface as value mismatches. (Image/video decode
+    remains stubbed — no PIL/cv2 here; see codec.decode_image_features.)"""
+    from .codec import attach_wav_payload, decode_wav_features
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return decode_wav_features(attach_wav_payload(d))
+
+
+@register("multimodal_stub_features")  # sha-stub decoder exhibit: rows-only
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented image-decode SEAM (codec.decode_image_features):
+    Arrow-batched feature extraction whose decode step is a deterministic
+    sha256 stand-in because no image library exists in this container.
+    Rows-only check — sha-derived floats aren't SQL-reproducible; the real
+    WAV path above is the value-checked decoder."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     feats = decode_image_features(attach_binary_payload(d))
     return feats.select(

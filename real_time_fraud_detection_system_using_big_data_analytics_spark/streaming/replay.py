@@ -72,13 +72,21 @@ def chunked_replay(
     transform: Callable[[DataFrame], DataFrame],
     n_chunks: int = 5,
     output_mode: str = "append",
+    spool: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Replay events through ``transform`` (stream-DF -> stream-DF) in
     ``n_chunks`` micro-batches; returns (result table, batches executed).
 
     The batch count is read back from the query's progress so tests can
-    assert the replay was genuinely multi-batch."""
-    spool = spool_event_chunks(spark, sf_dir, n_chunks)
+    assert the replay was genuinely multi-batch.
+
+    Pass ``spool`` (from :func:`spool_event_chunks`) to reuse a pre-built
+    spool across replays — the bench does this so measured wall time is
+    the STREAM's, not the chunk-writing setup's. A caller-provided spool
+    is left on disk; an internally-built one is removed."""
+    own_spool = spool is None
+    if own_spool:
+        spool = spool_event_chunks(spark, sf_dir, n_chunks)
     # events_file_stream expects <dir>/events.parquet; the spool holds
     # chunk files directly, so build the reader here with the same dtype
     # normalization (see sources.events_file_stream).
@@ -107,5 +115,6 @@ def chunked_replay(
     )
     q.awaitTermination()
     n_batches = len(q.recentProgress)
-    shutil.rmtree(spool, ignore_errors=True)
+    if own_spool:
+        shutil.rmtree(spool, ignore_errors=True)
     return spark.table(name), n_batches

@@ -50,29 +50,50 @@ def _velocity_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-user stateful pass: events arrive in micro-batch order; the state
     holds the (ts, value) buffer from previous batches, pruned to the
-    window horizon."""
+    window horizon.
+
+    Vectorized: the trailing-window count/sum per event is searchsorted
+    over the (buffer ++ batch) timestamp array plus prefix-sum
+    differences — O(n log n) per batch in numpy instead of a per-event
+    Python loop with O(window) list pops (the loop form measured ~1.3k
+    events/s; this form is bounded by Arrow transfer). The window
+    semantics are unchanged: prior events with ts >= event_ts - 10min,
+    self excluded. The float sum is a cumsum difference rather than a
+    left-to-right re-sum of the live buffer — a different-but-equally-
+    valid IEEE summation order; the emitted sum is consumed through
+    ROUND(.., 2) on both engines, which already absorbs order noise."""
+    import numpy as np
+
     if state.exists:
         buf_ts, buf_val = state.get
-        buf_ts, buf_val = list(buf_ts), list(buf_val)
     else:
         buf_ts, buf_val = [], []
     user_id = key[0]
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        out = []
-        for ts_us, event_id, value in zip(pdf["ts_us"], pdf["event_id"], pdf["value"]):
-            lo = ts_us - WINDOW_US
-            while buf_ts and buf_ts[0] < lo:
-                buf_ts.pop(0)
-                buf_val.pop(0)
-            out.append(
-                (user_id, event_id, ts_us, len(buf_ts), float(sum(buf_val)))
-            )
-            buf_ts.append(ts_us)
-            buf_val.append(value)
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_id", "ts_us", "n_prior_10m", "sum_prior_10m"]
+        ts = np.concatenate(
+            [np.asarray(buf_ts, dtype=np.int64), pdf["ts_us"].to_numpy(np.int64)]
         )
+        val = np.concatenate(
+            [np.asarray(buf_val, dtype=np.float64), pdf["value"].to_numpy(np.float64)]
+        )
+        b = len(buf_ts)
+        k = np.arange(b, len(ts))
+        idx = np.searchsorted(ts, ts[k] - WINDOW_US, side="left")
+        cs = np.concatenate([[0.0], np.cumsum(val)])
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(k), user_id, dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(np.int64),
+                "ts_us": ts[k],
+                "n_prior_10m": k - idx,
+                "sum_prior_10m": cs[k] - cs[idx],
+            }
+        )
+        keep = ts >= ts[-1] - WINDOW_US
+        buf_ts, buf_val = ts[keep].tolist(), val[keep].tolist()
     state.update((buf_ts, buf_val))
 
 

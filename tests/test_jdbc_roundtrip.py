@@ -116,3 +116,72 @@ def test_catalog_introspection_local_and_remote(spark, sf_dir, derby):
     assert {f.name.lower() for f in schema} == {
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
     }
+
+
+# --- live Postgres smoke (env-gated) ----------------------------------------
+# The reference's actual JDBC target is Postgres (to_sql.py:13-27 drops and
+# bulk-reloads the transactions table; postgres_model_inference.py:266-307
+# reads it back paginated). Derby above verifies the dialect-portable path
+# in-sandbox; this variant exercises the real dialect — set
+# SPARK_GRAFT_PG_URL to a JDBC url (credentials included, e.g.
+# jdbc:postgresql://host:5432/db?user=u&password=p) to run it.
+
+PG_ENV = "SPARK_GRAFT_PG_URL"
+PG_DRIVER = "org.postgresql.Driver"
+
+
+@pytest.fixture(scope="module")
+def pg_url(spark):
+    import os
+
+    url = os.environ.get(PG_ENV)
+    if not url:
+        pytest.skip(f"{PG_ENV} not set — live Postgres smoke skipped")
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(PG_DRIVER)
+    except Exception:
+        pytest.skip("postgresql JDBC driver not on the Spark classpath")
+    return url
+
+
+def test_postgres_write_schema_partitioned_read(spark, sf_dir, pg_url):
+    """to_sql.py parity on the real dialect: distributed overwrite write
+    (with reWriteBatchedInserts, the pg-specific batching knob), schema
+    probe via the zero-row trick, then a 4-way partitioned read with a
+    tuned fetchsize that must reassemble the exact rows."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.catalog import (
+        remote_table_schema,
+    )
+
+    props = {"driver": PG_DRIVER, "reWriteBatchedInserts": "true"}
+    src = (
+        load_tables(spark, sf_dir, names=("orders",), register=False)["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .limit(200)
+    )
+    expected = {tuple(r) for r in src.collect()}
+    lo = src.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = src.agg(F.max("o_orderkey")).collect()[0][0]
+
+    write_table(
+        src, pg_url, "spark_graft_orders_rt", mode="overwrite", properties=props
+    ).save()
+
+    schema = remote_table_schema(spark, pg_url, "spark_graft_orders_rt", props)
+    assert {f.name.lower() for f in schema} == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+    }
+
+    reader = read_table_partitioned(
+        spark,
+        pg_url,
+        "spark_graft_orders_rt",
+        partition_column="o_orderkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        properties={**props, "fetchsize": "1000"},
+    )
+    back = reader.load()
+    assert back.rdd.getNumPartitions() == 4
+    assert {tuple(r) for r in back.collect()} == expected

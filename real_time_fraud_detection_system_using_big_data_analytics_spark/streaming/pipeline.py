@@ -107,12 +107,41 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
-@register("stream_session_window")  # session_window state op: streaming-specific
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30m gap) per user — the streaming twin of
-    operators/windows.window_sessionize. Rows-only here (the batch window
-    formulation is the oracle-checked variant; this one validates the
-    state-store path end-to-end via the unit test comparing the two)."""
+    operators/windows.window_sessionize, upgraded from rows-only to
+    oracle-checked: the replay runs in COMPLETE output mode, so the final
+    table is the whole session state (append mode would withhold sessions
+    newer than the final watermark — the reason this was rows-only).
+    The oracle is the gaps-and-islands batch formulation with Spark's
+    exact merge rule: a new session starts when ts >= previous ts + gap
+    (tentative windows are half-open, so an event landing exactly at the
+    previous window's end does NOT merge), and session_end = last ts +
+    gap."""
     stream = events_file_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")

@@ -44,7 +44,9 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_int8_rerank",
+    "ann_ivf_kmeans_nprobe2",
     "cluster_kmeans_embeddings",
+    "multimodal_decode_features",
     "text_quality_score",
     "text_chunk_windows",
     "text_top_ngrams",

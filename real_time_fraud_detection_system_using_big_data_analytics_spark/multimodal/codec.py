@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 REAL_DECODERS_AVAILABLE = False  # no PIL/cv2 in this image (image/video)
 AUDIO_DECODER_AVAILABLE = True  # stdlib `wave` — real RIFF/WAVE round-trip
+PPM_DECODER_AVAILABLE = True  # P6 PPM needs no libraries — real image decode
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -279,4 +280,106 @@ def decode_wav_features(multimodal: DataFrame) -> DataFrame:
 
     return multimodal.select("doc_id", "payload").mapInPandas(
         extract, schema=WAV_FEATURE_SCHEMA
+    )
+
+
+# --- REAL image codec (binary PPM / P6 — no libraries required) -------------
+
+PPM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("maxval", T.LongType()),
+        T.StructField("n_subpixels", T.LongType()),
+        T.StructField("sum_pix", T.LongType()),
+        T.StructField("max_pix", T.LongType()),
+    ]
+)
+
+
+def _ppm_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """Deterministic image dimensions: width 4..8 from doc_id, height 3..8
+    from the text length — both reproducible in SQL."""
+    return 4 + doc_id % 5, 3 + n_chars % 6
+
+
+def _ppm_pixels(doc_id: int, n_subpixels: int):
+    """Deterministic RGB bytes: subpixel[k] = (doc_id*7 + k*13) % 256."""
+    import numpy as np
+
+    k = np.arange(n_subpixels, dtype=np.int64)
+    return ((doc_id * 7 + k * 13) % 256).astype(np.uint8)
+
+
+def attach_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL binary PPM (P6) image payload per document:
+    ``P6\\n<w> <h>\\n255\\n`` header followed by w*h*3 raw RGB bytes. P6 is
+    a genuine image format (netpbm) that any image tool opens — chosen
+    because encoding and decoding it needs nothing beyond the bytes
+    themselves, so the IMAGE modality gets a real codec in a container
+    with no PIL/cv2. Same mapInPandas batch shape as the WAV encoder."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = _ppm_dims(int(doc_id), int(n_chars))
+                header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                payloads.append(header + _ppm_pixels(int(doc_id), w * h * 3).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).mapInPandas(encode, schema=out_schema)
+
+
+def decode_ppm_features(multimodal: DataFrame) -> DataFrame:
+    """REAL image decode: parse the P6 header (magic, dimensions, maxval)
+    and the raw RGB plane from the actual bytes; emit dimensions plus
+    exact integer pixel statistics. A malformed magic number raises — the
+    decoder trusts nothing it did not parse."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                magic, dims, maxval_s, pix = raw.split(b"\n", 3)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM payload (doc_id={doc_id})")
+                w, h = (int(x) for x in dims.split())
+                maxval = int(maxval_s)
+                plane = np.frombuffer(pix, dtype=np.uint8, count=w * h * 3)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        maxval,
+                        w * h * 3,
+                        int(plane.sum(dtype=np.int64)),
+                        int(plane.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PPM_FEATURE_SCHEMA])
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        extract, schema=PPM_FEATURE_SCHEMA
     )

@@ -72,13 +72,54 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_features(attach_wav_payload(d))
 
 
+@register(
+    "multimodal_image_decode",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS width,
+             3 + length(text) % 6 AS height
+      FROM documents
+    ), sub AS (
+      SELECT p.doc_id, p.width, p.height,
+             (p.doc_id * 7 + k.k * 13) % 256 AS pix
+      FROM params p CROSS JOIN (SELECT unnest(generate_series(0, 191)) AS k) k
+      WHERE k.k < p.width * p.height * 3
+    )
+    SELECT doc_id,
+           CAST(MAX(width) AS BIGINT) AS width,
+           CAST(MAX(height) AS BIGINT) AS height,
+           CAST(255 AS BIGINT) AS maxval,
+           CAST(MAX(width * height * 3) AS BIGINT) AS n_subpixels,
+           CAST(SUM(pix) AS BIGINT) AS sum_pix,
+           CAST(MAX(pix) AS BIGINT) AS max_pix
+    FROM sub GROUP BY doc_id
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, fully oracle-checked: each document gets a
+    genuine binary PPM (P6) payload — an actual image format any netpbm
+    tool opens — with deterministic dimensions and RGB bytes; the query
+    parses the header and pixel plane back from the raw bytes and emits
+    dimensions + exact integer pixel statistics, which the oracle
+    recomputes from the synthesis formula in SQL. Together with the WAV
+    path above, both audio AND image modalities now have real codecs in
+    a container without PIL/cv2; only *compressed* formats (JPEG/PNG)
+    remain behind the documented stub seam."""
+    from .codec import attach_ppm_payload, decode_ppm_features
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return decode_ppm_features(attach_ppm_payload(d))
+
+
 @register("multimodal_stub_features")  # sha-stub decoder exhibit: rows-only
 def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documented image-decode SEAM (codec.decode_image_features):
-    Arrow-batched feature extraction whose decode step is a deterministic
-    sha256 stand-in because no image library exists in this container.
-    Rows-only check — sha-derived floats aren't SQL-reproducible; the real
-    WAV path above is the value-checked decoder."""
+    """The documented decode SEAM for COMPRESSED formats
+    (codec.decode_image_features): Arrow-batched feature extraction whose
+    decode step is a deterministic sha256 stand-in because JPEG/PNG
+    libraries don't exist in this container. Rows-only check — sha-derived
+    floats aren't SQL-reproducible; the WAV and PPM paths above are the
+    value-checked real decoders."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     feats = decode_image_features(attach_binary_payload(d))
     return feats.select(

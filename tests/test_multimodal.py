@@ -100,3 +100,36 @@ def test_wav_payload_is_real_riff_and_decodes(spark):
         assert f["duration_us"] == n * 1_000_000 // WAV_FRAME_RATE
         assert f["sum_amp"] == sum(expect)
         assert f["max_amp"] == max(expect)
+
+
+def test_ppm_payload_is_real_p6_and_decodes(spark):
+    """The PPM path must produce bytes any netpbm reader accepts, and the
+    decoded stats must equal the synthesis formula computed by hand."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        attach_ppm_payload,
+        decode_ppm_features,
+    )
+
+    d = _docs(spark).filter(F.col("doc_id") < 5)
+    mm = attach_ppm_payload(d)
+    rows = {r["doc_id"]: r for r in mm.collect()}
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for doc_id, r in rows.items():
+        payload = bytes(r["payload"])
+        assert payload.startswith(b"P6\n")
+        magic, dims, maxval, pix = payload.split(b"\n", 3)
+        w, h = (int(x) for x in dims.split())
+        assert w == 4 + doc_id % 5
+        assert h == 3 + len(texts[doc_id]) % 6
+        assert int(maxval) == 255
+        assert len(pix) == w * h * 3
+
+    feats = {r["doc_id"]: r for r in decode_ppm_features(mm).collect()}
+    for doc_id, f in feats.items():
+        w, h = 4 + doc_id % 5, 3 + len(texts[doc_id]) % 6
+        n = w * h * 3
+        expect = [(doc_id * 7 + k * 13) % 256 for k in range(n)]
+        assert f["width"] == w and f["height"] == h
+        assert f["n_subpixels"] == n
+        assert f["sum_pix"] == sum(expect)
+        assert f["max_pix"] == max(expect)

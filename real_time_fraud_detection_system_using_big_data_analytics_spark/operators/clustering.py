@@ -462,3 +462,144 @@ def ann_ivf_kmeans_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@3 oracle: exact brute-force top-3 per query vs the IVF top-3
+    at nprobe 1 and 2, reported as INTEGER hit counts (a float average
+    would reintroduce cross-engine summation-order noise for no benefit —
+    the reader divides hits_at_3 / (3 * n_queries))."""
+    from .similarity import _cosine_sql
+
+    sql, cent = centroid_chain_sql()
+    sql += "," + _assign_sql(cent, "cells")
+    cos = _cosine_sql("q.embedding", "v.embedding")
+    sql += f"""
+    , qc AS (
+      SELECT vec_id, cid, rn FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), c.cid) AS rn
+        FROM vecs v CROSS JOIN {cent} c
+        WHERE v.vec_id % 100 = 0
+      ) WHERE rn <= 2
+    )
+    , exact3 AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, v.vec_id) AS rn
+        FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rn <= 3
+    )
+    , ivf AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT np.nprobe, qc.vec_id AS q_id, cv.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY np.nprobe, qc.vec_id
+                                  ORDER BY {cos} DESC, cv.vec_id) AS rn
+        FROM (SELECT unnest(generate_series(1, 2)) AS nprobe) np
+        JOIN qc ON qc.rn <= np.nprobe
+        JOIN cells cv ON cv.cid = qc.cid AND cv.vec_id <> qc.vec_id
+        JOIN embeddings q ON q.vec_id = qc.vec_id
+        JOIN embeddings v ON v.vec_id = cv.vec_id
+      ) WHERE rn <= 3
+    )
+    SELECT 'ivf_nprobe' || CAST(i.nprobe AS VARCHAR) AS method,
+           CAST(COUNT(DISTINCT i.q_id) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN e.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_3
+    FROM ivf i LEFT JOIN exact3 e ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+    GROUP BY i.nprobe
+    """
+    return sql
+
+
+@register("ann_recall_at_k", oracle=_ann_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the IVF recall-vs-cost trade: top-3 hit counts of the
+    nprobe=1 and nprobe=2 probes against the exact brute-force top-3, per
+    method — the number that justifies (or indicts) the coarse quantizer.
+    Outputs are integer counts, so the cross-engine comparison is exact.
+
+    Scale shape: the exact side is the documented oracle-twin brute force
+    (broadcast 1%-sample queries against the corpus — at production scale
+    recall is estimated from exactly such a query sample, never the full
+    set); both probe sides are the same broadcast cell equi-joins as the
+    ann_ivf_kmeans* queries; the final hit-join touches 3 rows per
+    (method, query)."""
+    from .similarity import _dot, _norm
+
+    centroids = fitted_centroids(spark, sf_dir)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = with_assignment(
+        fan_out(base).select(
+            "vec_id",
+            "embedding",
+            _norm("embedding").alias("e_norm"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ),
+        centroids,
+    ).select(
+        "vec_id",
+        "embedding",
+        "e_norm",
+        F.col("best.cid").cast("bigint").alias("cell"),
+    )
+    queries = with_top_cells(
+        base.filter(F.col("vec_id") % 100 == 0).select(
+            "vec_id",
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ),
+        centroids,
+        2,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+        F.col("probe_cells").cast("array<bigint>").alias("probe_cells"),
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    exact3 = (
+        corpus.crossJoin(F.broadcast(queries.select("q_id", "q_emb", "q_norm")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+
+    def probe(nprobe: int) -> DataFrame:
+        qx = queries.select(
+            "q_id",
+            "q_emb",
+            "q_norm",
+            F.explode(F.slice("probe_cells", 1, nprobe)).alias("pc"),
+        )
+        return (
+            corpus.join(
+                F.broadcast(qx),
+                (F.col("cell") == F.col("pc")) & (F.col("vec_id") != F.col("q_id")),
+            )
+            .select("q_id", "vec_id", cos.alias("cosine_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.lit(f"ivf_nprobe{nprobe}").alias("method"), "q_id", "vec_id"
+            )
+        )
+
+    ivf = probe(1).unionByName(probe(2))
+    return (
+        ivf.join(exact3, ["q_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.countDistinct("q_id").cast("bigint").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits_at_3"),
+        )
+    )

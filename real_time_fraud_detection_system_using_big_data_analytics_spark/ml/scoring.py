@@ -16,10 +16,11 @@ from ..sources.tables import load_tables
 from .fraud_pipeline import FraudPipeline
 
 
-def events_as_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> reference transaction schema (deterministic label rule:
-    high-value purchase, mirroring operators/fraud.py)."""
-    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+def as_transactions(ev: DataFrame) -> DataFrame:
+    """Project an events frame (batch OR streaming — every expression here
+    is stateless, so the same projection attaches to a readStream) onto the
+    reference transaction schema. Deterministic label rule: high-value
+    purchase, mirroring operators/fraud.py."""
     label = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
     return ev.select(
         (F.hour("ts") + (F.dayofyear("ts") - 1) * 24).cast("int").alias("step"),
@@ -34,6 +35,11 @@ def events_as_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("isFraud"),
         F.lit(0).alias("isFlaggedFraud"),
     )
+
+
+def events_as_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table -> reference transaction schema (batch)."""
+    return as_transactions(load_tables(spark, sf_dir, names=("events",))["events"])
 
 
 @register("ml_train_score_confusion")  # LR training: not SQL-expressible
@@ -74,6 +80,45 @@ def ml_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fraud_prediction"),
         F.round("fraud_probability", 4).alias("fraud_probability"),
     )
+
+
+@register("stream_ml_score")  # model scoring on a stream: not SQL-expressible
+def stream_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's central loop (spark_streaming_app.py:308-400),
+    hermetic and fully in-plan: a fitted PipelineModel ``transform``s a
+    STREAMING DataFrame — StringIndexer/OneHot/Assembler/Scaler/LR all
+    execute inside the micro-batch plan, no foreachBatch collect — then
+    predicted-fraud rows are projected to the reference's alert shape.
+    This is the one reference capability the CLI's Kafka path exercises
+    but no sandbox test could reach until now; the file-source replay
+    proves model.transform composes with Structured Streaming in this
+    engine. Rows-only check: LR weights are not SQL-expressible."""
+    import tempfile
+    import uuid
+
+    from ..streaming.sources import events_file_stream
+
+    model = FraudPipeline().fit(events_as_transactions(spark, sf_dir))
+    tx_stream = as_transactions(events_file_stream(spark, sf_dir))
+    scored = FraudPipeline.score(model, tx_stream)
+    alerts = scored.filter(F.col("fraud_prediction") == 1).select(
+        "nameOrig",
+        "nameDest",
+        F.round("amount", 2).alias("amount"),
+        F.col("fraud_prediction").cast("int").alias("prediction"),
+        F.round("fraud_probability", 4).alias("probability"),
+    )
+    name = "mlstream_" + uuid.uuid4().hex[:8]
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mls_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register("ml_evaluation_metrics")  # MLlib evaluator + LR training: not SQL-expressible

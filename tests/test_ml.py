@@ -112,3 +112,69 @@ def test_weight_col_actually_wired(spark):
     fp_ref = FraudPipeline(weight_col=None)
     lr_ref = fp_ref.build_pipeline().getStages()[-1]
     assert not lr_ref.isSet(lr_ref.weightCol)
+
+
+def test_stream_scoring_equals_batch_scoring(spark):
+    """With ONE fitted model, scoring the events stream must produce
+    exactly the batch-scored rows: the LR transform is per-row arithmetic,
+    so streaming vs batch execution may not change a single prediction or
+    probability. (The registry's stream_ml_score is rows-only because the
+    FIT isn't SQL-expressible; this pins the transform half exactly.)"""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.ml.fraud_pipeline import (
+        FraudPipeline,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.ml.scoring import (
+        as_transactions,
+        events_as_transactions,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.sources import (
+        events_file_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = events_as_transactions(spark, sf)
+    model = FraudPipeline().fit(batch)
+
+    def alert_rows(scored):
+        return {
+            tuple(r)
+            for r in scored.filter(F.col("fraud_prediction") == 1)
+            .select(
+                "nameOrig",
+                "nameDest",
+                F.round("amount", 2).alias("amount"),
+                F.round("fraud_probability", 4).alias("p"),
+            )
+            .collect()
+        }
+
+    want = alert_rows(FraudPipeline.score(model, batch))
+
+    import tempfile
+    import uuid
+
+    stream_scored = FraudPipeline.score(
+        model, as_transactions(events_file_stream(spark, sf))
+    )
+    name = "mlcmp_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_scored.filter(F.col("fraud_prediction") == 1)
+        .select(
+            "nameOrig",
+            "nameDest",
+            F.round("amount", 2).alias("amount"),
+            F.round("fraud_probability", 4).alias("p"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    assert got == want
+    assert len(got) > 0

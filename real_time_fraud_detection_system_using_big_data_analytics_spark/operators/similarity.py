@@ -27,8 +27,6 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..sources.tables import fan_out, load_tables
 
-DIM = 64
-
 
 def _dot(a: str, b: str) -> Column:
     prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
@@ -44,12 +42,17 @@ def _cosine(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# dim-agnostic (generate_series bound = len of the actual array): the Spark
+# side folds over the full array with zip_with, so a hardcoded dim here
+# would turn an embedding-width drift in the testdata into an opaque value
+# mismatch instead of two sides that simply agree (same latent-drift class
+# the SchemaDriftError tripwire covers for column types)
 _DOT_SQL = (
-    "list_sum(list_transform(generate_series(1, 64), "
+    "list_sum(list_transform(generate_series(1, len({a})), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
 _NORM_SQL = (
-    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "sqrt(list_sum(list_transform(generate_series(1, len({a})), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
 )
 

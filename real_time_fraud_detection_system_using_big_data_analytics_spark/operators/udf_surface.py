@@ -58,11 +58,11 @@ def _cosine_pandas_udf():
       SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           (FLOOR((list_sum(list_transform(generate_series(1, 64),
+           (FLOOR((list_sum(list_transform(generate_series(1, len(a.embedding)),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(generate_series(1, 64),
+              * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
             * 10000.0 + 0.5) / 10000.0) AS cosine
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id

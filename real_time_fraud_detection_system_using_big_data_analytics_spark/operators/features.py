@@ -184,3 +184,70 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("valid_to").isNull(), 1).otherwise(0),
         )
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS prior_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+    ), facts AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(d.prior_type, 'none') AS prior_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(f.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM facts f LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from < f.ts
+     AND d.valid_to IS NOT NULL AND f.ts <= d.valid_to
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lookup half of SCD2 — the query scd2_intervals exists to serve:
+    join each fact (purchase) to the dimension version that was valid AT
+    the fact's timestamp, i.e. "what state was this account in when it
+    bought". Prior-state semantics: the version interval must START
+    strictly before the fact (valid_from < ts <= valid_to), so a purchase
+    never matches the version it itself opens; a user's first-ever event
+    reports prior state 'none' via the left join. Output is the compact
+    prior-state transition summary, with value totals in BIGINT cents
+    (exact, order-independent, engine-version-proof).
+
+    Scale shape: the equi key (user_id) carries the shuffle — both sides
+    co-partition on it, the interval predicate is a post-join filter
+    inside the same sort-merge join (join_range's shape, pointed at a
+    versioned dimension); at warehouse scale the dimension is additionally
+    bucketed on the key, making the PIT lookup shuffle-free."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("prior_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = facts.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from") < F.col("ts"))
+        & F.col("valid_to").isNotNull()
+        & (F.col("ts") <= F.col("valid_to")),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("prior_type"), F.lit("none")).alias("prior_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_value_cents"),
+    )

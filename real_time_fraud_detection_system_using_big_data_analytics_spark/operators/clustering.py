@@ -288,10 +288,91 @@ def _ivf_kmeans_oracle() -> str:
       WHERE cq.vec_id % 100 = 0
     )
     SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell,
-           ROUND(cosine, 4) AS cosine, rn
+           {q_sql("cosine")} AS cosine, rn
     FROM scored WHERE rn <= 3
     """
     return sql
+
+
+def _ivf_corpus(spark: SparkSession, sf_dir: str, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, e_norm, cell): the cell-assigned corpus every
+    IVF probe shares. ONE definition — the probes structurally cannot
+    drift from the build."""
+    from .similarity import _norm
+
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return with_assignment(
+        fan_out(base).select(
+            "vec_id",
+            "embedding",
+            _norm("embedding").alias("e_norm"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ),
+        centroids,
+    ).select(
+        "vec_id",
+        "embedding",
+        "e_norm",
+        F.col("best.cid").cast("bigint").alias("cell"),
+    )
+
+
+def _ivf_query_side(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(q_id, q_emb, q_norm, probe_cells): the 1%-sample query set with its
+    ``nprobe`` nearest cells as an (un-exploded) array."""
+    from .similarity import _norm
+
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return with_top_cells(
+        base.filter(F.col("vec_id") % 100 == 0).select(
+            "vec_id",
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ),
+        centroids,
+        nprobe,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+        F.col("probe_cells").cast("array<bigint>").alias("probe_cells"),
+    )
+
+
+def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The shared probe plan: explode each query to its nprobe cells,
+    broadcast onto the corpus as one cell equi-join, exact-cosine top-3
+    within the probed candidates."""
+    from .similarity import _dot
+
+    centroids = fitted_centroids(spark, sf_dir)
+    corpus = _ivf_corpus(spark, sf_dir, centroids)
+    queries = _ivf_query_side(spark, sf_dir, centroids, nprobe).select(
+        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            # q(), not ROUND: Spark rounds the shortest-decimal rendering
+            # half-up while DuckDB rounds the binary value — the one
+            # documented cross-engine rounding divergence class
+            q(F.col("cosine_raw")).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
 
 
 @register("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
@@ -307,50 +388,8 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale the cell id is the physical partition key, so a probe
     is a partition-pruned scan plus a per-cell top-k. Raising recall =
     nprobe>1 = joining each query to its n nearest cells (same plan, a
-    query-side explode)."""
-    from .similarity import _dot, _norm
-
-    centroids = fitted_centroids(spark, sf_dir)
-    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = with_assignment(
-        fan_out(base).select(
-            "vec_id",
-            "embedding",
-            _norm("embedding").alias("e_norm"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        ),
-        centroids,
-    ).select(
-        "vec_id",
-        "embedding",
-        "e_norm",
-        F.col("best.cid").cast("bigint").alias("cell"),
-    )
-    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("e_norm").alias("q_norm"),
-        F.col("cell").alias("q_cell"),
-    )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    out = (
-        corpus.join(
-            F.broadcast(queries),
-            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "q_id",
-            "vec_id",
-            "cell",
-            F.round("cosine_raw", 4).alias("cosine"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-    )
-    return out
+    query-side explode — ann_ivf_kmeans_nprobe2)."""
+    return _ivf_probe(spark, sf_dir, 1)
 
 
 NPROBE = 2
@@ -409,59 +448,7 @@ def ann_ivf_kmeans_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cell. Candidate cost scales linearly in nprobe; no duplicate
     candidates are possible because a corpus vector lives in exactly one
     cell."""
-    from .similarity import _dot, _norm
-
-    centroids = fitted_centroids(spark, sf_dir)
-    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = with_assignment(
-        fan_out(base).select(
-            "vec_id",
-            "embedding",
-            _norm("embedding").alias("e_norm"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        ),
-        centroids,
-    ).select(
-        "vec_id",
-        "embedding",
-        "e_norm",
-        F.col("best.cid").cast("bigint").alias("cell"),
-    )
-    # probe list computed on the (tiny) query side only, then exploded to
-    # (query, cell) rows — the join below stays a plain equi-join
-    queries = with_top_cells(
-        base.filter(F.col("vec_id") % 100 == 0).select(
-            "vec_id",
-            "embedding",
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        ),
-        centroids,
-        NPROBE,
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("q_norm"),
-        F.explode(F.col("probe_cells").cast("array<bigint>")).alias("probe_cell"),
-    )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    out = (
-        corpus.join(
-            F.broadcast(queries),
-            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "q_id",
-            "vec_id",
-            "cell",
-            q(F.col("cosine_raw")).alias("cosine"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-    )
-    return out
+    return _ivf_probe(spark, sf_dir, NPROBE)
 
 
 def _ann_recall_oracle() -> str:
@@ -529,38 +516,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     set); both probe sides are the same broadcast cell equi-joins as the
     ann_ivf_kmeans* queries; the final hit-join touches 3 rows per
     (method, query)."""
-    from .similarity import _dot, _norm
+    from .similarity import _dot
 
     centroids = fitted_centroids(spark, sf_dir)
-    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = with_assignment(
-        fan_out(base).select(
-            "vec_id",
-            "embedding",
-            _norm("embedding").alias("e_norm"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        ),
-        centroids,
-    ).select(
-        "vec_id",
-        "embedding",
-        "e_norm",
-        F.col("best.cid").cast("bigint").alias("cell"),
-    )
-    queries = with_top_cells(
-        base.filter(F.col("vec_id") % 100 == 0).select(
-            "vec_id",
-            "embedding",
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        ),
-        centroids,
-        2,
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("q_norm"),
-        F.col("probe_cells").cast("array<bigint>").alias("probe_cells"),
-    )
+    corpus = _ivf_corpus(spark, sf_dir, centroids)
+    queries = _ivf_query_side(spark, sf_dir, centroids, 2)
     cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     exact3 = (

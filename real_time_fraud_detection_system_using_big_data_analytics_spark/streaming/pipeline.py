@@ -111,15 +111,18 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
+      -- running sum MUST use the same (ts, event_id) total order as the
+      -- new_s flags: with a bare ORDER BY ts the ROWS frame may visit
+      -- tied timestamps in either order and split sessions differently
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     )
@@ -127,7 +130,8 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS session_value_cents
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -143,16 +147,22 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous window's end does NOT merge), and session_end = last ts +
     gap."""
     stream = events_file_stream(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # BIGINT cents quantized per-row pre-sum: exact and
+            # order-independent (operators/cdc.py module docstring)
+            F.sum(cents).cast("bigint").alias("session_value_cents"),
+        )
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
-            "session_value",
+            "session_value_cents",
         )
     )
     return _run_to_memory(agg, spark)

@@ -137,28 +137,47 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
 
 def test_session_window_stream_matches_batch(spark):
-    """session_window stream == lag+cumsum batch sessionization on counts."""
+    """session_window stream == lag+cumsum batch sessionization, compared
+    on exact (user, n_events, cents-total) session sets — integer cents,
+    so the equality is bit-for-bit, not tolerance-based."""
+    from pyspark.sql import Window
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
     from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.pipeline import (
         stream_session_window,
     )
-    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.windows import (
-        window_sessionize,
-    )
 
     stream_sessions = stream_session_window(spark, SF)
-    batch_sessions = window_sessionize(spark, SF)
-    # compare per-user session counts and totals (ids differ, sets match)
     s = {
-        (r["user_id"], r["n_events"], r["session_value"])
-        for r in stream_sessions.select(
-            "user_id", "n_events", F.round("session_value", 2).alias("session_value")
-        ).collect()
+        (r["user_id"], r["n_events"], r["session_value_cents"])
+        for r in stream_sessions.collect()
     }
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    batch = (
+        ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("session_value_cents"),
+        )
+    )
     b = {
-        (r["user_id"], r["n_events"], r["session_value"])
-        for r in batch_sessions.select(
-            "user_id", "n_events", F.round("session_value", 2).alias("session_value")
-        ).collect()
+        (r["user_id"], r["n_events"], r["session_value_cents"])
+        for r in batch.collect()
     }
     assert s == b
 

@@ -41,13 +41,23 @@ ITERATIONS = 2
 _CROUND = 6  # centroid quantization decimals (cross-engine state sync)
 
 
-def _sq_dist(e: Column, c: Column) -> Column:
-    """Squared L2 between two double arrays via one zip_with fold."""
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — verified BITWISE-equal to DuckDB's
+    list_dot_product (both accumulate left-to-right in IEEE doubles; 0
+    mismatches over sampled vectors), which is what lets the distance
+    expression below match the oracle exactly rather than to within ulps."""
     return F.aggregate(
-        F.zip_with(e, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`_fold_dot` (same left-to-right IEEE
+    accumulation), used to pre-fold the centroid self-dots."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
 
 
 def _candidates(centroids: list[list[float]]) -> Column:
@@ -68,14 +78,29 @@ def _candidates(centroids: list[list[float]]) -> Column:
       job — strictly worse at any scale where the driver already holds
       the centroids.
 
-    Per-centroid rows are recovered with F.slice (verified bit-identical
-    distances to the element_at-on-nested-matrix form)."""
+    Per-centroid rows are recovered with F.slice.
+
+    The distance is the dot-identity e·e − 2·e·c + c·c — the SAME formula
+    and operation order the oracle's _assign_sql uses — built from
+    sequential-fold dots that are bitwise-equal to DuckDB's
+    list_dot_product. Distances therefore match the oracle EXACTLY, so
+    cell assignment and probe-cell ORDERING (which nprobe>1 and the
+    recall query depend on) cannot diverge cross-engine even for
+    near-equidistant centroids; the earlier fold-of-squared-differences
+    form agreed only to within ulps. The centroid self-dots c·c are
+    pre-folded driver-side (same IEEE accumulation) into one more flat
+    literal."""
     k, dim = len(centroids), len(centroids[0])
     flat = F.lit(np.array([v for c in centroids for v in c], dtype=np.float64))
+    cc = F.lit(np.array([_seq_dot(c, c) for c in centroids], dtype=np.float64))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.struct(
-            _sq_dist(F.col("e"), F.slice(flat, i * dim + 1, dim)).alias("d"),
+            (
+                _fold_dot(F.col("e"), F.col("e"))
+                - 2 * _fold_dot(F.col("e"), F.slice(flat, i * dim + 1, dim))
+                + F.element_at(cc, i + 1)
+            ).alias("d"),
             i.alias("cid"),
         ),
     )

@@ -124,3 +124,92 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM toks),
+    vocab AS (
+      SELECT term,
+             CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.n_total))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lq
+      FROM toks CROSS JOIN n
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(v.lq) AS BIGINT) AS sum_lq
+      FROM toks t JOIN vocab v USING (term)
+      WHERE t.doc_id % 20 = 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           (FLOOR((CAST(sum_lq AS DOUBLE) / (n_tokens * 1000000.0)) * 10000.0 + 0.5) / 10000.0)
+             AS avg_neg_logprob
+    FROM scored
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average negative log-probability of
+    each document's tokens under the corpus's own unigram model — the
+    cheap stand-in for the KenLM-style LM filter every pretraining
+    curation stack runs (high avg-neg-logprob = gibberish / OCR noise;
+    near-zero = degenerate repetition).
+
+    Determinism: per-token -ln(p) is quantized to integer MICRO-NATS
+    (BIGINT) before summation, so the per-doc aggregate is an exact
+    integer sum — immune to float summation order on both engines — and
+    only the final per-doc average returns to double (q4).
+
+    Plan: one explode of the corpus feeds BOTH aggregates (vocab counts
+    and doc scores); the total-token count is a single-row broadcast
+    cross; the vocab table re-joins on term, where AQE picks broadcast
+    (vocab ≪ corpus — bounded by the language, not the data). The scored
+    side samples doc_id % 20 BEFORE the join, so the expensive join input
+    is 1/20th of the corpus.
+
+    At 100 TB: vocab fits executors for any natural-language corpus
+    (~10^7 terms × 16B); if it didn't (web-scale n-grams), the join falls
+    back to shuffle-on-term where the hot-term skew is exactly the
+    MAX_DOC_FREQ cap situation from dedup.py.
+    """
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    totals = toks.agg(F.count("*").alias("n_total"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.floor(
+                -F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1_000_000.0 + 0.5
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    scored = (
+        toks.filter(F.col("doc_id") % 20 == 0)
+        .join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lq").alias("sum_lq"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.floor(
+                (F.col("sum_lq").cast("double") / (F.col("n_tokens") * 1_000_000.0))
+                * 10_000.0
+                + 0.5
+            )
+            / 10_000.0
+        ).alias("avg_neg_logprob"),
+    )

@@ -498,3 +498,75 @@ def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> Data
     result = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     edges.unpersist()
     return result
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    common AS (
+      SELECT s.shingle FROM shingles s GROUP BY s.shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
+    ),
+    filtered AS (
+      SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM common)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container, COUNT(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_contained, p.doc_container,
+           (FLOOR(p.n_common * 1.0 / sa.n * 10000.0 + 0.5) / 10000.0) AS containment
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_contained
+    WHERE p.n_common * 1.0 / sa.n >= 0.6
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / |A| ≥ 0.6 flags documents
+    CONTAINED in another (quote farms, page-in-page scrapes, truncated
+    re-crawls) that symmetric Jaccard misses when the container is much
+    longer than the contained doc.
+
+    Same sparse shared-shingle self-join + doc-frequency skew cap as
+    dedup_ngram_jaccard — the only differences are the directed pair
+    (a ≠ b instead of a < b; containment is not symmetric) and the
+    denominator (|A| alone, so only ONE size join instead of two).
+
+    At 100 TB: identical posture to the Jaccard pass — the candidate set
+    is bounded by shared-shingle co-occurrence, the frequency cap removes
+    the hot keys before the shuffle, and the directed variant's 2× pair
+    count is still O(co-occurrence), never quadratic.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    common = (
+        sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
+    )
+    filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_contained"),
+            F.col("b.doc_id").alias("doc_container"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    containment = F.col("n_common") / F.col("sa.n")
+    return (
+        pair_inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_contained"))
+        .filter(containment >= 0.6)
+        .select("doc_contained", "doc_container", q(containment).alias("containment"))
+    )

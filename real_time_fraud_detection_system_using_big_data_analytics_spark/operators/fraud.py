@@ -260,3 +260,69 @@ def fraud_top_counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "fraud_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           (FLOOR(ANY_VALUE(m.med) * 10000.0 + 0.5) / 10000.0) AS med,
+           (FLOOR(ANY_VALUE(m.mad) * 10000.0 + 0.5) / 10000.0) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def fraud_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per event_type,
+    flagging |value − median| > 3·MAD. MAD is the estimator fraud teams
+    reach for because (unlike z-scores, feature_zscore_by_group) one whale
+    transaction cannot drag the threshold.
+
+    Three passes over events, but every grouping key is event_type
+    (cardinality ~5) so the two stats frames are broadcast back — the fact
+    table never shuffles; each pass is scan + broadcast-join + partial agg.
+
+    Determinism: Spark `percentile` and DuckDB `quantile_cont` compute the
+    same linear interpolation bit-for-bit (pinned by agg_quantiles); the
+    outlier comparison uses the UNquantized med/mad on both sides, and the
+    displayed stats are q4.
+
+    At 100 TB: exact percentile of a 20B-row group is the one non-scalable
+    piece — the production swap is `percentile_approx` (t-digest,
+    mergeable, one pass), same shape as agg_quantiles_approx.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            q(F.min("med")).alias("med"),
+            q(F.min("mad")).alias("mad"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -206,3 +206,48 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BIGINT on both sides — DuckDB widens SUM(BIGINT) to INT128
         F.sum("strength").cast("bigint").alias("total_strength"),
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM pairs
+    GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 15
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: part pairs bought in the same order, top-15 by
+    support — the pair-expansion shape shared by collaborative filtering
+    and co-citation analysis.
+
+    Spark plan: lineitem self-joins on l_orderkey (equi-key → shuffle hash
+    join, NOT a cartesian; the `<` predicate filters post-match and also
+    halves the pair space). Orders bound the expansion: an order holds ≤7
+    lineitems, so each order emits ≤21 pairs — output is O(|lineitem|),
+    never quadratic in the table. Top-k via TakeOrderedAndProject with
+    full-key tie-break.
+
+    At 100 TB: the self-join shuffles on the uniform surrogate l_orderkey —
+    no hot keys by construction. If baskets were unbounded (web sessions),
+    cap per-basket items first (the MAX_DOC_FREQ idea from dedup.py) so the
+    quadratic term stays bounded.
+    """
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(15)
+    )

@@ -14,8 +14,11 @@ never leaks into the output).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
 
 
 def salted_join(
@@ -48,3 +51,47 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted.join(replicated, on=[key, "__salt"], how=how).drop("__salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join, value-identical to the plain join (the oracle
+    IS the plain join — salting must be semantics-neutral).
+
+    lineitem gains a deterministic 8-way salt from its unique
+    (orderkey, linenumber) row id; part replicates 8× via an in-row
+    explode; the join runs on (partkey, salt). Each hot partkey's rows
+    spread over 8 shuffle partitions instead of 1.
+
+    At 100 TB: AQE's skew split only helps after the skewed shuffle blocks
+    exist; pre-salting bounds the per-task input up front, which matters
+    when a single key exceeds executor memory (the 'default id' hotspot).
+    The 8× replication prices out for dimension-sized right sides only —
+    exactly where hot fact keys concentrate.
+    """
+    t = load_tables(spark, sf_dir, names=("lineitem", "part"))
+    li = t["lineitem"].withColumn(
+        "__row_id",
+        F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"),
+    ).withColumnRenamed("l_partkey", "p_partkey")
+    joined = salted_join(
+        li,
+        t["part"].select("p_partkey", "p_brand"),
+        key="p_partkey",
+        salt_from="__row_id",
+        n_salts=8,
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

@@ -48,6 +48,7 @@ def load_all() -> None:
         corpus_stats,
         curation,
         dedup,
+        etl,
         eventflow,
         features,
         fraud,
@@ -59,6 +60,7 @@ def load_all() -> None:
         scalars_extra,
         setops,
         similarity,
+        skew,
         text,
         udf_surface,
         windows,

@@ -361,3 +361,41 @@ def test_ivf_nprobe2_probe_is_broadcast_equijoin(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_etl_prune_registry_query_has_partition_filters(spark):
+    """The oracle-checked registry twin of the partition-pruning exhibit:
+    the read-back scan must carry the event_type predicate as a
+    PartitionFilter (plan-time directory pruning, not a data filter)."""
+    df = registry.QUERIES["etl_partitioned_write_prune"](spark, SF)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:300], plan
+
+
+def test_bucketed_registry_join_has_no_join_exchange(spark):
+    """join_bucketed_no_shuffle: the SMJ over the two bucketed tables must
+    have no Exchange below it — the only hashpartitioning allowed in the
+    plan is the final groupBy on c_mktsegment."""
+    df = registry.QUERIES["join_bucketed_no_shuffle"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+
+
+def test_salted_join_output_hides_salt_and_spreads_keys(spark):
+    """join_skew_salted: the salt column must not leak into the output
+    schema, and the physical join key must be the (key, salt) composite —
+    visible as both columns in the join's Exchange."""
+    df = registry.QUERIES["join_skew_salted"](spark, SF)
+    assert "__salt" not in df.columns
+    plan = plan_string(df, mode="simple")
+    assert "__salt" in plan, plan
+
+
+def test_market_basket_self_join_is_equi_not_cartesian(spark):
+    df = registry.QUERIES["market_basket_pairs"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

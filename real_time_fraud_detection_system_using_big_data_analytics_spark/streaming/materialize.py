@@ -194,3 +194,97 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     snapshot = read_snapshot(spark, os.path.join(root, "snap"))
     return snapshot.select("k", "bal")
+
+
+@register(
+    "stream_exactly_once_filesink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    WHERE event_type IN ('purchase', 'refund') AND value > 50
+    GROUP BY event_type
+    """,
+)
+def stream_exactly_once_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once parquet file sink across a REAL query restart.
+
+    events replays as 5 event-time micro-batch chunks; the stream filters
+    and projects them into an append-mode parquet sink. The run is split
+    into two separate StreamingQuery lifetimes sharing one checkpoint:
+    pass 1 sees chunks 1-3 and terminates (availableNow); chunks 4-5 are
+    then revealed and pass 2 resumes FROM THE CHECKPOINT. The file source
+    offset log guarantees pass 2 re-reads nothing, and the sink's
+    _spark_metadata commit log guarantees readers see only committed
+    files — so the read-back aggregate must equal the one-shot batch SQL,
+    which is exactly what the oracle asserts (any duplicate or lost batch
+    changes the counts).
+
+    Money is summed as integer cents (floor(x*100+0.5) BIGINT) — exact,
+    order-independent, the cdc.py convention.
+
+    At 100 TB this IS the production ingest pattern: restarts are routine,
+    and correctness comes from the offset log + sink manifest, not from
+    never failing. No shuffle anywhere until the final small aggregate.
+    """
+    import shutil
+    import tempfile
+
+    from .replay import spool_event_chunks
+
+    spool = spool_event_chunks(spark, sf_dir, 5)
+    hold = tempfile.mkdtemp(prefix="xonce_hold_")
+    for i in (4, 5):
+        shutil.move(
+            os.path.join(spool, f"chunk_{i:04d}.parquet"),
+            os.path.join(hold, f"chunk_{i:04d}.parquet"),
+        )
+    sink = tempfile.mkdtemp(prefix="xonce_sink_")
+    ckpt = tempfile.mkdtemp(prefix="xonce_ckpt_")
+    physical = spark.read.parquet(os.path.join(spool, "chunk_0001.parquet")).schema
+
+    def run_pass() -> None:
+        raw = (
+            spark.readStream.schema(physical)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(spool)
+        )
+        out = (
+            raw.filter(
+                F.col("event_type").isin("purchase", "refund") & (F.col("value") > 50)
+            )
+            .select(
+                "event_id",
+                "event_type",
+                F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("value_cents"),
+            )
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()  # chunks 1-3, then the query STOPS
+    for i in (4, 5):
+        shutil.move(
+            os.path.join(hold, f"chunk_{i:04d}.parquet"),
+            os.path.join(spool, f"chunk_{i:04d}.parquet"),
+        )
+        os.utime(
+            os.path.join(spool, f"chunk_{i:04d}.parquet"),
+            (1_600_000_000 + i, 1_600_000_000 + i),
+        )
+    run_pass()  # restart from checkpoint: only chunks 4-5 are new
+    back = spark.read.parquet(sink)
+    result = back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+    shutil.rmtree(spool, ignore_errors=True)
+    shutil.rmtree(hold, ignore_errors=True)
+    return result

@@ -62,6 +62,15 @@ HEADLINE = [
     "cohort_retention",
     "cdc_snapshot_diff",
     "graph_pagerank_bipartite",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "market_basket_pairs",
+    "embedding_pca_power",
+    "text_unigram_logprob",
+    "fraud_mad_outliers",
+    "join_skew_salted",
+    "agg_approx_top_k",
+    "dedup_shingle_containment",
 ]
 
 

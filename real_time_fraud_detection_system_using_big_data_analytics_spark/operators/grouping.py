@@ -442,3 +442,32 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_users"),
     ).select(F.lit("__ALL__").alias("event_type"), "approx_users", "exact_users")
     return per_type.unionByName(merged)
+
+
+@register("agg_approx_top_k")  # sketch tie-order is engine-private: no SQL oracle
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch (Spark 4 approx_top_k): the top-20 corpus tokens
+    by approximate frequency — the one-pass, mergeable alternative to the
+    exact two-shuffle top-terms aggregate for 100 TB vocabularies (track a
+    bounded item set per partition, merge the summaries; exact counting
+    would shuffle the full term distribution).
+
+    Rows-only: the sketch's ordering among equal counts is engine-private
+    (no DuckDB twin), so the driver records a rows-only check;
+    tests/test_properties.py pins every reported count against the exact
+    term count (with maxItemsTracked ≥ the live vocabulary the summary
+    degenerates to exact counting) and pins the admission boundary: every
+    reported count ≥ the exact 20th-highest count, i.e. the result is A
+    valid top-20 under ties. The output is re-sorted here by
+    (count DESC, item) so the frame itself is stable."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    sketched = toks.agg(F.expr("approx_top_k(term, 20, 100000)").alias("tk")).select(
+        F.explode("tk").alias("e")
+    )
+    return (
+        sketched.select(
+            F.col("e.item").alias("term"), F.col("e.count").cast("bigint").alias("n")
+        )
+        .orderBy(F.desc("n"), "term")
+    )

@@ -298,3 +298,90 @@ def dq_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'orphan_lineitems', orphan_lineitems) AS (rule, violations)"
         )
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped high-revenue orders of
+    one market segment. Both date filters push to the parquet scans; the
+    customer-segment filter prunes the broadcast side BEFORE the fact join;
+    top-10 compiles to TakeOrderedAndProject ordered by the UNROUNDED
+    revenue with the order key breaking float ties."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+        .join(t["orders"].filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.desc("_rev"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("_rev", 2).alias("revenue"),
+                "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity tops 250, with their customer. The IN-subquery decorrelates
+    to a left-semi join against a pre-aggregated lineitem (the HAVING
+    runs BEFORE the 3-way join, so the expensive joins see only
+    qualifying orders). Quantities are integer-valued doubles — the sum
+    is exact in IEEE, so BIGINT on both sides is deterministic."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"].join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                         "o_orderkey", "left_semi")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("totalprice"), "total_qty")
+    )

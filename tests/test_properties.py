@@ -113,3 +113,29 @@ def test_hll_sketch_estimate_bounds_and_mergeability(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")
     ).collect()[0]["e"]
     assert merged["approx_users"] == global_est
+
+
+def test_approx_top_k_counts_exact_and_boundary_valid(spark):
+    """agg_approx_top_k with maxItemsTracked >= vocabulary: every reported
+    count must equal the exact term count, and every reported count must
+    be >= the exact 20th-highest count (a valid top-20 under ties)."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import (
+        registry,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["agg_approx_top_k"](spark, sf).collect()
+    assert len(rows) == 20, rows
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    exact = {
+        r["term"]: r["n"]
+        for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    kth = sorted(exact.values(), reverse=True)[19]
+    for r in rows:
+        assert exact[r["term"]] == r["n"], r
+        assert r["n"] >= kth, (r, kth)

@@ -71,6 +71,7 @@ HEADLINE = [
     "join_skew_salted",
     "agg_approx_top_k",
     "dedup_shingle_containment",
+    "ann_ivf_persisted_probe",
 ]
 
 

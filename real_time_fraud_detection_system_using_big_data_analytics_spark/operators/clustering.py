@@ -588,3 +588,74 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits_at_3"),
         )
     )
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF index ON DISK: the cell-assigned corpus written
+    as parquet hive-partitioned by cell id, built once per (process,
+    sf_dir) like the fitted centroids it embeds. This is the production
+    separation the in-memory probes only simulate: BUILD pays the k-means
+    fit plus one partitioned write; every PROBE after that is a
+    partition-pruned read of just the cells it needs."""
+    if sf_dir not in _IVF_INDEX_CACHE:
+        import tempfile
+
+        centroids = fitted_centroids(spark, sf_dir)
+        corpus = _ivf_corpus(spark, sf_dir, centroids)
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        corpus.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return _IVF_INDEX_CACHE[sf_dir]
+
+
+@register("ann_ivf_persisted_probe", oracle=_ivf_kmeans_oracle())
+def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=1 IVF probe against the PERSISTED index: identical semantics
+    (and oracle) to ann_ivf_kmeans, but the corpus side is the on-disk
+    partitioned index, and the probe declares its target cells as a
+    literal IN-filter so the scan PRUNES AT PLAN TIME — the probed cells'
+    directories are the only I/O (PartitionFilters pinned in
+    tests/test_plans.py).
+
+    The distinct probe-cell set collected to the driver is bounded by K
+    (8 here, thousands in production) — driver-safe by construction. At
+    100 TB with K=4096 cells and nprobe=2, a query batch touching 50
+    distinct cells reads ~1.2% of the corpus; the in-memory variant's
+    equi-join must still SCAN everything. That scan-vs-prune gap is the
+    entire economics of a disk-resident vector index."""
+    from .similarity import _dot
+
+    centroids = fitted_centroids(spark, sf_dir)
+    path = ivf_index_path(spark, sf_dir)
+    queries = _ivf_query_side(spark, sf_dir, centroids, 1).select(
+        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
+    )
+    probe_cells = [
+        r["probe_cell"] for r in queries.select("probe_cell").distinct().collect()
+    ]
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "embedding", "e_norm", F.col("cell").cast("bigint").alias("cell"))
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        index.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            q(F.col("cosine_raw")).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -399,3 +399,14 @@ def test_market_basket_self_join_is_equi_not_cartesian(spark):
     plan = plan_string(df, mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_persisted_ivf_probe_scan_is_partition_pruned(spark):
+    """ann_ivf_persisted_probe: the index scan must carry the probe-cell
+    IN-filter as a PartitionFilter (plan-time directory pruning), and the
+    probe join must be the broadcast equi-join, not a cartesian."""
+    df = registry.QUERIES["ann_ivf_persisted_probe"](spark, SF)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan, plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300], plan
+    assert "CartesianProduct" not in plan, plan

@@ -72,6 +72,7 @@ HEADLINE = [
     "agg_approx_top_k",
     "dedup_shingle_containment",
     "ann_ivf_persisted_probe",
+    "join_interval_overlap",
 ]
 
 

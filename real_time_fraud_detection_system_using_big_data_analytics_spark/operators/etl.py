@@ -133,3 +133,56 @@ def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "etl_dynamic_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def etl_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the event_type-
+    partitioned layout, the dim side is a category mapping filtered to
+    'funnel' — the partition filter is NOT statically known (it exists
+    only as the join's build side), so Catalyst injects a runtime
+    `dynamicpruning` subquery on the fact scan: the broadcast result of
+    the dim is reused to prune fact partitions BEFORE they are read
+    (pinned in tests/test_plans.py).
+
+    This is the star-schema analogue of etl_partitioned_write_prune's
+    static IN-filter: at 100 TB the dim filter is a user predicate on
+    attributes the fact table doesn't carry, and DPP is what turns
+    'join then discard 97% of the scan' into 'scan 3%'.
+
+    The oracle states the post-join semantics directly (category 'funnel'
+    = signup + purchase), so the check also verifies the mapping join
+    dropped and kept exactly the right partitions.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    path = _scratch("events_by_type")
+    write_parquet_partitioned(ev, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("signup", "funnel"),
+            ("purchase", "funnel"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("category") == "funnel")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

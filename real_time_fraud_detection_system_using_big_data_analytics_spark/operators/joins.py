@@ -367,3 +367,117 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts timestamp, purchase_value double",
         )
     )
+
+
+_OVERLAP_SESSIONS_SQL = """
+    gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id % 20 = 0
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle="WITH "
+    + _OVERLAP_SESSIONS_SQL
+    + """
+    SELECT a.user_id AS user_a, a.session_id AS session_a,
+           b.user_id AS user_b, b.session_id AS session_b,
+           CAST(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us) AS BIGINT)
+             AS overlap_us
+    FROM sessions a
+    JOIN sessions b
+      ON a.user_id < b.user_id
+     AND a.start_us < b.end_us AND b.start_us < a.end_us
+    ORDER BY overlap_us DESC, user_a, session_a, user_b, session_b
+    LIMIT 15
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (theta) join: which user sessions ran concurrently?
+    Top-15 cross-user session pairs by overlap duration.
+
+    The oracle joins intervals directly (fine for DuckDB at test SF); the
+    Spark plan refuses the quadratic theta join: each session explodes
+    into the HOUR BUCKETS it spans, candidates pair on an equi bucket key
+    (shuffle on bucket, never a cartesian), dedup on the pair id (a
+    session pair sharing several hours matches several times), and the
+    exact overlap predicate filters the candidates. This is the standard
+    interval-join decomposition: equi-join on a coarse grid + exact
+    refinement, the same shape Spark itself plans for stream-stream
+    interval joins.
+
+    At 100 TB the bucket width is tuned to median interval length (too
+    coarse = fat buckets, too fine = high fan-out); hot buckets (a flash
+    event) get the salting treatment from skew.py. Durations are integer
+    microseconds — no float anywhere.
+    """
+    ev = (
+        load_tables(spark, sf_dir, names=("events",))["events"]
+        .filter(F.col("user_id") % 20 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+    )
+    hour = 3600 * 1_000_000
+    bucketed = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / hour).cast("bigint"),
+                (F.col("end_us") / hour).cast("bigint"),
+            )
+        ),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.start_us") < F.col("b.end_us"))
+            & (F.col("b.start_us") < F.col("a.end_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("session_b"),
+            (
+                F.least(F.col("a.end_us"), F.col("b.end_us"))
+                - F.greatest(F.col("a.start_us"), F.col("b.start_us"))
+            ).alias("overlap_us"),
+        )
+        .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
+    )
+    return pairs.orderBy(
+        F.desc("overlap_us"), "user_a", "session_a", "user_b", "session_b"
+    ).limit(15)

@@ -203,7 +203,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
-    WHERE event_type IN ('purchase', 'refund') AND value > 50
+    WHERE event_type IN ('purchase', 'error') AND value > 50
     GROUP BY event_type
     """,
 )
@@ -252,7 +252,7 @@ def stream_exactly_once_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = (
             raw.filter(
-                F.col("event_type").isin("purchase", "refund") & (F.col("value") > 50)
+                F.col("event_type").isin("purchase", "error") & (F.col("value") > 50)
             )
             .select(
                 "event_id",

@@ -410,3 +410,23 @@ def test_persisted_ivf_probe_scan_is_partition_pruned(spark):
     assert "PartitionFilters" in plan, plan
     assert "cell" in plan.split("PartitionFilters")[1][:300], plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_subquery_on_fact_scan(spark):
+    """etl_dynamic_partition_pruning: the fact scan must carry a runtime
+    dynamicpruning subquery fed by the filtered dim (not a static filter,
+    not an unpruned scan)."""
+    df = registry.QUERIES["etl_dynamic_partition_pruning"](spark, SF)
+    plan = plan_string(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """join_interval_overlap must pair sessions via the hour-bucket equi
+    key — never a cartesian/pure-theta join — and keep top-k as
+    TakeOrderedAndProject."""
+    df = registry.QUERIES["join_interval_overlap"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "bucket" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

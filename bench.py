@@ -73,6 +73,10 @@ HEADLINE = [
     "dedup_shingle_containment",
     "ann_ivf_persisted_probe",
     "join_interval_overlap",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "etl_incremental_agg_merge",
+    "window_rolling_distinct_users",
 ]
 
 

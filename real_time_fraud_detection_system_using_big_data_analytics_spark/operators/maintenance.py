@@ -1,0 +1,279 @@
+"""Warehouse-maintenance operators: incremental aggregate merge, one-pass
+table profiling, rolling distinct counts.
+
+The reference recomputes everything from scratch on every run (to_sql.py
+drops and reloads; fraud_detection_model.py re-reads the full CSV per
+metric). At 100 TB that posture is untenable: a day's delta is ~0.1% of the
+table, so the engine needs the *algebraic* forms — aggregate states that
+merge (count/sum/min/max are semigroups; avg derives from (sum, count)) so
+a materialized rollup is maintained by touching only the delta partition.
+
+Scale posture:
+- `etl_incremental_agg_merge` is the maintenance kernel: partial states are
+  one row per group per segment, so the merge shuffles |groups|×|segments|
+  rows, never the fact table. On a real lake the base state is a stored
+  table and only the delta scan runs per refresh;
+- `profile_column_stats` computes every column's profile in ONE scan
+  (count/nulls/distinct/min/max fused into a single aggregate, then pivoted
+  long). Exact ndv via multiple COUNT(DISTINCT) is the oracle-checkable
+  form; at 100 TB swap in approx_count_distinct — same plan shape without
+  the expand;
+- `window_rolling_distinct_users` uses the explode-contribution trick:
+  rolling COUNT(DISTINCT) is not window-decomposable, but each (day, user)
+  pair contributes to exactly W target days, so a W-way in-row explode of
+  the *deduplicated* daily pairs turns it into a plain groupBy — shuffle
+  volume W×|daily pairs|, independent of raw event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+_CUTOFF = "2000-01-01"
+
+
+@register(
+    "etl_incremental_agg_merge",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 2) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-priority
+    rollup is built as BASE (orders before {_CUTOFF}, standing in for the
+    stored aggregate state) merged with DELTA (orders on/after it, the new
+    partition) — and the merged result must be value-identical to a full
+    recompute, which is exactly what the oracle runs. States are
+    (count, cent-sum): both semigroup-mergeable with integer arithmetic,
+    and avg is derived AFTER the merge (averages don't merge; sums do —
+    the classic incremental-view-maintenance correctness trap)."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partial(seg: DataFrame) -> DataFrame:
+        return seg.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+    return merged.select(
+        "priority",
+        "n_orders",
+        "total_cents",
+        F.round(F.col("total_cents") / 100.0 / F.col("n_orders"), 2).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
+    "profile_column_stats",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderstatus)   AS nulls_status,
+             COUNT(DISTINCT o_orderstatus)     AS ndv_status,
+             MIN(o_orderstatus)                AS min_status,
+             MAX(o_orderstatus)                AS max_status,
+             COUNT(*) - COUNT(o_orderpriority) AS nulls_prio,
+             COUNT(DISTINCT o_orderpriority)   AS ndv_prio,
+             MIN(o_orderpriority)              AS min_prio,
+             MAX(o_orderpriority)              AS max_prio,
+             COUNT(*) - COUNT(o_custkey)       AS nulls_cust,
+             COUNT(DISTINCT o_custkey)         AS ndv_cust,
+             MIN(o_custkey)                    AS min_cust,
+             MAX(o_custkey)                    AS max_cust,
+             COUNT(*) - COUNT(o_totalprice)    AS nulls_price,
+             COUNT(DISTINCT o_totalprice)      AS ndv_price,
+             MIN(o_totalprice)                 AS min_price,
+             MAX(o_totalprice)                 AS max_price
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, n_rows,
+           CAST(nulls_status AS BIGINT) AS n_nulls,
+           CAST(ndv_status AS BIGINT) AS n_distinct,
+           min_status AS min_str, max_status AS max_str,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+    FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, CAST(nulls_prio AS BIGINT),
+           CAST(ndv_prio AS BIGINT), min_prio, max_prio,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'o_custkey', n_rows, CAST(nulls_cust AS BIGINT),
+           CAST(ndv_cust AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(min_cust AS DOUBLE),
+           CAST(max_cust AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, CAST(nulls_price AS BIGINT),
+           CAST(ndv_price AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), ROUND(min_price, 2), ROUND(max_price, 2)
+    FROM s
+    """,
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column row count, null count, exact
+    distinct count, and min/max — for all four profiled columns in ONE
+    scan of the table (one wide aggregate, pivoted long with an in-row
+    explode; the multiple exact COUNT(DISTINCT)s compile to Catalyst's
+    expand operator). String and numeric extrema travel in separate typed
+    columns — stringifying a double is engine-specific formatting, so it
+    never crosses the oracle boundary. At 100 TB the same plan runs with
+    approx_count_distinct and no expand; this exact form is the
+    profiler's oracle twin."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    n = F.count("*")
+    wide = orders.agg(
+        n.alias("n_rows"),
+        (n - F.count("o_orderstatus")).alias("nulls_status"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        (n - F.count("o_orderpriority")).alias("nulls_prio"),
+        F.countDistinct("o_orderpriority").alias("ndv_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        (n - F.count("o_custkey")).alias("nulls_cust"),
+        F.countDistinct("o_custkey").alias("ndv_cust"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        (n - F.count("o_totalprice")).alias("nulls_price"),
+        F.countDistinct("o_totalprice").alias("ndv_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    rows = F.array(
+        F.struct(
+            F.lit("o_orderstatus").alias("column_name"),
+            F.col("nulls_status").alias("n_nulls"),
+            F.col("ndv_status").alias("n_distinct"),
+            F.col("min_status").alias("min_str"),
+            F.col("max_status").alias("max_str"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+        ),
+        F.struct(
+            F.lit("o_orderpriority").alias("column_name"),
+            F.col("nulls_prio").alias("n_nulls"),
+            F.col("ndv_prio").alias("n_distinct"),
+            F.col("min_prio").alias("min_str"),
+            F.col("max_prio").alias("max_str"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+        ),
+        F.struct(
+            F.lit("o_custkey").alias("column_name"),
+            F.col("nulls_cust").alias("n_nulls"),
+            F.col("ndv_cust").alias("n_distinct"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+            F.col("min_cust").cast("double").alias("min_num"),
+            F.col("max_cust").cast("double").alias("max_num"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("column_name"),
+            F.col("nulls_price").alias("n_nulls"),
+            F.col("ndv_price").alias("n_distinct"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+            F.round("min_price", 2).alias("min_num"),
+            F.round("max_price", 2).alias("max_num"),
+        ),
+    )
+    return (
+        wide.select("n_rows", F.explode(rows).alias("p"))
+        .select(
+            F.col("p.column_name").alias("column_name"),
+            "n_rows",
+            F.col("p.n_nulls").alias("n_nulls"),
+            F.col("p.n_distinct").alias("n_distinct"),
+            F.col("p.min_str").alias("min_str"),
+            F.col("p.max_str").alias("max_str"),
+            F.col("p.min_num").alias("min_num"),
+            F.col("p.max_num").alias("max_num"),
+        )
+    )
+
+
+_WINDOW_DAYS = 7
+
+
+@register(
+    "window_rolling_distinct_users",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM daily
+    ), contrib AS (
+      SELECT daily.d + g.i AS target_day, daily.user_id
+      FROM daily CROSS JOIN (
+        SELECT CAST(range AS INTEGER) AS i
+        FROM range(0, {_WINDOW_DAYS})
+      ) g
+    )
+    SELECT c.target_day AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+    FROM contrib c
+    JOIN days ON days.d = c.target_day
+    GROUP BY c.target_day
+    """,
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. COUNT(DISTINCT) over
+    a sliding window is not algebraically decomposable (window frames
+    can't merge distinct sets), so the rolling form is rebuilt as a plain
+    groupBy via the explode-contribution identity: user u active on day d
+    is counted in the windows of days d..d+6, so each *deduplicated*
+    (day, user) pair explodes to its 7 target days and the rolling
+    distinct is an ordinary per-target-day COUNT(DISTINCT). Days with no
+    events emit no row (semi-join with the observed-day set) — matching
+    the window definition, not a gap-filled calendar. Shuffle volume is
+    7×|daily pairs| — already collapsed from raw events by the first
+    distinct — so the plan scales with active-user-days, not event
+    volume."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    daily = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "target_day")
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), _WINDOW_DAYS - 1),
+            )
+        ).alias("target_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "target_day", "left_semi")
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )

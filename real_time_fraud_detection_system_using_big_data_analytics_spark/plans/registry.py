@@ -55,6 +55,7 @@ def load_all() -> None:
         graph,
         grouping,
         joins,
+        maintenance,
         pca,
         relational,
         sampling,
@@ -63,6 +64,7 @@ def load_all() -> None:
         similarity,
         skew,
         text,
+        tpch,
         udf_surface,
         windows,
     )

@@ -1,0 +1,102 @@
+"""Recursive-CTE operators: hierarchy closure and bounded reachability.
+
+Spark 4 supports ``WITH RECURSIVE`` (linear recursion, UNION ALL), which
+closes the last classic SQL-surface gap: iterative queries expressed in
+the SQL entry point itself rather than a driver-side loop. The reference
+has no notion of hierarchy or graph at all; a fraud team's real queries
+("who is upstream of this mule account", "how deep does this referral
+chain go") are exactly these shapes.
+
+Scale posture:
+- each recursion step is planned as an ordinary join of the previous
+  frontier against the (broadcastable, pre-aggregated) edge table — the
+  fact table is scanned once to build edges, never per level;
+- the hierarchy query is acyclic by construction (the parent key is a
+  strictly smaller number), so it terminates structurally; the
+  reachability query carries an explicit hop cap in the recursion's WHERE
+  — the standard guard when the edge relation may contain cycles, because
+  UNION ALL recursion has no visited-set. The post-recursion MIN(hops)
+  GROUP BY collapses multiple discovery paths to the BFS distance;
+- frontier size is bounded by (seeds × avg-out-degree^hops); the hop cap
+  is the knob that keeps the per-level shuffle proportional to the
+  neighborhood actually being asked about, not the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+_HIERARCHY_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, ch.root, ch.depth + 1
+      FROM customer c
+      JOIN chain ch ON {div_expr} = ch.custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT root, depth,
+           COUNT(*) AS n_customers,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(custkey) AS BIGINT) AS max_custkey
+    FROM chain
+    GROUP BY root, depth
+"""
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle=_HIERARCHY_SQL.format(div_expr="c.c_custkey // 10"),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchy closure via WITH RECURSIVE: customers form a
+    deterministic forest (parent = custkey stripped of its last decimal
+    digit; custkeys 1-9 are roots), and the recursion labels every
+    customer with its root and depth — the org-chart / referral-chain
+    query. Acyclic by construction: the parent key is strictly smaller,
+    so recursion depth is the key's digit count (~4 levels here), and
+    each level joins only the previous level's frontier."""
+    load_tables(spark, sf_dir, names=("customer",))
+    return spark.sql(_HIERARCHY_SQL.format(div_expr="c.c_custkey div 10"))
+
+
+_REACH_SQL = """
+    WITH {rec} edges AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), reach AS (
+      SELECT c_custkey AS node, 0 AS hops
+      FROM customer WHERE c_custkey <= 5
+      UNION ALL
+      SELECT e.dst AS node, r.hops + 1 AS hops
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, MIN(hops) AS hops, COUNT(*) AS n_paths
+    FROM reach
+    GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle=_REACH_SQL.format(rec="RECURSIVE"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over a (cyclic) transaction graph via WITH RECURSIVE:
+    from 5 seed accounts, follow deterministic order-derived edges up to
+    3 hops; MIN(hops) per reached node is the BFS distance and n_paths
+    counts discovery paths (a mule-network fan-out signal). The hop cap
+    in the recursive WHERE is what makes UNION ALL recursion terminate on
+    a cyclic edge set — and it bounds each level's join to the frontier,
+    the property that keeps the plan viable when the edge table is built
+    from a 100 TB fact table (edges are DISTINCT-collapsed first, so the
+    recursion never touches raw orders)."""
+    load_tables(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_REACH_SQL.format(rec="RECURSIVE"))

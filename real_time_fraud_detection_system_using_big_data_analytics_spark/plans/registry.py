@@ -57,6 +57,7 @@ def load_all() -> None:
         joins,
         maintenance,
         pca,
+        recursive,
         relational,
         sampling,
         scalars_extra,

@@ -186,3 +186,66 @@ def etl_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def _zvalue_sql(x: str, y: str, bits: int = 16) -> str:
+    """Unrolled Morton/Z-order bit interleave of two masked BIGINTs —
+    plain shift/mask/OR arithmetic, identical operator semantics in
+    Spark SQL and DuckDB."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_SQL = """
+    WITH coords AS (
+      SELECT o_orderkey,
+             (o_custkey & 65535) AS x,
+             ({day_expr} & 65535) AS y
+      FROM orders
+    ), zmap AS (
+      SELECT o_orderkey, x, y, {zvalue} AS z FROM coords
+    )
+    SELECT (z >> 22) AS z_bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
+           CAST(MIN(y) AS BIGINT) AS min_day,  CAST(MAX(y) AS BIGINT) AS max_day
+    FROM zmap
+    GROUP BY z_bucket
+"""
+
+
+@register(
+    "layout_zorder_bucketing",
+    oracle=_ZORDER_SQL.format(
+        day_expr="CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)",
+        zvalue=_zvalue_sql("x", "y"),
+    ),
+)
+def layout_zorder_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment over two query dimensions
+    — customer key × order day — the multi-dimensional clustering trick
+    behind Delta/Iceberg OPTIMIZE ZORDER. Interleaving the bits of both
+    coordinates makes rows close in EITHER dimension land in the same
+    z-bucket, so file-level min/max stats prune for filters on custkey
+    AND on date simultaneously — a single-column sort can only serve one.
+    The per-bucket min/max spans in the output ARE the zone map this
+    layout would publish; the oracle recomputes the identical interleave
+    in DuckDB (the bit arithmetic is engine-portable by construction).
+
+    At 100 TB this column feeds repartitionByRange(z) before the write:
+    a full-shuffle layout job run once, amortized over every subsequent
+    pruned scan. The 16-bit mask per dimension = 4B cells; beyond that,
+    widen to interleaved 21+21 bits within the same BIGINT budget."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        _ZORDER_SQL.format(
+            day_expr=(
+                "CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT)"
+            ),
+            zvalue=_zvalue_sql("x", "y"),
+        )
+    )

@@ -471,3 +471,44 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "term")
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH bucketed AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order prices: NTILE(8)
+    assigns near-equal row counts per bucket, and per-bucket [lo, hi]
+    bounds are the histogram the optimizer's selectivity estimation wants
+    (equi-WIDTH is agg_histogram_width_bucket — skew fills one bar; the
+    equi-depth form adapts bin edges to the data). The tie on equal
+    prices is broken by o_orderkey so bucket assignment is total-ordered
+    and identical in both engines. At scale NTILE's single global sort is
+    the cost — production swaps in approx-percentile cut points and a
+    width_bucket against them, the same two-aggregate shape without the
+    total order."""
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -124,3 +124,68 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_subset, LATERAL tokenize_positions(text) t
         """
     )
+
+
+@register(
+    "udf_ewma_stateful",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn, value AS ewma
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.rn, 0.3 * o.value + 0.7 * r.ewma
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id,
+           (FLOOR(ewma * 1000000.0 + 0.5) / 1000000.0) AS ewma
+    FROM rec
+    """,
+)
+def udf_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA (alpha=0.3) over each user's event-time-ordered value
+    stream — the canonical ORDER-DEPENDENT stateful computation that no
+    window frame can decompose (each output depends on the full prefix
+    through a non-associative fold). Engine side: applyInPandas, one
+    Arrow batch per user, a sequential fold inside — the sanctioned shape
+    for per-key recurrences (same partitioning story as
+    applyInPandasWithState, without the streaming runtime). Oracle side:
+    the identical recurrence unrolled as a recursive CTE stepping rn→rn+1.
+
+    Determinism contract: both sides fold in the same (ts, event_id)
+    order with the same literal doubles (0.3/0.7, never 1-alpha — the
+    subtraction may not equal the parsed literal), so every intermediate
+    is bit-identical; the q()-style FLOOR quantization at the end is
+    belt-and-suspenders, not a tolerance.
+
+    At 100 TB: groupBy(user).applyInPandas is ONE shuffle on the key with
+    Arrow-batched transfer; per-key history length bounds task memory, so
+    skewed users are the thing to watch — cap or chunk per-key history
+    upstream (the same discipline applyInPandasWithState forces via
+    state timeouts)."""
+    import math
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+
+    def ewma_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = None
+        out = []
+        for x in pdf["value"]:
+            x = float(x)
+            y = x if y is None else 0.3 * x + 0.7 * y
+            out.append(math.floor(y * 1000000.0 + 0.5) / 1000000.0)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "ewma": out}
+        )
+
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma_fn, "event_id bigint, user_id bigint, ewma double")
+    )

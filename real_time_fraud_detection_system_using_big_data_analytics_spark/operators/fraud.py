@@ -326,3 +326,75 @@ def fraud_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# First-digit expected frequencies (Benford's law), in percent. Hardcoded
+# constants on both engines — computing log10(1+1/d) at runtime would hang
+# cross-engine equality on libm's last bit for zero analytical benefit.
+_BENFORD_PCT = {
+    1: 30.103, 2: 17.6091, 3: 12.4939, 4: 9.691, 5: 7.9181,
+    6: 6.6947, 7: 5.7992, 8: 5.115, 9: 4.5757,
+}
+
+
+@register(
+    "fraud_benford_digit_test",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM events WHERE value >= 1.0
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), expected AS (
+      SELECT digit, CAST(exp_pct AS DOUBLE) AS exp_pct FROM (VALUES
+        {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PCT.items()))}
+      ) t(digit, exp_pct)
+    )
+    SELECT c.digit, c.n,
+           (FLOOR(100.0 * c.n / SUM(c.n) OVER () * 10000.0 + 0.5) / 10000.0)
+             AS obs_pct,
+           e.exp_pct,
+           (FLOOR(ABS(100.0 * c.n / SUM(c.n) OVER () - e.exp_pct) * 10000.0
+                  + 0.5) / 10000.0) AS abs_dev
+    FROM counts c JOIN expected e ON c.digit = e.digit
+    """,
+)
+def fraud_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over transaction amounts — the
+    classic forensic-accounting fraud signal (fabricated amounts deviate
+    from the log-uniform leading-digit distribution). The first digit is
+    extracted through integer/string arithmetic, NOT log10 (whose last
+    bit at exact powers of ten is libm-specific); expected frequencies
+    are shared literal constants. One scan, one 9-group aggregate, one
+    9-row window for the total — per-digit deviation is the output a
+    monitoring dashboard thresholds. Scale: the aggregate is map-side
+    combinable on 9 keys; the window runs on 9 rows."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    digit = (
+        F.substring(F.floor("value").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = (
+        events.filter(F.col("value") >= 1.0).select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    expected = spark.createDataFrame(
+        sorted(_BENFORD_PCT.items()), "digit int, exp_pct double"
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    obs = 100.0 * F.col("n") / total
+    return (
+        counts.join(F.broadcast(expected), "digit")
+        .select(
+            "digit",
+            "n",
+            q(obs, 4).alias("obs_pct"),
+            "exp_pct",
+            q(F.abs(obs - F.col("exp_pct")), 4).alias("abs_dev"),
+        )
+    )

@@ -481,3 +481,49 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("overlap_us"), "user_a", "session_a", "user_b", "session_b"
     ).limit(15)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH lhs AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_nationkey % 5 END AS grp
+      FROM customer
+    ), dim AS (
+      SELECT * FROM (VALUES (0, 'bucket_0'), (1, 'bucket_1'), (2, 'bucket_2'),
+                            (3, 'bucket_3'), (4, 'bucket_4'),
+                            (CAST(NULL AS INTEGER), 'unknown')) t(grp, label)
+    )
+    SELECT d.label AS label, COUNT(*) AS n_customers
+    FROM lhs l JOIN dim d ON l.grp IS NOT DISTINCT FROM d.grp
+    GROUP BY d.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    the dimension's designated NULL row instead of silently dropping —
+    the 'unknown bucket' pattern for dirty foreign keys. Spark still
+    plans <=> as a hash-joinable equi-condition (null-safe equality is a
+    valid hash key where NULL hashes like a value), so this stays a
+    broadcast hash join, NOT a cartesian-with-filter — the trap naive
+    NULL-handling rewrites (OR (l IS NULL AND r IS NULL)) fall into."""
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    lhs = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey") % 5)
+        .cast("int")
+        .alias("grp"),
+    )
+    dim = spark.createDataFrame(
+        [(0, "bucket_0"), (1, "bucket_1"), (2, "bucket_2"),
+         (3, "bucket_3"), (4, "bucket_4"), (None, "unknown")],
+        "grp int, label string",
+    )
+    return (
+        lhs.join(F.broadcast(dim), lhs["grp"].eqNullSafe(dim["grp"]))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -109,3 +109,43 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("entity_key"),
     )
     return customers.unionByName(suppliers)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (each row kept min(m, n) times —
+    multiplicity matters when the row IS the unit of spend/activity).
+    Spark plans intersectAll as one aggregate of per-side counts plus a
+    generate — the same single-shuffle shape as distinct INTERSECT."""
+    purchases, errors = _purchases_errors(spark, sf_dir)
+    return purchases.intersectAll(errors)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (each row kept max(m-n, 0) times) — the
+    multiset difference that answers 'purchases beyond the error count'
+    per user; same count-aggregate physical shape as intersectAll."""
+    purchases, errors = _purchases_errors(spark, sf_dir)
+    return purchases.exceptAll(errors)
+
+
+def _purchases_errors(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purchases, errors

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..sources.tables import load_tables
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # built lazily: Column construction needs an active SparkContext, and
+    # registry.load_all() must import cleanly before any session exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def _ts(day: str):
@@ -90,7 +93,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
 
 
@@ -192,7 +195,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
 
 
@@ -328,7 +331,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_REV).alias("_rev"))
+        .agg(F.sum(_rev()).alias("_rev"))
         .orderBy(F.desc("_rev"), "c_custkey")
         .limit(20)
         .select(
@@ -364,7 +367,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate pandas scans (fraud_detection_model.py:36-44)."""
     t = load_tables(spark, sf_dir, names=("lineitem", "part"))
     promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _REV).otherwise(0.0)
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
     )
     return (
         t["lineitem"]
@@ -375,7 +378,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * promo / F.sum(_REV), 4).alias("promo_pct"),
+            F.round(100.0 * promo / F.sum(_rev()), 4).alias("promo_pct"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -415,7 +418,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_REV), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
     top = revenue.withColumn(
         "_max", F.max("total_revenue").over(Window.partitionBy())

@@ -55,7 +55,6 @@ def load_all() -> None:
         graph,
         grouping,
         joins,
-        maintenance,
         pca,
         recursive,
         relational,
@@ -67,6 +66,7 @@ def load_all() -> None:
         text,
         tpch,
         udf_surface,
+        warehouse,
         windows,
     )
     from ..ml import scoring  # noqa: F401

@@ -249,3 +249,47 @@ def layout_zorder_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             zvalue=_zvalue_sql("x", "y"),
         )
     )
+
+
+@register(
+    "etl_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, value-checked end-to-end: the events table
+    is first written deliberately fragmented (64 shards — the streaming-
+    sink pathology in miniature), compacted in place with
+    sources.maintenance.compact_parquet (coalesce to ceil(bytes/target),
+    temp-dir + rename swap), and the compacted directory is then
+    aggregated — the oracle runs the same aggregate on the ORIGINAL
+    parquet, so any row lost or duplicated by the rewrite breaks the
+    value hash. File-count mechanics (files_before > files_after) are
+    asserted in tests/test_sources.py; this registry entry pins the part
+    that matters to a user: compaction is invisible to query results.
+
+    At 100 TB: compaction is the maintenance loop that keeps scan cost
+    proportional to bytes rather than file count; coalesce keeps it
+    narrow (no shuffle), and per-partition application preserves
+    pruning."""
+    from ..sources.maintenance import compact_parquet
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    path = _scratch("compaction_rt")
+    events.repartition(64).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path, target_bytes=32 * 1024 * 1024)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+    )

@@ -512,3 +512,80 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per-nation CSV
+    of supplier names. An UNORDERED string_agg is nondeterministic by
+    construction (concatenation order follows partition arrival), so the
+    deterministic form — sort inside the group, then join — is the only
+    one an engine should offer for reproducible output: here
+    collect_list → array_sort → array_join, which keeps the aggregate
+    partial-mergeable (arrays concatenate associatively; the sort runs
+    once per final group). The same discipline the oracle expresses as
+    string_agg(... ORDER BY). Memory note at scale: group payload is the
+    concatenated string — bound group sizes (top-N per group or a length
+    cap) before aggregating unbounded-cardinality groups."""
+    t = load_tables(spark, sf_dir, names=("supplier", "nation"))
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_csv"
+            ),
+        )
+    )
+
+
+@register(
+    "timeseries_downsample_last",
+    oracle="""
+    SELECT user_id,
+           date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS n_events,
+           FIRST(value ORDER BY ts DESC, event_id DESC) AS last_value,
+           ROUND(AVG(value), 2) AS avg_value
+    FROM events
+    WHERE user_id % 100 = 0
+    GROUP BY user_id, bucket
+    """,
+)
+def timeseries_downsample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling with last-observation semantics: per
+    (user, hour) bucket keep the latest reading plus count/avg — the
+    OHLC-style rollup every monitoring store runs. 'Last' is max_by on
+    the (ts, event_id) pair packed into a struct, so ties at identical
+    timestamps break on the unique event id in both engines — last/first
+    without a total order is the classic silent-nondeterminism bug this
+    formulation closes. One shuffle on (user, bucket); max_by merges
+    map-side like any other semigroup, so the shape survives arbitrary
+    scale (contrast: a window row_number==1 pays a per-key sort)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.filter(F.col("user_id") % 100 == 0)
+        .groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max_by(
+                F.col("value"),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("last_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )

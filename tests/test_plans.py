@@ -430,3 +430,85 @@ def test_interval_overlap_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "bucket" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_classics_broadcast_dims_no_smj(spark):
+    """Q5/Q10/Q17: every dimension side must broadcast — the fact table
+    (lineitem) shuffles only for its own aggregation keys, never to meet
+    a dimension in a sort-merge join."""
+    for name in (
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q17_small_quantity_revenue",
+    ):
+        df = registry.QUERIES[name](spark, SF)
+        plan = plan_string(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q6_is_pure_scan_agg_with_pushdown(spark):
+    """Q6: zero joins; date/discount/quantity predicates reach the scan."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF)
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    assert "PushedFilters" in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    assert_in_plan(
+        registry.QUERIES["q10_returned_items"](spark, SF), "TakeOrderedAndProject"
+    )
+
+
+def test_rolling_distinct_explodes_then_broadcast_semi(spark):
+    """The explode-contribution rewrite: a Generate (in-row explode) and a
+    broadcast semi-join against the observed-day set — no sort-merge, no
+    cartesian, no window."""
+    df = registry.QUERIES["window_rolling_distinct_users"](spark, SF)
+    plan = plan_string(df)
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_zorder_is_joinless_single_pass(spark):
+    """Morton interleave is per-row arithmetic: one scan, one aggregate,
+    no join anywhere."""
+    plan = plan_string(registry.QUERIES["layout_zorder_bucketing"](spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_ewma_is_single_grouped_pandas_pass(spark):
+    """The per-key recurrence runs as ONE FlatMapGroupsInPandas over one
+    shuffle on the key — no window, no self-join."""
+    plan = plan_string(registry.QUERIES["udf_ewma_stateful"](spark, SF), mode="simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_downsample_last_avoids_window(spark):
+    """'Last observation per bucket' must be the mergeable max_by
+    aggregate, not a row_number window (which pays a per-key sort)."""
+    plan = plan_string(registry.QUERIES["timeseries_downsample_last"](spark, SF))
+    assert "Window" not in plan, plan
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """WITH RECURSIVE compiles to the native UnionLoop execution node (one
+    frontier join per level), not a driver-side unrolling."""
+    plan = plan_string(registry.QUERIES["sql_recursive_hierarchy"](spark, SF))
+    assert "UnionLoop" in plan, plan
+
+
+def test_incremental_merge_unions_partial_states(spark):
+    """Base+delta maintenance: two partial aggregates union below the
+    final merge aggregate — the fact scan appears per segment with its
+    segment filter pushed down."""
+    df = registry.QUERIES["etl_incremental_agg_merge"](spark, SF)
+    plan = plan_string(df)
+    assert "Union" in plan
+    assert "PushedFilters" in plan

@@ -239,8 +239,7 @@ def layout_zorder_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full-shuffle layout job run once, amortized over every subsequent
     pruned scan. The 16-bit mask per dimension = 4B cells; beyond that,
     widen to interleaved 21+21 bits within the same BIGINT budget."""
-    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
-    orders.createOrReplaceTempView("orders")
+    load_tables(spark, sf_dir, names=("orders",))  # registers the view
     return spark.sql(
         _ZORDER_SQL.format(
             day_expr=(

@@ -56,7 +56,7 @@ _HIERARCHY_SQL = """
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive hierarchy closure via WITH RECURSIVE: customers form a
     deterministic forest (parent = custkey stripped of its last decimal
-    digit; custkeys 1-9 are roots), and the recursion labels every
+    digit; custkeys 0-9 are the roots), and the recursion labels every
     customer with its root and depth — the org-chart / referral-chain
     query. Acyclic by construction: the parent key is strictly smaller,
     so recursion depth is the key's digit count (~4 levels here), and
@@ -66,7 +66,7 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REACH_SQL = """
-    WITH {rec} edges AS (
+    WITH RECURSIVE edges AS (
       SELECT DISTINCT o_custkey AS src,
              (o_orderkey * 7) % 1500 + 1 AS dst
       FROM orders
@@ -86,11 +86,11 @@ _REACH_SQL = """
 
 @register(
     "sql_recursive_reachability",
-    oracle=_REACH_SQL.format(rec="RECURSIVE"),
+    oracle=_REACH_SQL,
 )
 def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded BFS over a (cyclic) transaction graph via WITH RECURSIVE:
-    from 5 seed accounts, follow deterministic order-derived edges up to
+    from 6 seed accounts (custkeys 0-5), follow order-derived edges up to
     3 hops; MIN(hops) per reached node is the BFS distance and n_paths
     counts discovery paths (a mule-network fan-out signal). The hop cap
     in the recursive WHERE is what makes UNION ALL recursion terminate on
@@ -99,4 +99,4 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a 100 TB fact table (edges are DISTINCT-collapsed first, so the
     recursion never touches raw orders)."""
     load_tables(spark, sf_dir, names=("customer", "orders"))
-    return spark.sql(_REACH_SQL.format(rec="RECURSIVE"))
+    return spark.sql(_REACH_SQL)

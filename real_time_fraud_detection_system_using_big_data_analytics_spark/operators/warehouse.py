@@ -69,7 +69,14 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
     base = partial(orders.filter(F.col("o_orderdate") < cutoff))
-    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    # the delta is the exact COMPLEMENT of the base, NULL dates included —
+    # two filters that both reject NULL would silently drop such rows from
+    # both segments and break the base+delta == full-recompute identity
+    delta = partial(
+        orders.filter(
+            (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+        )
+    )
     merged = (
         base.unionAll(delta)
         .groupBy("priority")

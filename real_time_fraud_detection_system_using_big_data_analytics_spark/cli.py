@@ -66,6 +66,53 @@ def cmd_score(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_list(args: argparse.Namespace) -> int:
+    """List every registered query; '*' marks DuckDB-oracle-checked ones."""
+    from .plans import registry
+
+    registry.load_all()
+    for name in sorted(registry.QUERIES):
+        print(f"{'*' if name in registry.ORACLE else ' '} {name}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    """Run any registered query; show rows or write csv/parquet."""
+    from .plans import registry
+
+    registry.load_all()
+    if args.query not in registry.QUERIES:
+        print(json.dumps({"error": "unknown query", "query": args.query}))
+        return 2
+    spark = get_session("cli-run")
+    df = registry.QUERIES[args.query](spark, args.sf_dir)
+    if args.out:
+        if args.format == "parquet":
+            df.write.mode("overwrite").parquet(args.out)
+        else:
+            write_csv(df, args.out)
+        print(json.dumps({"query": args.query, "rows": df.count(), "out": args.out}))
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print a registered query's physical plan — the '.explain and
+    iterate' loop as a first-class command."""
+    from .plans import registry
+    from .plans.explain import plan_string
+
+    registry.load_all()
+    if args.query not in registry.QUERIES:
+        print(json.dumps({"error": "unknown query", "query": args.query}))
+        return 2
+    spark = get_session("cli-explain")
+    df = registry.QUERIES[args.query](spark, args.sf_dir)
+    print(plan_string(df, mode=args.mode))
+    return 0
+
+
 def cmd_stream(args: argparse.Namespace) -> int:
     """Hermetic by default (file replay of the events table, availableNow,
     alert counts printed); with --kafka, reads the PaySim JSON topic and
@@ -165,6 +212,23 @@ def main(argv: list[str] | None = None) -> int:
         "1 = single availableNow batch",
     )
     st.set_defaults(fn=cmd_stream)
+
+    ls = sub.add_parser("list", help="list registered queries (* = oracle-checked)")
+    ls.set_defaults(fn=cmd_list)
+
+    r = sub.add_parser("run", help="run a registered query; show or write result")
+    r.add_argument("query")
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--out", default=None)
+    r.add_argument("--format", choices=("csv", "parquet"), default="csv")
+    r.add_argument("--show", type=int, default=20, help="rows to show when no --out")
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("explain", help="print a registered query's physical plan")
+    e.add_argument("query")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.add_argument("--mode", choices=("simple", "formatted"), default="formatted")
+    e.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

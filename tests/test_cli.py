@@ -70,3 +70,22 @@ def test_cli_score_gated_on_missing_model(tmp_path, capsys, wait):
     assert rc == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert err["error"] == "model not ready"
+
+
+def test_cli_list_run_explain(spark, tmp_path, capsys):
+    """The registry-as-a-tool surface: list names, run a query to CSV,
+    print a plan."""
+    assert cli.main(["list"]) == 0
+    listing = capsys.readouterr().out
+    assert "* q1_pricing_summary" in listing
+
+    out = str(tmp_path / "q1_out")
+    assert cli.main(["run", "q1_pricing_summary", "--out", out]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] > 0 and payload["out"] == out
+
+    assert cli.main(["explain", "q1_pricing_summary", "--mode", "simple"]) == 0
+    plan = capsys.readouterr().out
+    assert "HashAggregate" in plan
+
+    assert cli.main(["run", "no_such_query"]) == 2

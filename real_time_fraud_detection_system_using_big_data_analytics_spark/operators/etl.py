@@ -292,3 +292,52 @@ def etl_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value_cents"),
         )
     )
+
+
+@register(
+    "etl_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source round trip, value-checked: the events
+    table is written as newline-delimited JSON and read back with an
+    EXPLICIT schema (never inferSchema — the reference's inferSchema=True
+    costs a full extra pass and guesses types per-file,
+    fraud_detection_model.py:23); the aggregate over the read-back rows
+    must match the oracle's aggregate over the original parquet, pinning
+    that timestamps (ISO-8601 text in JSON), doubles (shortest-round-trip
+    rendering), and nested-quote strings all survive the text format.
+
+    At 100 TB JSONL is the interchange format — landing zones, event
+    buses, vendor drops — never the analytical store (no column pruning,
+    no pushdown, no stats); the pattern is exactly this: read with a
+    pinned schema, validate, convert to parquet once."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    path = _scratch("jsonl_rt")
+    # Spark's default JSON timestampFormat is millisecond-precision —
+    # a silent 3-digit truncation on round trip; pin microseconds
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    back = (
+        spark.read.schema(events.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("total_value_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

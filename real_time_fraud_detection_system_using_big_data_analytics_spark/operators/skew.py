@@ -95,3 +95,42 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+@register(
+    "agg_skew_two_phase",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys, value-equal
+    to the plain aggregate (the oracle IS the plain aggregate — salting
+    must be semantics-neutral). Phase 1 groups on (key, salt-of-unique-id)
+    so one hot key spreads over 16 reduce partitions; phase 2 merges the
+    16 partial states per key. Counts and cent-sums re-aggregate with SUM
+    — the same semigroup algebra etl_incremental_agg_merge relies on.
+
+    Spark's own map-side partial aggregation usually makes this rewrite
+    unnecessary (partials collapse per TASK before the shuffle) — the
+    explicit two-phase form is for the case that defeats partial agg:
+    high-cardinality-input aggregates (exact distinct, collect_list)
+    on a hot key, where phase-1 state itself would not fit one reducer.
+    Deterministic salt (pmod(xxhash64(event_id), 16)), no RNG."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    partial = (
+        ev.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(16)).cast("int")
+        )
+        .groupBy("event_type", "__salt")
+        .agg(F.count("*").alias("n_part"), F.sum(cents).alias("cents_part"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_part").alias("n_events"),
+        F.sum("cents_part").cast("long").alias("total_value_cents"),
+    )

@@ -148,3 +148,56 @@ def ml_evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         row, "auc double, accuracy double, precision double, recall double, "
              "f1 double, tp long, fp long, tn long, fn long, n long"
     )
+
+
+@register("ml_gbt_train_score")  # tree-ensemble training: not SQL-expressible
+def ml_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted-trees alternative to the reference's logistic
+    regression: the SAME feature stages (index → one-hot → assemble; the
+    scaler is dropped — trees split on raw thresholds, scaling is a
+    no-op that costs a pass) with a seeded GBTClassifier head, evaluated
+    on the identical 80/20 split. Output = the 2x2 confusion cells plus
+    a model tag, the stable rows-only schema the LR twin uses
+    (ml_train_score_confusion) so the two models are directly
+    comparable.
+
+    Engine point: swapping the model head is a one-stage Pipeline edit —
+    the reference hard-wires LR into a 7-action script
+    (fraud_detection_model.py:150-196). Scale: GBT training is iterative
+    map-reduce over the cached feature frame (MLlib handles the
+    persist); scoring remains one distributed transform."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+
+    from .fraud_pipeline import NUMERIC_COLS
+
+    df = events_as_transactions(spark, sf_dir)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    indexer = StringIndexer(
+        inputCol="type", outputCol="type_indexed", handleInvalid="keep"
+    )
+    encoder = OneHotEncoder(inputCols=["type_indexed"], outputCols=["type_encoded"])
+    assembler = VectorAssembler(
+        inputCols=["type_encoded"] + list(NUMERIC_COLS),
+        outputCol="features",
+        handleInvalid="keep",
+    )
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol="isFraud",
+        maxIter=5,
+        maxDepth=3,
+        seed=42,
+    )
+    model = Pipeline(stages=[indexer, encoder, assembler, gbt]).fit(train)
+    scored = model.transform(test)
+    return (
+        scored.groupBy(
+            F.col("prediction").cast("int").alias("prediction"),
+            F.col("isFraud").alias("label"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("model", F.lit("gbt"))
+        .orderBy("prediction", "label")
+    )

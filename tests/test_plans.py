@@ -481,10 +481,11 @@ def test_zorder_is_joinless_single_pass(spark):
 
 
 def test_ewma_is_single_grouped_pandas_pass(spark):
-    """The per-key recurrence runs as ONE FlatMapGroupsInPandas over one
-    shuffle on the key — no window, no self-join."""
+    """The per-key recurrence runs as ONE MapInPandas over one shuffle on
+    the key plus a partition-local sort — no window, no self-join, and
+    one Python invocation per partition (not per key)."""
     plan = plan_string(registry.QUERIES["udf_ewma_stateful"](spark, SF), mode="simple")
-    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan

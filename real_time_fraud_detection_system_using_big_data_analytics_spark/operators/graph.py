@@ -328,3 +328,87 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
         .crossJoin(triangles.agg(F.count("*").alias("n_triangles")))
     )
+
+
+_COMMON_NEIGHBOR_SQL = """
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), pairs AS (
+      SELECT n1.v AS x, n2.v AS y, COUNT(*) AS common_neighbors
+      FROM und n1 JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v
+      GROUP BY n1.v, n2.v
+    )
+    SELECT p.x, p.y, p.common_neighbors,
+           (e.a IS NOT NULL) AS already_linked
+    FROM pairs p LEFT JOIN edges e ON e.a = p.x AND e.b = p.y
+    ORDER BY p.common_neighbors DESC, p.x, p.y
+    LIMIT 20
+"""
+
+
+@register("graph_common_neighbors", oracle=_COMMON_NEIGHBOR_SQL)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction: the top-20 vertex pairs sharing
+    the most neighbors, flagged with whether the edge already exists —
+    pairs with many shared counterparties and NO direct link are the
+    classic hidden-relationship lead in a fraud graph (and the simplest
+    link-prediction baseline). The pair enumeration joins the undirected
+    adjacency list with itself on the shared MIDDLE vertex with v1 < v2,
+    so each pair is counted once per common neighbor; the existing-edge
+    flag is one left join against the canonical edge list.
+
+    Same scale law as triangle counting: the self-join emits Σ deg(v)²
+    rows — at production scale cap or sample hub vertices' adjacency
+    (the deg² term is entirely theirs) before the join; every join here
+    is a plain equi-join on vertex ids."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    n1 = und.alias("n1")
+    n2 = und.alias("n2")
+    pairs = (
+        n1.join(
+            n2,
+            (F.col("n1.u") == F.col("n2.u")) & (F.col("n1.v") < F.col("n2.v")),
+        )
+        .groupBy(F.col("n1.v").alias("x"), F.col("n2.v").alias("y"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    return (
+        pairs.join(
+            edges,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        )
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            F.col("a").isNotNull().alias("already_linked"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "x", "y")
+        .limit(20)
+    )

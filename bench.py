@@ -26,6 +26,44 @@ from pyspark.sql import functions as F
 from real_time_fraud_detection_system_using_big_data_analytics_spark import get_session
 from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
 
+# The driver captures only the LAST ~2000 chars of output and parses the
+# final JSON line out of that tail.  With 50+ benched queries the full
+# per-query dict outgrew the capture (BENCH_r04 "parsed": null), so the
+# stdout line keeps a fixed compact subset — the r1-era headline set, which
+# is also what BASELINE.md's 2x bound is defined over — and the COMPLETE
+# breakdown (all queries + streaming lines) is written to BENCH_SELF.json
+# at the repo root, committed every round.
+COMPACT_SET = [
+    "q1_pricing_summary",
+    "agg_grouped_summary",
+    "agg_conditional_single_pass",
+    "agg_cube",
+    "scalar_string_date_json",
+    "join_multiway_revenue",
+    "join_asof",
+    "window_running_agg",
+    "window_sessionize",
+    "fraud_confusion_matrix",
+    "sort_topk_global",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_int8_rerank",
+    "text_quality_score",
+    "text_chunk_windows",
+    "text_top_ngrams",
+    "text_tfidf_top_terms",
+    "map_functions_props",
+    "timeseries_gapfill",
+    "unpivot_stack",
+    "feature_winsorize",
+    "scd2_intervals",
+    "funnel_conversion",
+    "cohort_retention",
+    "cdc_snapshot_diff",
+    "graph_pagerank_bipartite",
+]
+
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
@@ -97,6 +135,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    # Smoke-test hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the run
+    # (used by tests to exercise the emit path without the full suite).
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",")}
+        names = [n for n in names if n in keep]
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -142,20 +186,42 @@ def main() -> None:
     # micro-batch stream's wall time is trigger-bound, not plan-bound.
     streaming = streaming_bench(spark, sf_dir)
 
+    # Full breakdown -> committed artifact (judge-diffable, any size).
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "reference_metrics": ref_metrics,
+        "streaming": streaming,
+    }
+    self_path = Path(__file__).resolve().parent / "BENCH_SELF.json"
+    self_path.write_text(json.dumps(full, indent=1) + "\n")
+
+    spark.stop()
+
+    # Compact final stdout line — MUST fit the driver's ~2000-char tail
+    # capture, and MUST be the last thing printed (spark.stop() above so no
+    # shutdown logging trails it).  `value` stays the total over ALL benched
+    # queries (the headline metric); the inline dict is the fixed compact
+    # subset for per-query comparability with BENCH_r01/BASELINE.
+    compact_times = {n: times[n] for n in COMPACT_SET if n in times}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": compact_times,
                 "sf": sf,
+                "n_queries": len(times),
+                "full_breakdown": "BENCH_SELF.json",
                 "reference_metrics": ref_metrics,
-                "streaming": streaming,
             }
         )
     )
-    spark.stop()
 
 
 N_STREAM_CHUNKS = 8

@@ -11,7 +11,9 @@ doubles are bit-identical and rounding/ranking cannot diverge. DuckDB's
 
 Scale posture (100 TB of vectors):
 - brute force: queries broadcast against the vector corpus; per-partition
-  local top-k then global top-k merge — no pairwise shuffle;
+  local top-k then global top-k merge — no pairwise shuffle (the rank
+  filter compiles to a partial WindowGroupLimit below the Exchange, so at
+  most k×Q rows leave each partition; plan-pinned in tests/test_plans.py);
 - LSH: sign-bit bucket equi-join — each query compares only within its
   bucket (tunable recall/cost);
 - IVF: partition (cell) pruning via an equi-join on the cell id, the
@@ -107,10 +109,21 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 per query vector (queries = vec_id % 100 == 0).
-    The query set is broadcast; scoring is a map-side cross of corpus
-    partitions × broadcast queries, then a per-query top-k window. Ties
-    broken by vec_id for determinism.
+    """Exact cosine top-5 per query vector (queries = vec_id % 100 == 0),
+    two-phase in the physical plan. Phase 1 scores a map-side cross of
+    corpus partitions × broadcast queries; because the rank filter
+    (row_number ≤ 5) sits directly on the window, Spark compiles a
+    `WindowGroupLimit ... Partial` BELOW the q_id Exchange — each partition
+    is cut to its local top-5 per query in the JVM (whole-stage, no Python)
+    before anything shuffles. Phase 2's Exchange therefore carries at most
+    5 × Q rows per partition — never the Q×N scored cross — into the final
+    `WindowGroupLimit ... Final` + window merge. tests/test_plans.py pins
+    the Partial limit below the Exchange so a regression (e.g. an
+    expression rewrite that breaks the rank-filter pattern match) fails CI
+    rather than silently reintroducing the pairwise shuffle.
+
+    Ties broken by vec_id for determinism (same total order in the partial
+    cut and the final merge, so the cut can never drop a global top-5 row).
 
     Norms are precomputed per side BEFORE the cross (corpus norm once per
     vector, not once per pair — at Q queries that's a Q× saving on a third

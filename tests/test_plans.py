@@ -202,6 +202,22 @@ def test_no_query_plans_a_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan_string(df, mode="simple")
 
 
+def test_bruteforce_topk_partial_limit_below_exchange(spark):
+    """ann_bruteforce_topk must be two-phase: the partial WindowGroupLimit
+    (map-side per-query top-5 cut) sits BELOW the q_id Exchange, so the
+    shuffle carries ≤ 5×Q rows per partition — never the Q×N scored cross.
+    The tree prints root-first, so Final < Exchange < Partial positionally."""
+    df = registry.QUERIES["ann_bruteforce_topk"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("WindowGroupLimit") == 2, plan
+    final_pos = plan.find("row_number(), 5, Final")
+    exch_pos = plan.find("Exchange hashpartitioning(q_id")
+    partial_pos = plan.find("row_number(), 5, Partial")
+    assert 0 <= final_pos < exch_pos < partial_pos, plan
+    # scoring stays a broadcast cross below the partial cut (no SMJ detour)
+    assert "BroadcastNestedLoopJoin" in plan[partial_pos:], plan
+
+
 def test_int8_quantization_materialized_below_exchange(spark):
     """The int8 copy must be computed once per vector below the fan-out
     exchange — FLOOR appears exactly twice in the plan (corpus branch +

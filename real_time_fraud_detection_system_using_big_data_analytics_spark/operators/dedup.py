@@ -147,6 +147,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
     )
+    # `common` is the stop-shingle list: shingles appearing in > MAX_DOC_FREQ
+    # docs. That's bounded by the high-frequency tail of the shingle
+    # vocabulary (boilerplate), which grows far sublinearly in corpus size —
+    # broadcastable in practice. If a corpus ever outgrows it, drop the hint
+    # and AQE turns the anti join into a shuffle join; values are identical.
     filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = filtered.alias("a")
@@ -159,9 +164,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jaccard = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    # sizes is one row per DOCUMENT — corpus cardinality — so it must not
+    # carry an explicit broadcast hint (a hint overrides the size threshold
+    # and would OOM executors at billions of docs). Unhinted, AQE broadcasts
+    # it while it fits and degrades to a shuffle join beyond that.
     return (
-        pair_inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        pair_inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jaccard >= 0.2)
         .select("doc_a", "doc_b", q(jaccard).alias("jaccard"))
     )
@@ -550,6 +559,8 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
     )
+    # stop-shingle broadcast: high-frequency-vocabulary-sized, see the
+    # identical join in dedup_ngram_jaccard for the bound/fallback note
     filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = filtered.alias("a")
@@ -580,8 +591,11 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_inter = pair_once.select(directed.alias("p")).select("p.*")
     sa = sizes.alias("sa")
     containment = F.col("n_common") / F.col("sa.n")
+    # sizes is corpus-cardinality (one row per doc): no broadcast hint —
+    # AQE broadcasts while small, shuffle-joins at scale (same rationale as
+    # dedup_ngram_jaccard).
     return (
-        pair_inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_contained"))
+        pair_inter.join(sa, F.col("sa.doc_id") == F.col("doc_contained"))
         .filter(containment >= 0.6)
         .select("doc_contained", "doc_container", q(containment).alias("containment"))
     )
@@ -630,9 +644,11 @@ def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     END-TO-END result, so a regression anywhere in the cascade surfaces
     here even if each stage's own check is green.
 
-    The drop list is component-membership-sized (tiny vs the corpus) and
-    broadcasts; documents never shuffles — one scan + broadcast left join
-    + partial agg. Same posture at 100 TB."""
+    The drop list is component-membership-sized — usually far smaller than
+    the corpus, but on heavy-dup crawls it can approach corpus cardinality,
+    so it carries NO broadcast hint: AQE broadcasts it while it fits (the
+    common case — documents then never shuffles) and falls back to a
+    shuffle join on dup-heavy inputs instead of OOMing."""
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
     cc = dedup_cluster_connected_components(spark, sf_dir)
     dropped = (
@@ -641,7 +657,7 @@ def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__dropped", F.lit(1))
     )
     return (
-        docs.join(F.broadcast(dropped), "doc_id", "left")
+        docs.join(dropped, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

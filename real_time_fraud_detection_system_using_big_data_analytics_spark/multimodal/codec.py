@@ -9,10 +9,14 @@ header fields, frame counts, and PCM sample statistics all come from the
 actual byte format, and the synthesis formula is SQL-expressible so the
 whole encode->decode loop is DuckDB-oracle-checked.
 
-The container has no IMAGE/VIDEO libraries, so those decodes stay STUBBED
-(documented below); everything around them — schema, batch iteration,
-partition behavior, metadata extraction — is real and tested. Swapping the
-stub for Pillow/cv2 is a one-function change.
+IMAGE decode is REAL twice over: ``decode_ppm_features`` parses binary
+netpbm P6, and ``decode_png_features`` implements a genuine PNG decoder
+(CRC-verified chunk walk, zlib inflate, all five scanline filters) with
+nothing beyond the stdlib — so the compressed-format path is exercised
+end-to-end. Only JPEG (DCT) stays STUBBED (``decode_image_features``,
+documented below): it is not stdlib-implementable. Everything around the
+stub — schema, batch iteration, partition behavior, metadata extraction —
+is real and tested; swapping it for Pillow/cv2 is a one-function change.
 
 Scale posture: binary payloads dominate row size, so these operators
 (a) select only the columns they need (no payload dragging through later
@@ -382,4 +386,245 @@ def decode_ppm_features(multimodal: DataFrame) -> DataFrame:
 
     return multimodal.select("doc_id", "payload").mapInPandas(
         extract, schema=PPM_FEATURE_SCHEMA
+    )
+
+
+# --- REAL compressed image codec (stdlib zlib PNG) ---------------------------
+#
+# PNG is the first COMPRESSED format in the multimodal suite: the payload
+# bytes are a genuine PNG file (signature, CRC-verified chunks, deflate
+# IDAT) that any image viewer opens. The encoder deliberately cycles the
+# five PNG scanline filters (None/Sub/Up/Average/Paeth, row r uses r % 5)
+# so the decoder's filter-reconstruction path is exercised on every image —
+# a decoder that skipped unfiltering would produce wrong pixel statistics
+# and fail the DuckDB oracle, which recomputes the statistics from the
+# synthesis formula. JPEG (DCT) remains behind the decode_image_features
+# stub seam: it is not implementable with the stdlib.
+
+PNG_DECODER_AVAILABLE = True  # stdlib zlib + struct — no libraries required
+
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("color_type", T.LongType()),
+        T.StructField("n_subpixels", T.LongType()),
+        T.StructField("sum_pix", T.LongType()),
+        T.StructField("max_pix", T.LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """Deterministic dims (distinct from the PPM formula so the two image
+    oracles are independent): width 3..8, height 2..8."""
+    return 3 + doc_id % 6, 2 + n_chars % 7
+
+
+def _png_pixels(doc_id: int, n_subpixels: int) -> bytes:
+    """Deterministic RGB bytes: subpixel[k] = (doc_id*11 + k*17) % 256."""
+    import numpy as np
+
+    k = np.arange(n_subpixels, dtype=np.int64)
+    return bytes(((doc_id * 11 + k * 17) % 256).astype(np.uint8))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_line(ft: int, line: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Forward filter (encode direction) per the PNG spec, byte-wise mod 256."""
+    out = bytearray(len(line))
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            out[i] = x
+        elif ft == 1:
+            out[i] = (x - a) % 256
+        elif ft == 2:
+            out[i] = (x - b) % 256
+        elif ft == 3:
+            out[i] = (x - (a + b) // 2) % 256
+        else:
+            out[i] = (x - _paeth(a, b, c)) % 256
+    return bytes(out)
+
+
+def _png_unfilter_line(ft: int, line: bytearray, prev: bytes, bpp: int = 3) -> None:
+    """Inverse filter (decode direction), in place. `a`/`c` read the
+    already-RECONSTRUCTED bytes, per spec."""
+    if ft > 4:
+        raise ValueError(f"invalid PNG filter type {ft}")
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 1:
+            line[i] = (line[i] + a) % 256
+        elif ft == 2:
+            line[i] = (line[i] + b) % 256
+        elif ft == 3:
+            line[i] = (line[i] + (a + b) // 2) % 256
+        elif ft == 4:
+            line[i] = (line[i] + _paeth(a, b, c)) % 256
+
+
+def png_encode_rgb8(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB bytes as a spec-complete truecolor 8-bit PNG:
+    signature + IHDR + one deflate IDAT + IEND, CRC32 on every chunk.
+    Scanline r uses filter type r % 5 — all five spec filters appear in
+    any image with ≥ 5 rows."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for r in range(height):
+        line = rgb[r * stride : (r + 1) * stride]
+        ft = r % 5
+        raw += bytes([ft]) + _png_filter_line(ft, line, prev)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_rgb8(raw: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a truecolor 8-bit non-interlaced PNG from its actual bytes:
+    verify the signature and every chunk CRC, walk the chunk stream,
+    inflate the concatenated IDATs and reconstruct each scanline through
+    its filter. Returns (width, height, bit_depth, color_type, rgb_plane).
+    Anything the decoder cannot prove it parsed correctly raises."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(raw):
+        (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype, comp, filt, inter = ihdr
+    if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "decoder handles truecolor 8-bit non-interlaced PNG only "
+            f"(got depth={depth} color={ctype} interlace={inter})"
+        )
+    plane = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(plane) != height * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        base = r * (1 + stride)
+        line = bytearray(plane[base + 1 : base + 1 + stride])
+        _png_unfilter_line(plane[base], line, prev)
+        out += line
+        prev = bytes(line)
+    return width, height, depth, ctype, bytes(out)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL PNG payload per document (deterministic dims and
+    RGB formula above). Same mapInPandas batch shape as the WAV/PPM
+    encoders; payload bytes are a complete, viewer-openable PNG file."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = _png_dims(int(doc_id), int(n_chars))
+                payloads.append(png_encode_rgb8(w, h, _png_pixels(int(doc_id), w * h * 3)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).mapInPandas(encode, schema=out_schema)
+
+
+def decode_png_features(multimodal: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: full PNG parse (signature, CRC-checked
+    chunks, inflate, per-scanline filter reconstruction) and exact integer
+    pixel statistics over the reconstructed plane."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, depth, ctype, rgb = png_decode_rgb8(bytes(payload))
+                plane = np.frombuffer(rgb, dtype=np.uint8)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        depth,
+                        ctype,
+                        w * h * 3,
+                        int(plane.sum(dtype=np.int64)),
+                        int(plane.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_FEATURE_SCHEMA])
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        extract, schema=PNG_FEATURE_SCHEMA
     )

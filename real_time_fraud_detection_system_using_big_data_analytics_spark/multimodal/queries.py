@@ -104,21 +104,66 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions + exact integer pixel statistics, which the oracle
     recomputes from the synthesis formula in SQL. Together with the WAV
     path above, both audio AND image modalities now have real codecs in
-    a container without PIL/cv2; only *compressed* formats (JPEG/PNG)
-    remain behind the documented stub seam."""
+    a container without PIL/cv2; compressed formats are covered by the
+    stdlib PNG codec below, leaving only JPEG (DCT) behind the documented
+    stub seam."""
     from .codec import attach_ppm_payload, decode_ppm_features
 
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     return decode_ppm_features(attach_ppm_payload(d))
 
 
+@register(
+    "multimodal_image_decode_png",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             3 + doc_id % 6 AS width,
+             2 + length(text) % 7 AS height
+      FROM documents
+    ), sub AS (
+      SELECT p.doc_id, p.width, p.height,
+             (p.doc_id * 11 + k.k * 17) % 256 AS pix
+      FROM params p CROSS JOIN (SELECT unnest(generate_series(0, 191)) AS k) k
+      WHERE k.k < p.width * p.height * 3
+    )
+    SELECT doc_id,
+           CAST(MAX(width) AS BIGINT) AS width,
+           CAST(MAX(height) AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(MAX(width * height * 3) AS BIGINT) AS n_subpixels,
+           CAST(SUM(pix) AS BIGINT) AS sum_pix,
+           CAST(MAX(pix) AS BIGINT) AS max_pix
+    FROM sub GROUP BY doc_id
+    """,
+)
+def multimodal_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode, fully oracle-checked: each document
+    gets a genuine PNG payload built with stdlib zlib/struct (signature,
+    CRC32-verified chunks, deflate IDAT; the encoder cycles all five PNG
+    scanline filters so the decoder's filter reconstruction is exercised
+    on every image). The query parses the actual PNG bytes back —
+    signature, chunk walk, CRC verification, inflate, per-scanline
+    unfilter — and emits header fields + exact integer pixel statistics,
+    which the oracle recomputes from the synthesis formula in SQL. A bug
+    anywhere in the compression loop (chunk layout, CRC, filter math,
+    scanline stride) surfaces as a value mismatch. This closes the
+    compressed-format seam; only JPEG (DCT, not stdlib-implementable)
+    remains stubbed."""
+    from .codec import attach_png_payload, decode_png_features
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return decode_png_features(attach_png_payload(d))
+
+
 @register("multimodal_stub_features")  # sha-stub decoder exhibit: rows-only
 def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented decode SEAM for COMPRESSED formats
     (codec.decode_image_features): Arrow-batched feature extraction whose
-    decode step is a deterministic sha256 stand-in because JPEG/PNG
-    libraries don't exist in this container. Rows-only check — sha-derived
-    floats aren't SQL-reproducible; the WAV and PPM paths above are the
+    decode step is a deterministic sha256 stand-in because JPEG (DCT)
+    can't be decoded with the stdlib. Rows-only check — sha-derived
+    floats aren't SQL-reproducible; the WAV, PPM and PNG paths are the
     value-checked real decoders."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     feats = decode_image_features(attach_binary_payload(d))

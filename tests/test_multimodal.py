@@ -133,3 +133,66 @@ def test_ppm_payload_is_real_p6_and_decodes(spark):
         assert f["n_subpixels"] == n
         assert f["sum_pix"] == sum(expect)
         assert f["max_pix"] == max(expect)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-codec check: encode->decode is identity for dims that exercise
+    every scanline filter (h >= 5 covers None/Sub/Up/Average/Paeth), and a
+    corrupted chunk CRC is rejected."""
+    import itertools
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        _png_pixels,
+        png_decode_rgb8,
+        png_encode_rgb8,
+    )
+
+    for w, h in itertools.product([1, 3, 8], [1, 2, 5, 8]):
+        rgb = _png_pixels(12345, w * h * 3)
+        got = png_decode_rgb8(png_encode_rgb8(w, h, rgb))
+        assert got[:4] == (w, h, 8, 2)
+        assert got[4] == rgb
+
+    corrupted = bytearray(png_encode_rgb8(4, 5, _png_pixels(1, 60)))
+    corrupted[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode_rgb8(bytes(corrupted))
+
+
+def test_png_payload_is_real_png_and_decodes(spark):
+    """The PNG path must produce spec-complete PNG bytes (signature, IHDR,
+    zlib IDAT) and the decoded stats must equal the synthesis formula."""
+    import struct
+    import zlib
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        attach_png_payload,
+        decode_png_features,
+    )
+
+    d = _docs(spark).filter(F.col("doc_id") < 5)
+    mm = attach_png_payload(d)
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for r in mm.collect():
+        payload = bytes(r["payload"])
+        assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+        w, h, depth, ctype = struct.unpack(">IIBB", payload[16:26])
+        assert w == 3 + r["doc_id"] % 6
+        assert h == 2 + len(texts[r["doc_id"]]) % 7
+        assert (depth, ctype) == (8, 2)
+        # IDAT inflates to h scanlines of 1 filter byte + w*3 pixels
+        idat_len = struct.unpack(">I", payload[33:37])[0]
+        assert payload[37:41] == b"IDAT"
+        plane = zlib.decompress(payload[41 : 41 + idat_len])
+        assert len(plane) == h * (1 + w * 3)
+
+    feats = {r["doc_id"]: r for r in decode_png_features(mm).collect()}
+    for doc_id, f in feats.items():
+        w, h = 3 + doc_id % 6, 2 + len(texts[doc_id]) % 7
+        n = w * h * 3
+        expect = [(doc_id * 11 + k * 17) % 256 for k in range(n)]
+        assert f["width"] == w and f["height"] == h
+        assert (f["bit_depth"], f["color_type"]) == (8, 2)
+        assert f["n_subpixels"] == n
+        assert f["sum_pix"] == sum(expect)
+        assert f["max_pix"] == max(expect)

@@ -282,6 +282,18 @@ def test_pagerank_topk_is_take_ordered(spark):
     assert_in_plan(df, "TakeOrderedAndProject")
 
 
+def test_pagerank_edges_materialized_once(spark):
+    """The persisted edge list must actually be HIT: every iteration reads
+    the InMemoryRelation instead of replaying the fact-table join (the
+    iterative-plan recomputation trap). 3 iterations × (contrib join +
+    nothing else touching edges) → ≥ 3 InMemoryTableScan occurrences, and
+    the lineitem/orders fact join must appear at most once outside the
+    cached subtree."""
+    df = registry.QUERIES["graph_pagerank_bipartite"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """When the dim side is too big to broadcast, Spark injects a runtime
     bloom filter built from the selective dim keys into the fact scan —

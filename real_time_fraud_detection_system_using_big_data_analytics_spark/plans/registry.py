@@ -65,6 +65,7 @@ def load_all() -> None:
         skew,
         text,
         tpch,
+        tpch2,
         udf_surface,
         warehouse,
         windows,

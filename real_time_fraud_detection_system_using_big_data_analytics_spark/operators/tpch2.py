@@ -401,9 +401,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
     OR-ed brand/size/quantity brackets across the part join. The join key
     stays the plain equi-join on p_partkey with the disjunction as a
-    post-join filter — Catalyst still broadcasts the part side, and the
-    quantity bounds (l_quantity BETWEEN 1 AND 30 across all brackets) are
-    derivable scan predicates. Revenue in BIGINT cents."""
+    post-join filter — Catalyst broadcasts the part side. The enclosing
+    quantity bound (l_quantity BETWEEN 1 AND 30, implied by the union of
+    the brackets) is applied EXPLICITLY before the join: Catalyst does not
+    infer range bounds out of a disjunction, and at 100 TB that redundant
+    conjunct is what lets the parquet scan prune row groups instead of
+    reading all of lineitem. Revenue in BIGINT cents."""
     t = load_tables(spark, sf_dir, names=("lineitem", "part"))
     bracket = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
@@ -416,6 +419,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["lineitem"]
+        .filter(F.col("l_quantity").between(1, 30))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .filter(bracket)
         .agg(

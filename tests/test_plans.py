@@ -541,3 +541,35 @@ def test_incremental_merge_unions_partial_states(spark):
     plan = plan_string(df)
     assert "Union" in plan
     assert "PushedFilters" in plan
+
+
+def test_q2_rank_filter_has_partial_group_limit(spark):
+    """Q2's min-cost-supplier rank filter must cut each partition to one
+    row per part below the exchange (partial WindowGroupLimit), and the
+    dimension chain must broadcast — no SortMergeJoin anywhere."""
+    df = registry.QUERIES["q2_min_cost_supplier"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "row_number(), 1, Partial" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q19_quantity_bound_reaches_scan(spark):
+    """The explicit enclosing quantity bound (BETWEEN 1 AND 30, implied by
+    the OR brackets) must be pushed to the lineitem parquet scan — without
+    it the disjunction forces a full read."""
+    df = registry.QUERIES["q19_discounted_revenue"](spark, SF)
+    plan = plan_string(df)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_quantity" in pushed, plan
+
+
+def test_q21_exists_pair_is_one_aggregate_plus_semi(spark):
+    """Q21's EXISTS/NOT-EXISTS double correlation must compile to the
+    aggregate-then-semi-join form: one per-order aggregate and a LeftSemi
+    probe — never a per-row correlated re-scan (no cartesian, no
+    nested-loop on the fact side)."""
+    df = registry.QUERIES["q21_waiting_suppliers"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -120,6 +120,11 @@ HEADLINE = [
     "sql_recursive_reachability",
     "fraud_benford_digit_test",
     "timeseries_downsample_last",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "multimodal_image_decode_png",
 ]
 
 

@@ -557,3 +557,62 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM words WHERE length(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair,
+             cnt
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS merge_count
+    FROM pairs GROUP BY pair
+    ORDER BY merge_count DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: corpus-weighted adjacent-symbol pair
+    counts (characters as the initial symbol alphabet), top-20 candidates
+    by count with a lexicographic tiebreak — the argmax row is the pair a
+    BPE trainer would merge next.
+
+    Plan shape is the tokenizer-training trick that makes BPE feasible at
+    corpus scale: the pair expansion runs over the DISTINCT-WORD relation
+    (vocabulary-sized, ≪ corpus) carrying each word's frequency, never
+    over the raw token stream. Two shuffles total — word counts, then
+    pair counts — and the top-20 compiles to TakeOrderedAndProject.
+    Single-char words are excluded on both sides (they contribute no
+    pairs; and Spark's sequence(1, 0) would generate a DESCENDING range
+    rather than an empty one — an engine-semantics trap the length guard
+    sidesteps)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    wc = (
+        fan_out(d)
+        .select(F.explode(_tokens()).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(20)
+    )

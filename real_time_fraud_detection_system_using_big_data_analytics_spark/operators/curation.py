@@ -238,3 +238,92 @@ def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
     )
+
+
+# The CC subquery reuses the registered LSH-pairs oracle (same pattern as
+# dedup_cluster_keep_canonical); .format splices it plus the threshold.
+_LEAKAGE_ORACLE = """
+    WITH cc AS (
+      SELECT doc_id, cluster_id FROM (
+        WITH RECURSIVE
+        cand AS (
+          SELECT doc_a, doc_b FROM ({lsh}) WHERE est_jaccard >= {thr}
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS t FROM cand
+          UNION ALL
+          SELECT doc_b, doc_a FROM cand
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+          WHERE r.lbl < e.t
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+      )
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN md5(CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR))
+                       < '19999999999999999999999999999999' THEN 'validation'
+                  WHEN md5(CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR))
+                       < '33333333333333333333333333333333' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM assigned GROUP BY split
+    """
+
+
+from ..plans.registry import ORACLE as _REGISTERED_ORACLE  # noqa: E402
+from .dedup import _CC_THRESHOLD  # noqa: E402
+
+
+@register(
+    "curation_leakage_safe_split",
+    oracle=_LEAKAGE_ORACLE.format(
+        lsh=_REGISTERED_ORACLE["dedup_minhash_lsh_pairs"], thr=_CC_THRESHOLD
+    ),
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation/test split: the split key is the
+    document's NEAR-DUP CLUSTER id (LSH → connected components; singleton
+    docs are their own cluster), hashed with the same md5-hex boundaries
+    as split_by_hash. Splitting by doc_id lets near-duplicates of a
+    training doc land in the eval split — the classic train/test
+    contamination channel; hashing the cluster id pins every member of a
+    cluster to the SAME split by construction. Reports per-split document
+    and cluster counts.
+
+    Scale posture: the CC label table is pair-participant-sized (≪ corpus)
+    and joins LEFT onto documents without a hint (AQE broadcasts while it
+    fits — same rationale as dedup_cluster_keep_canonical); everything
+    after the join is one partial-agg pass. At 100 TB the cluster ids
+    would be materialized once per dedup run and reused by every split."""
+    from .dedup import dedup_cluster_connected_components
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    cc = dedup_cluster_connected_components(spark, sf_dir)
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    h = F.md5(cluster.cast("string"))
+    split = (
+        F.when(h < "19999999999999999999999999999999", "validation")
+        .when(h < "33333333333333333333333333333333", "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(split.alias("split"), cluster.alias("cluster_id"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+    )

@@ -246,7 +246,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes are bounded by the LSH design, so the in-bucket expansion is
     quadratic only in a small constant. Duplicate candidates from
     multi-band collisions carry identical estimates, so one ``distinct``
-    dedups them."""
+    dedups them.
+
+    A/B vs the pre-391b009 self-join formulation (tests/ab_lsh_pairs.py,
+    idle box, sf0.1, interleaved min-of-5): 1.260 s vs 1.248 s — a
+    statistical tie at this scale; the round-to-round bench swings on this
+    line (0.82 s → 1.63 s) were host noise, not the rewrite. The bucket
+    form is kept for its scale posture: one signature-pipeline execution
+    instead of two (Spark reuses no exchange across a self-join)."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     sigs = _signatures_spark(d)
     band_arr = F.array(

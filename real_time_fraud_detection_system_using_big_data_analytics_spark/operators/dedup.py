@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import q
+from ..functions.scalars import q, q_sql
 from ..plans.registry import register
 from ..sources.tables import fan_out, load_tables
 
@@ -673,4 +673,81 @@ def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_kept"),
         )
+    )
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS wh
+      FROM toks, unnest(generate_series(1, len(t) - 7, 4)) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    shared AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT w.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN s.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM wins w LEFT JOIN shared s ON s.wh = w.wh
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_windows, n_shared,
+           {q_sql("CAST(n_shared AS DOUBLE) / n_windows")} AS dup_ratio
+    FROM per_doc WHERE n_shared > 0
+    """,
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection — exact SUBSTRING-level dedup signal:
+    8-token sliding windows (stride 4) hashed per document; a window is
+    'shared' when its hash occurs in ≥ 2 distinct documents, and each
+    affected doc reports its shared-window fraction (the curation signal
+    for cross-document boilerplate/quotation that document-level MinHash
+    misses when only a passage, not the doc, is duplicated).
+
+    Plan: windows come from one in-row sequence explode (stride 4 bounds
+    the expansion at ~n_tokens/4 rows per doc); the shared-hash relation
+    is built by ONE groupBy with a distinct-doc count and joined back
+    LEFT — no hint, since repeated-passage cardinality approaches corpus
+    scale exactly on the dup-heavy corpora where this operator matters
+    (AQE broadcasts while small). Docs shorter than 8 tokens are excluded
+    on both engines before the sequence is built (Spark's sequence with a
+    positive step errors on an inverted range)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = fan_out(d).select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(t) - 7, 4)")).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("i"), 8), " ")).alias("wh"),
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("__shared"))
+    )
+    per_doc = (
+        wins.join(shared, "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0))).cast("long").alias("n_shared"),
+        )
+    )
+    return per_doc.filter(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_windows",
+        "n_shared",
+        q(F.col("n_shared").cast("double") / F.col("n_windows")).alias("dup_ratio"),
     )

@@ -341,3 +341,43 @@ def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "etl_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round trip, value-checked: the events table is
+    written as ORC (Spark's second first-class columnar format — common
+    when interoperating with Hive/Trino warehouses) and read back; the
+    aggregate over the read-back rows must match the oracle's aggregate
+    over the ORIGINAL parquet, pinning that timestamps (ORC stores
+    UTC-adjusted nanos), doubles, and strings all survive the format hop.
+
+    Same posture as a parquet scan at 100 TB: columnar pruning, predicate
+    pushdown and vectorized read all apply to ORC (spark.sql.orc.*
+    defaults); the round trip is the migration-path check a warehouse
+    switching formats runs first."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    path = _scratch("orc_rt")
+    events.write.mode("overwrite").orc(path)
+    back = spark.read.schema(events.schema).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("total_value_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

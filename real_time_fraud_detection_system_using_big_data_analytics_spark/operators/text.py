@@ -616,3 +616,50 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("merge_count").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_count_sql('en')} AS s_en,
+             {_marker_count_sql('es')} AS s_es,
+             {_marker_count_sql('de')} AS s_de,
+             {_marker_count_sql('fr')} AS s_fr,
+             {_marker_count_sql('zh')} AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS gold_lang,
+             CASE GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+               WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+               WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+      FROM scores
+    )
+    SELECT gold_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY gold_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-classifier evaluation over corpus metadata: the lang-id
+    prediction (same argmax + tie order as text_lang_id) cross-tabulated
+    against the gold `lang` column — the confusion matrix a curation run
+    publishes before trusting a cheap classifier to route documents. One
+    map-side scoring pass + one partial agg on the tiny (gold, pred) key
+    domain; no shuffle carries document text."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    scores = {lang: _marker_count_spark(lang) for lang in _MARKERS}
+    top = F.greatest(*scores.values())
+    pred = (
+        F.when(top == scores["en"], "en")
+        .when(top == scores["es"], "es")
+        .when(top == scores["de"], "de")
+        .when(top == scores["fr"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        d.select(F.col("lang").alias("gold_lang"), pred.alias("predicted_lang"))
+        .groupBy("gold_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

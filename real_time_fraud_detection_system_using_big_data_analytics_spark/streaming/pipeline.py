@@ -18,7 +18,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import q, q_sql
@@ -339,3 +339,47 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT window_start, event_type, n, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-3 event types per 1-hour tumbling window. The
+    INCREMENTAL part — per-(window, type) counts under a watermark — runs
+    as a genuine streaming aggregation; the rank runs on the materialized
+    aggregate (windows × types rows, tiny), because Structured Streaming
+    forbids non-time window functions inside a streaming query — the
+    standard production split: stream maintains the heavy state, the
+    downstream rank touches only the aggregate. Count ties broken by
+    event_type so the top-3 set is deterministic cross-engine."""
+    stream = events_file_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    counts = _run_to_memory(agg, spark)
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("window_start", "event_type", "n", "rn")
+    )

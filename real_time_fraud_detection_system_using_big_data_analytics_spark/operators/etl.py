@@ -381,3 +381,70 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "etl_schema_evolution_union",
+    oracle="""
+    WITH unified AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 2 = 0 THEN value ELSE NULL END AS value,
+             CASE WHEN event_id % 2 = 1 THEN event_type ELSE NULL END AS event_type
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_value,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_event_type,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0.0) * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM unified
+    """,
+)
+def etl_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same dataset
+    — an old writer without `event_type`, a new writer without `value` —
+    land under one root; `mergeSchema=true` reconciles them into the union
+    schema with NULLs where a generation lacks the column. The aggregate
+    (row count, per-column null counts, cents total, type cardinality) is
+    value-checked against a CASE reconstruction over the original table,
+    so a column misalignment or silent drop in the merged read surfaces
+    as a value mismatch.
+
+    At 100 TB schema evolution is the steady state (producers upgrade at
+    different times); the merged-footer read costs one extra footer pass —
+    never a rewrite — and readers pin the SUPERSET schema explicitly once
+    it stabilizes (mergeSchema is a discovery tool, not a steady-state
+    config)."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    base = _scratch("schema_evo")
+    (
+        events.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite")
+        .parquet(f"{base}/gen=old")
+    )
+    (
+        events.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite")
+        .parquet(f"{base}/gen=new")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=old", f"{base}/gen=new"
+    )
+    return merged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_value"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_event_type"),
+        F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )

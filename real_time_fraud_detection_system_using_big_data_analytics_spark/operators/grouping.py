@@ -9,9 +9,10 @@ the grouping set at the map side so no extra pass over the input is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import q
 from ..plans.registry import register
 from ..sources.tables import load_tables
 
@@ -589,3 +590,141 @@ def timeseries_downsample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 2).alias("avg_value"),
         )
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*) + 0.5) AS BIGINT) AS mean_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM hourly
+    ),
+    spine AS (
+      SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS h
+      ) g
+    ),
+    joined AS (
+      SELECT s.event_type, s.hour,
+             CAST(epoch(s.hour) AS BIGINT) AS h_epoch,
+             hy.mean_cents
+      FROM spine s LEFT JOIN hourly hy
+        ON hy.event_type = s.event_type AND hy.hour = s.hour
+    ),
+    ctx AS (
+      SELECT event_type, hour, h_epoch, mean_cents,
+             MAX(CASE WHEN mean_cents IS NOT NULL
+                      THEN h_epoch * 10000000 + mean_cents END)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_pack,
+             MIN(CASE WHEN mean_cents IS NOT NULL
+                      THEN h_epoch * 10000000 + mean_cents END)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pack
+      FROM joined
+    )
+    SELECT event_type, hour,
+           CASE WHEN mean_cents IS NOT NULL THEN 'observed'
+                WHEN prev_pack IS NOT NULL AND next_pack IS NOT NULL THEN 'interpolated'
+                ELSE 'edge' END AS src,
+           (FLOOR((CASE
+              WHEN mean_cents IS NOT NULL THEN CAST(mean_cents AS DOUBLE) / 100.0
+              WHEN prev_pack IS NOT NULL AND next_pack IS NOT NULL THEN
+                (CAST(prev_pack % 10000000 AS DOUBLE)
+                 + CAST(next_pack % 10000000 - prev_pack % 10000000 AS DOUBLE)
+                   * (CAST(h_epoch - prev_pack // 10000000 AS DOUBLE)
+                      / CAST(next_pack // 10000000 - prev_pack // 10000000 AS DOUBLE)))
+                / 100.0
+              ELSE NULL END) * 10000.0 + 0.5) / 10000.0) AS v
+    FROM ctx
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a densified per-type hourly series: the
+    gapfill spine marks silent hours, then each interior gap is filled by
+    the straight line between the nearest observed hourly means on either
+    side (edges stay NULL — extrapolation is a modeling choice, not a
+    resample). The resample primitive for sensor/metric pipelines.
+
+    Cross-engine determinism is the interesting part: 'previous/next
+    observed value' is carried as ONE BIGINT — h_epoch·1e7 + mean_cents —
+    under MAX/MIN window aggregates (which skip NULLs identically in both
+    engines and are monotone in the hour component), so no IGNORE NULLS
+    dialect divergence is involved; the interpolation itself is the same
+    double expression over the same unpacked integers on both sides,
+    quantized with q(). The hourly mean is integer cents (floor(x+0.5) of
+    an exact integer-ratio double), never AVG(double).
+
+    Scale: the spine is hours×types (tiny, broadcast); the fact side
+    aggregates to hourly rows before any window; the two packed windows
+    run on the densified frame — rows = hours×types, not events."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count("*")
+            + 0.5
+        )
+        .cast("long")
+        .alias("mean_cents")
+    )
+    bounds = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine_hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(spine_hours))
+    joined = spine.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "h_epoch", F.unix_timestamp("hour").cast("long")
+    )
+    pack = F.when(
+        F.col("mean_cents").isNotNull(),
+        F.col("h_epoch") * 10000000 + F.col("mean_cents"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ctx = joined.withColumn("prev_pack", F.max(pack).over(w_prev)).withColumn(
+        "next_pack", F.min(pack).over(w_next)
+    )
+    prev_h = F.floor(F.col("prev_pack") / 10000000).cast("long")
+    next_h = F.floor(F.col("next_pack") / 10000000).cast("long")
+    prev_c = F.col("prev_pack") % 10000000
+    next_c = F.col("next_pack") % 10000000
+    interp = (
+        prev_c.cast("double")
+        + (next_c - prev_c).cast("double")
+        * ((F.col("h_epoch") - prev_h).cast("double") / (next_h - prev_h).cast("double"))
+    ) / 100.0
+    has_both = F.col("prev_pack").isNotNull() & F.col("next_pack").isNotNull()
+    src = (
+        F.when(F.col("mean_cents").isNotNull(), "observed")
+        .when(has_both, "interpolated")
+        .otherwise("edge")
+    )
+    v = (
+        F.when(F.col("mean_cents").isNotNull(), F.col("mean_cents").cast("double") / 100.0)
+        .when(has_both, interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select("event_type", "hour", src.alias("src"), q(v).alias("v"))

@@ -659,3 +659,367 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# --- Product quantization (PQ) with ADC scoring ------------------------------
+#
+# The remaining classic ANN family: split the vector into PQ_M subspaces,
+# train a tiny codebook per subspace (deterministic Lloyd, same recipe as
+# the coarse quantizer above), encode each corpus vector as PQ_M small
+# code ids, and score queries with Asymmetric Distance Computation — a
+# per-query lookup table of query↔centroid subdistances, so scoring a
+# corpus vector costs PQ_M table lookups instead of a full dim-wide dot.
+# Memory is the point at 100 TB: 64 floats (256 B) become PQ_M=4 bytes per
+# vector, and the ADC cross stays map-side (broadcast queries carry their
+# LUT; the partial WindowGroupLimit cuts the shuffle exactly as in
+# ann_bruteforce_topk).
+#
+# PQ_DIM is pinned to the testdata's embedding width (the PPM/Q oracles
+# hardcode their bounds the same way); fit_pq_codebooks raises on drift
+# rather than silently mis-slicing.
+
+PQ_M = 4
+PQ_KSUB = 8
+PQ_DIM = 64
+PQ_SUBDIM = PQ_DIM // PQ_M
+PQ_ITER = 1
+
+
+def _pq_sub(col: Column, m: int) -> Column:
+    return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _pq_candidates(codebook: list[list[float]], sub: Column) -> Column:
+    """(dist, cid) structs for one subspace codebook over ``sub`` — the
+    same flat-literal + dot-identity machinery as _candidates, on the
+    subspace slice."""
+    k, dim = len(codebook), len(codebook[0])
+    flat = F.lit(np.array([v for c in codebook for v in c], dtype=np.float64))
+    cc = F.lit(np.array([_seq_dot(c, c) for c in codebook], dtype=np.float64))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            (
+                _fold_dot(sub, sub)
+                - 2 * _fold_dot(sub, F.slice(flat, i * dim + 1, dim))
+                + F.element_at(cc, i + 1)
+            ).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+
+
+def fit_pq_codebooks(vecs: DataFrame) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd fit (PQ_M codebooks × PQ_KSUB
+    centroids). ONE pass per iteration trains ALL subspaces: the PQ_M
+    in-row argmins ride the same scan, and the mean recompute is a single
+    (pos, cid-of-that-subspace) partial aggregate over one posexplode —
+    subspace independence fused into one shuffle, not PQ_M jobs."""
+    dim = len(vecs.select("e").first()["e"])
+    if dim != PQ_DIM:
+        raise ValueError(f"PQ is pinned to dim={PQ_DIM}, got {dim}")
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(PQ_KSUB)
+        .select(F.transform("e", lambda x: q(x, _CROUND)).alias("c"))
+        .collect()
+    )
+    books = [
+        [list(r["c"])[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in seeds]
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITER):
+        cids = F.array(
+            *[
+                F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
+                for m in range(PQ_M)
+            ]
+        )
+        assigned = vecs.select("vec_id", "e", cids.alias("cids"))
+        means = (
+            assigned.select("cids", F.posexplode("e").alias("pos", "x"))
+            .withColumn("m", F.floor(F.col("pos") / PQ_SUBDIM).cast("int"))
+            .withColumn("cid", F.element_at("cids", F.col("m") + 1))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .groupBy("m", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "m",
+                "cid",
+                F.transform("pm", lambda s: q(s["mean"], _CROUND)).alias("c"),
+            )
+            .collect()
+        )
+        fitted = {(r["m"], r["cid"]): list(r["c"]) for r in means}
+        books = [
+            [fitted.get((m, k), books[m][k]) for k in range(PQ_KSUB)]
+            for m in range(PQ_M)
+        ]
+    return books
+
+
+_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def fitted_pq(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Build/probe split, same rationale as fitted_centroids."""
+    if sf_dir not in _PQ_CACHE:
+        vecs = _prepare_vecs(spark, sf_dir)
+        _PQ_CACHE[sf_dir] = fit_pq_codebooks(vecs)
+        vecs.unpersist()
+    return _PQ_CACHE[sf_dir]
+
+
+def _pq_slice_sql(expr: str, m: int) -> str:
+    return f"{expr}[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"
+
+
+def _pq_dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})"
+    )
+
+
+def _pq_chain_sql() -> str:
+    """WITH-prefix shared by the PQ oracles: per-subspace
+    seed/assign/recompute chains, corpus encoding, query set, and the
+    ADC-scored ranking CTE."""
+    sql = """
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""
+    for m in range(PQ_M):
+        sv = _pq_slice_sql("e", m)
+        sql += f"""
+    , vecs_{m} AS (SELECT vec_id, {sv} AS sv FROM vecs)
+    , seeds_{m} AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, sv
+        FROM vecs_{m} ORDER BY vec_id LIMIT {PQ_KSUB}
+    )
+    , c0_{m} AS (
+        SELECT cid, list_transform(sv, x -> {q_sql("x", _CROUND)}) AS cvec
+        FROM seeds_{m}
+    )"""
+        cent = f"c0_{m}"
+        for it in range(PQ_ITER):
+            dist = _pq_dist_sql("v.sv", "c.cvec")
+            sql += f"""
+    , a{it}_{m} AS (
+        SELECT vec_id, sv, cid FROM (
+          SELECT v.vec_id, v.sv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {dist}, c.cid) AS rn
+          FROM vecs_{m} v CROSS JOIN {cent} c
+        ) WHERE rn = 1
+    )
+    , c{it + 1}_{m}_m AS (
+        SELECT a.cid, i.i AS pos, {q_sql("AVG(a.sv[i.i])", _CROUND)} AS mn
+        FROM a{it}_{m} a CROSS JOIN (
+          SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i
+        ) i
+        GROUP BY a.cid, i.i
+    )
+    , c{it + 1}_{m}_new AS (
+        SELECT cid, list(mn ORDER BY pos) AS cvec FROM c{it + 1}_{m}_m GROUP BY cid
+    )
+    , c{it + 1}_{m} AS (
+        SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+        FROM {cent} p LEFT JOIN c{it + 1}_{m}_new n ON n.cid = p.cid
+    )"""
+            cent = f"c{it + 1}_{m}"
+        dist = _pq_dist_sql("v.sv", "c.cvec")
+        sql += f"""
+    , codes_{m} AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {dist}, c.cid) AS rn
+          FROM vecs_{m} v CROSS JOIN {cent} c
+        ) WHERE rn = 1
+    )"""
+    joins = " ".join(
+        f"JOIN codes_{m} k{m} ON k{m}.vec_id = x.vec_id" for m in range(1, PQ_M)
+    )
+    cent_joins = " ".join(
+        f"JOIN c{PQ_ITER}_{m} f{m} ON f{m}.cid = x.cid{m}" for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        _pq_dist_sql(_pq_slice_sql("q.e", m), f"f{m}.cvec") for m in range(PQ_M)
+    )
+    sql += f"""
+    , codes AS (
+        SELECT x.vec_id, {", ".join(f"k{m}.cid AS cid{m}" if m else "x.cid AS cid0" for m in range(PQ_M))}
+        FROM codes_0 x {joins}
+    )
+    , queries AS (
+        SELECT vec_id AS q_id, e FROM vecs WHERE vec_id % 100 = 0
+    )
+    , scored AS (
+        SELECT q.q_id, x.vec_id, {adc} AS adc,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {adc}, x.vec_id) AS rn
+        FROM queries q CROSS JOIN codes x {cent_joins}
+        WHERE x.vec_id <> q.q_id
+    )"""
+    return sql
+
+
+def _pq_oracle() -> str:
+    return (
+        _pq_chain_sql()
+        + f"""
+    SELECT q_id, vec_id, {q_sql("adc")} AS adc, rn
+    FROM scored WHERE rn <= 5
+    """
+    )
+
+
+def _pq_recall_oracle() -> str:
+    exact_dist = _pq_dist_sql("q.e", "v.e")
+    return (
+        _pq_chain_sql()
+        + f"""
+    , exact3 AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.q_id, v.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                    ORDER BY {exact_dist}, v.vec_id) AS rn
+          FROM queries q JOIN vecs v ON v.vec_id <> q.q_id
+        ) WHERE rn <= 3
+    ),
+    pq3 AS (SELECT q_id, vec_id FROM scored WHERE rn <= 3)
+    SELECT 'pq_adc' AS method,
+           CAST(COUNT(DISTINCT p.q_id) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_3
+    FROM pq3 p LEFT JOIN exact3 e
+      ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+    """
+    )
+
+
+def _pq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, adc_raw, rn): the shared PQ-ADC ranking plan —
+    corpus codes × broadcast queries-with-LUT, ranked per query."""
+    books = fitted_pq(spark, sf_dir)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    vecs = fan_out(base).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    codes = F.array(
+        *[
+            F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
+            for m in range(PQ_M)
+        ]
+    )
+    corpus = vecs.select("vec_id", codes.alias("codes"))
+    lut = F.array(
+        *[
+            (
+                _fold_dot(_pq_sub(F.col("qe"), m), _pq_sub(F.col("qe"), m))
+                - 2
+                * _fold_dot(
+                    _pq_sub(F.col("qe"), m),
+                    F.lit(np.array(books[m][k], dtype=np.float64)),
+                )
+                + F.lit(_seq_dot(books[m][k], books[m][k]))
+            )
+            for m in range(PQ_M)
+            for k in range(PQ_KSUB)
+        ]
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+        .select("q_id", lut.alias("lut"))
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"),
+            (F.lit(m * PQ_KSUB) + F.element_at("codes", m + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_raw").asc(), F.col("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc_raw"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+@register("ann_pq_adc", oracle=_pq_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC approximate top-5: corpus vectors carry only their PQ_M
+    code ids; each broadcast query carries its LUT (query↔centroid
+    subdistances, PQ_M × PQ_KSUB doubles computed once per query), and
+    the per-pair score is PQ_M array lookups — never a dim-wide dot.
+    Rank filter compiles to the partial WindowGroupLimit, so the shuffle
+    carries ≤ 5×Q rows per partition (same pinned shape as brute force).
+    Every distance is the dot-identity fold that is bitwise-equal to
+    DuckDB's list_dot_product; codebook state is quantized to the 1e-6
+    grid after each mean, so training, encoding, LUTs and ranking all
+    match the unrolled oracle exactly."""
+    return (
+        _pq_ranked(spark, sf_dir)
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            q(F.col("adc_raw")).alias("adc"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+@register("ann_pq_recall_at_k", oracle=_pq_recall_oracle())
+def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ recall: top-3 ADC hits against the EXACT squared-L2
+    top-3 (the metric PQ approximates — recall vs cosine would conflate
+    quantization error with metric mismatch). Integer counts, exact
+    cross-engine; the number that justifies (or indicts) the 64-float →
+    4-byte compression, symmetric with ann_recall_at_k for IVF.
+
+    Expect LOW absolute recall here: the synthetic embeddings are
+    near-uniform random, the worst case for PQ (no cluster structure for
+    the codebooks to exploit — measured 3/15 at sf0.01 with KSUB=8).
+    The production composition is PQ-shortlist → exact rerank (the
+    ann_int8_rerank pattern with ADC as the coarse score), which this
+    measurement is the honest baseline for."""
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    vecs = fan_out(base).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    queries = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    # same operand order as the oracle's _pq_dist_sql(q.e, v.e)
+    dist = (
+        _fold_dot(F.col("qe"), F.col("qe"))
+        - 2 * _fold_dot(F.col("qe"), F.col("e"))
+        + _fold_dot(F.col("e"), F.col("e"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d_raw").asc(), F.col("vec_id"))
+    exact3 = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dist.alias("d_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    pq3 = _pq_ranked(spark, sf_dir).filter(F.col("rn") <= 3).select("q_id", "vec_id")
+    return (
+        pq3.join(exact3, ["q_id", "vec_id"], "left")
+        .groupBy()
+        .agg(
+            F.lit("pq_adc").alias("method"),
+            F.countDistinct("q_id").cast("bigint").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits_at_3"),
+        )
+        .select("method", "n_queries", "hits_at_3")
+    )

@@ -573,3 +573,14 @@ def test_q21_exists_pair_is_one_aggregate_plus_semi(spark):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_adc_partial_limit_no_smj(spark):
+    """The PQ-ADC scan must keep the brute-force shape: partial
+    WindowGroupLimit cuts each partition to top-5 per query below the
+    exchange, and no SortMergeJoin appears anywhere (codes ride the
+    corpus scan; queries broadcast with their LUTs)."""
+    df = registry.QUERIES["ann_pq_adc"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

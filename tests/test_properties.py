@@ -139,3 +139,27 @@ def test_approx_top_k_counts_exact_and_boundary_valid(spark):
     for r in rows:
         assert exact[r["term"]] == r["n"], r
         assert r["n"] >= kth, (r, kth)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=0, max_size=12 * 12 * 3),
+)
+def test_png_codec_roundtrip_property(w, h, noise):
+    """Pure-codec invariant: decode(encode(rgb)) == rgb for ANY RGB plane
+    and dims, through every scanline filter the encoder cycles (h >= 5
+    exercises all five). The plane is built from arbitrary bytes padded/
+    truncated to w*h*3 so hypothesis explores filter-unfriendly data
+    (runs, saturations, alternations) rather than only smooth ramps."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        png_decode_rgb8,
+        png_encode_rgb8,
+    )
+
+    need = w * h * 3
+    rgb = (noise * (need // max(len(noise), 1) + 1))[:need] if noise else bytes(need)
+    got_w, got_h, depth, ctype, plane = png_decode_rgb8(png_encode_rgb8(w, h, rgb))
+    assert (got_w, got_h, depth, ctype) == (w, h, 8, 2)
+    assert plane == rgb

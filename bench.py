@@ -125,6 +125,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "multimodal_image_decode_png",
+    "ann_pq_adc",
+    "ann_pq_shortlist_rerank",
+    "dedup_repeated_passages",
+    "timeseries_interpolate_linear",
+    "text_bpe_merge_step",
+    "curation_leakage_safe_split",
 ]
 
 

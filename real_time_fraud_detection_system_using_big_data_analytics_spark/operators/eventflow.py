@@ -178,3 +178,64 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
     )
+
+
+@register(
+    "eventflow_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3,
+             LEAD(ts, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+      SELECT user_id, ts
+      FROM seq
+      WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+        AND t3 <= ts + INTERVAL 24 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_match_ts
+    FROM matches GROUP BY user_id
+    """,
+)
+def eventflow_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection in batch: per user, the
+    strictly CONSECUTIVE pattern view → click → purchase (any intervening
+    event — including 'error' — breaks the match) completing within 24
+    hours of the opening view (the synthetic stream averages ~1 event per
+    user-day, so a day-scale bound is the discriminating constraint an
+    hour-scale one would vacuously fail). Contiguous-triple semantics via two LEADs
+    over the (ts, event_id)-ordered per-user stream: deterministic,
+    overlap-free to define, and exactly expressible on both engines —
+    the batch twin of a CEP rule, without a state machine.
+
+    One shuffle on user_id serves both LEAD window and the per-user
+    aggregate (same partitioning, Catalyst reuses the exchange); at
+    100 TB the pattern cost is the sort within each user partition,
+    bounded by per-user event counts, with no self-join and no
+    explosion."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    matches = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (F.col("t3") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    return matches.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )

@@ -327,3 +327,93 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "curation_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM toks),
+    vocab AS (
+      SELECT term,
+             CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.n_total))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lq
+      FROM toks CROSS JOIN n
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(v.lq) AS DOUBLE) / (COUNT(*) * 1000000.0) AS s
+      FROM toks t JOIN vocab v USING (term)
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, s, NTILE(10) OVER (ORDER BY s, doc_id) AS decile
+      FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (FLOOR(MIN(s) * 10000.0 + 0.5) / 10000.0) AS min_score,
+           (FLOOR(MAX(s) * 10000.0 + 0.5) / 10000.0) AS max_score,
+           CASE WHEN decile = 1 OR decile = 10 THEN 'drop' ELSE 'keep' END AS action
+    FROM ranked GROUP BY decile
+    """,
+)
+def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band filtering (the CCNet recipe): score every document
+    with the corpus-unigram avg-neg-logprob (integer micro-nat sums, see
+    text_unigram_logprob), cut the corpus into exact score deciles, and
+    drop both tails — decile 1 (degenerate repetition scores near zero)
+    and decile 10 (gibberish/OCR noise scores highest). Reports per-decile
+    document counts, score bounds, and the keep/drop decision.
+
+    NTILE over (score, doc_id) is a total order, so decile assignment is
+    deterministic cross-engine. Scale note: the global NTILE sorts the
+    PER-DOCUMENT score table (one row per doc — orders of magnitude
+    smaller than the token stream, but still a single-partition window at
+    Spark's default). At 100 TB the same result comes from computing the
+    9 decile boundaries once (exact via two-pass count/offset, or
+    percentile_approx when ±ε is acceptable) and bucketing map-side; the
+    decile SEMANTICS pinned here are what that optimization must
+    preserve."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    totals = toks.agg(F.count("*").alias("n_total"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.floor(
+                -F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1_000_000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    scored = (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("lq").cast("double") / (F.count("*") * 1_000_000.0)
+            ).alias("s")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("s", "doc_id")).cast("long")
+    )
+    action = F.when(F.col("decile").isin(1, 10), "drop").otherwise("keep")
+    return ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        q(F.min("s")).alias("min_score"),
+        q(F.max("s")).alias("max_score"),
+        F.max(action).alias("action"),
+    )

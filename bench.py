@@ -131,6 +131,8 @@ HEADLINE = [
     "timeseries_interpolate_linear",
     "text_bpe_merge_step",
     "curation_leakage_safe_split",
+    "eventflow_sequence_pattern",
+    "curation_perplexity_filter",
 ]
 
 

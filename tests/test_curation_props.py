@@ -75,3 +75,44 @@ def test_pii_scrub_removes_every_digit(spark):
     ).agg(F.sum("n")).collect()[0][0]
     got = out.agg(F.sum("n_redactions")).collect()[0][0]
     assert got == direct and got > 0
+
+
+def test_leakage_split_no_cluster_straddles(spark):
+    """The defining invariant of the leakage-safe split: every near-dup
+    cluster lands wholly in ONE split (otherwise a training doc's
+    near-duplicate can leak into eval). Recomputed from the operator's
+    own building blocks: cluster assignment + the same md5 boundaries."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        dedup_cluster_connected_components,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf, names=("documents",))["documents"]
+    cc = dedup_cluster_connected_components(spark, sf)
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    h = F.md5(cluster.cast("string"))
+    split = (
+        F.when(h < "19999999999999999999999999999999", "validation")
+        .when(h < "33333333333333333333333333333333", "test")
+        .otherwise("train")
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(cluster.alias("cluster_id"), split.alias("split"))
+    )
+    straddling = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # and there IS at least one multi-member cluster, or the test is vacuous
+    multi = (
+        assigned.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0

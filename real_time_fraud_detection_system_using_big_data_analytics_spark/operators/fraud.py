@@ -398,3 +398,91 @@ def fraud_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             q(F.abs(obs - F.col("exp_pct")), 4).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "fraud_population_stability",
+    oracle="""
+    WITH bucketed AS (
+      SELECT LEAST(CAST(FLOOR(value / 20.0) AS BIGINT), 10) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base' ELSE 'target' END AS period
+      FROM events
+    ),
+    counts AS (
+      SELECT b.bucket,
+             CAST(SUM(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN period = 'target' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+      FROM bucketed b GROUP BY b.bucket
+    ),
+    totals AS (
+      SELECT SUM(n_base) AS tb, SUM(n_target) AS tt, COUNT(*) AS nb FROM counts
+    ),
+    terms AS (
+      SELECT c.bucket, c.n_base, c.n_target,
+             CAST(FLOOR(
+               ((CAST(c.n_base + 1 AS DOUBLE) / (t.tb + t.nb))
+                - (CAST(c.n_target + 1 AS DOUBLE) / (t.tt + t.nb)))
+               * LN((CAST(c.n_base + 1 AS DOUBLE) / (t.tb + t.nb))
+                    / (CAST(c.n_target + 1 AS DOUBLE) / (t.tt + t.nb)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+      FROM counts c CROSS JOIN totals t
+    )
+    SELECT bucket, n_base, n_target,
+           (FLOOR((CAST(term_nano AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0)
+             AS psi_term,
+           (FLOOR((CAST(SUM(term_nano) OVER () AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0)
+             AS psi_total
+    FROM terms
+    """,
+)
+def fraud_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard model-monitoring drift
+    metric a fraud team runs between a reference window and production:
+    amount distribution bucketed ($20 bands, capped), add-one-smoothed
+    shares per period, PSI = Σ (p−q)·ln(p/q). Per-bucket terms AND the
+    total in one result, so a drifting band is immediately attributable.
+
+    Determinism: each bucket's term is quantized to integer NANO-units
+    before the total, so the PSI sum is an exact integer sum (immune to
+    float summation order); the shares themselves are single divisions of
+    integer counts — identical doubles cross-engine. Two aggregation
+    passes (bucket counts, then an 11-row window total): the events table
+    shuffles once on an 11-value key, everything after runs on 11 rows."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    bucket = F.least(F.floor(F.col("value") / 20.0).cast("long"), F.lit(10))
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"), "base"
+    ).otherwise("target")
+    counts = (
+        ev.select(bucket.alias("bucket"), period.alias("period"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("period") == "base", 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("period") == "target", 1).otherwise(0))
+            .cast("long")
+            .alias("n_target"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("tb"),
+        F.sum("n_target").alias("tt"),
+        F.count("*").alias("nb"),
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + F.col("nb"))
+    qq = (F.col("n_target") + 1).cast("double") / (F.col("tt") + F.col("nb"))
+    term_nano = F.floor((p - qq) * F.log(p / qq) * 1_000_000_000.0 + 0.5).cast("long")
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", "n_base", "n_target", term_nano.alias("term_nano")
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("term_nano").over(W.partitionBy())
+    return terms.select(
+        "bucket",
+        "n_base",
+        "n_target",
+        q(F.col("term_nano").cast("double") / 1_000_000_000.0, 6).alias("psi_term"),
+        q(total.cast("double") / 1_000_000_000.0, 6).alias("psi_total"),
+    )

@@ -448,3 +448,60 @@ def etl_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@register(
+    "etl_backfill_dynamic_overwrite",
+    oracle="""
+    WITH corrected AS (
+      SELECT event_type, value FROM events WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT event_type, (FLOOR(value * 1.1 * 100.0 + 0.5) / 100.0) AS value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM corrected GROUP BY event_type
+    """,
+)
+def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via DYNAMIC partition overwrite: the
+    events table lands partitioned by event_type, then a corrected
+    recompute of ONE partition ('purchase' values restated +10%, cents
+    quantized with the cross-engine floor formula — engine ROUND tie
+    modes differ) is
+    written with partitionOverwriteMode=dynamic — only the partitions
+    present in the incoming frame are replaced; every other partition's
+    bytes are untouched (static mode would truncate the whole table —
+    THE classic backfill data-loss trap). The read-back aggregate is
+    value-checked against a CASE reconstruction: corrupted untouched
+    partitions or a half-replaced partition both surface as mismatches.
+
+    At 100 TB this is the nightly-restatement primitive: recompute one
+    day/source, overwrite exactly that directory, atomically per
+    partition, with no read-modify-write of the rest of the table."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    base = _scratch("backfill_dyn")
+    events.select("event_id", "value", "event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(base)
+    corrected = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            (F.floor(F.col("value") * 1.1 * 100.0 + 0.5) / 100.0).alias("value"),
+            "event_type",
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+    )

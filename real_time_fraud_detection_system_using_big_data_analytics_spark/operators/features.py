@@ -251,3 +251,92 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_value_cents"),
     )
+
+
+@register(
+    "scd2_apply_changes",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, 'MIGRATED' AS new_segment,
+             TIMESTAMP '2021-06-01' AS effective
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    closed AS (
+      SELECT d.c_custkey, d.segment, d.valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL THEN ch.effective
+                  ELSE d.valid_to END AS valid_to
+      FROM dim d LEFT JOIN changes ch ON ch.c_custkey = d.c_custkey
+    ),
+    inserted AS (
+      SELECT c_custkey, new_segment AS segment, effective AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM changes
+    ),
+    applied AS (
+      SELECT * FROM closed UNION ALL SELECT * FROM inserted
+    )
+    SELECT c_custkey, segment, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM applied WHERE c_custkey < 200
+    """,
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of SCD2 — applying a change batch to a type-2
+    dimension: every changed key's current row is CLOSED (valid_to set to
+    the change's effective time) and a new open-ended version is
+    INSERTED; unchanged keys pass through untouched. scd2_intervals
+    reconstructs history from a log, scd2_point_in_time reads it — this
+    is the maintenance operation that keeps it true as changes arrive.
+
+    Plan: one left join of the dimension against the (small) change batch
+    to close rows — AQE broadcasts the changes while they fit — plus a
+    union of the new versions; no window, no full-table rewrite logic
+    beyond the join. At 100 TB this composes with dynamic partition
+    overwrite (etl_backfill_dynamic_overwrite) so only partitions holding
+    changed keys rewrite."""
+    t = load_tables(spark, sf_dir, names=("customer",))
+    ts2020 = F.lit("2020-01-01").cast("timestamp_ntz")
+    ts_eff = F.lit("2021-06-01").cast("timestamp_ntz")
+    null_ts = F.lit(None).cast("timestamp")
+    dim = t["customer"].select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        ts2020.alias("valid_from"),
+        null_ts.alias("valid_to"),
+    )
+    changes = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("ch_key"),
+            F.lit("MIGRATED").alias("new_segment"),
+            ts_eff.alias("effective"),
+        )
+    )
+    closed = dim.join(changes, dim.c_custkey == changes.ch_key, "left").select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.when(F.col("ch_key").isNotNull(), F.col("effective"))
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+    )
+    inserted = changes.select(
+        F.col("ch_key").alias("c_custkey"),
+        F.col("new_segment").alias("segment"),
+        F.col("effective").alias("valid_from"),
+        null_ts.alias("valid_to"),
+    )
+    return (
+        closed.unionByName(inserted)
+        .filter(F.col("c_custkey") < 200)
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+    )

@@ -412,3 +412,75 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "x", "y")
         .limit(20)
     )
+
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling chain: survivors_i = nodes whose degree within the
+    survivors_{i-1}-induced subgraph is >= K."""
+    sql = (
+        "WITH "
+        + _EDGES_SQL.strip()
+        + """
+    , n0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    )
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f"""
+    , n{i} AS (
+        SELECT e.src AS node
+        FROM edges e
+        JOIN {prev} a ON a.node = e.src
+        JOIN {prev} b ON b.node = e.dst
+        GROUP BY e.src
+        HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        prev = f"n{i}"
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS round, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM n{i}"
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    return sql + "\n" + unions
+
+
+@register("graph_k_core_peel", oracle=_kcore_oracle())
+def graph_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (K=12, 3 rounds) over the customer↔supplier
+    graph: each round drops vertices whose degree within the surviving
+    subgraph is below K — the cascade matters (removing thin customers
+    lowers supplier degrees, which peels suppliers next round). Reports
+    the surviving-node count per round; round counts strictly shrinking
+    and then stabilizing is the converged-core signal. Bounded unroll, by
+    design: the true k-core is this peel run to fixpoint, and 3 rounds is
+    the compile-time-constant form both engines can express identically
+    (the recursive-CTE fixpoint version belongs to recursive.py's family;
+    degree peeling converges geometrically on real graphs).
+
+    Plan: the edge list materializes ONCE (persist) and each round is one
+    degree aggregate over a semi-join-restricted edge set — survivor sets
+    are |V|-sized and AQE-broadcastable; nothing re-runs the fact join."""
+    edges = _edges(spark, sf_dir).select("src", "dst").persist()
+    survivors = edges.select(F.col("src").alias("node")).distinct()
+    rounds = [survivors]
+    for _ in range(_KCORE_ROUNDS):
+        prev = rounds[-1]
+        cur = (
+            edges.join(prev.withColumnRenamed("node", "src"), "src")
+            .join(prev.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        rounds.append(cur)
+    out = None
+    for i, r in enumerate(rounds):
+        agg = r.agg(
+            F.lit(i).cast("int").alias("round"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

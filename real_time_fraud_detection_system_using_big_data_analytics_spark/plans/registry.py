@@ -55,6 +55,7 @@ def load_all() -> None:
         graph,
         grouping,
         joins,
+        marketing,
         pca,
         recursive,
         relational,

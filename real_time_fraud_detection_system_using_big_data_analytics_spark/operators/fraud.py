@@ -486,3 +486,74 @@ def fraud_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("term_nano").cast("double") / 1_000_000_000.0, 6).alias("psi_term"),
         q(total.cast("double") / 1_000_000_000.0, 6).alias("psi_total"),
     )
+
+
+@register(
+    "fraud_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS high_value,
+             COUNT(*) AS observed
+      FROM events
+      GROUP BY 1, 2
+    ), margins AS (
+      SELECT c.*,
+             SUM(observed) OVER (PARTITION BY event_type)  AS row_total,
+             SUM(observed) OVER (PARTITION BY high_value)  AS col_total,
+             SUM(observed) OVER ()                         AS grand
+      FROM cells c
+    )
+    SELECT event_type,
+           CAST(high_value AS INT) AS high_value,
+           observed,
+           (FLOOR((CAST(row_total AS DOUBLE) * col_total / grand)
+                  * 10000.0 + 0.5) / 10000.0) AS expected,
+           (FLOOR(POWER(observed - CAST(row_total AS DOUBLE) * col_total / grand, 2)
+                  / (CAST(row_total AS DOUBLE) * col_total / grand)
+                  * 10000.0 + 0.5) / 10000.0) AS contribution
+    FROM margins
+    ORDER BY event_type, high_value
+    """,
+)
+def fraud_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between transaction type and the
+    high-value flag — the drift/dependence screen run before trusting a
+    per-type rule (the reference hard-codes its TRANSFER/CASH_OUT prior,
+    fraud_detection_model.py:104-118; this measures whether such a
+    type↔amount association exists at all).
+
+    One shuffle builds the contingency cells (|types|×2 rows); the row,
+    column and grand totals come from windows over that tiny cell table,
+    never a second fact-table pass. χ² per-cell contributions are emitted
+    so the judge (or a notebook) can sum them against a critical value;
+    expected counts and contributions are quantized at 1e-4 on both
+    engines.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    from pyspark.sql import Window as W
+
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(F.col("value") > 100.0, 1).otherwise(0).alias("high_value"),
+        )
+        .groupBy("event_type", "high_value")
+        .agg(F.count("*").alias("observed"))
+    )
+    row_total = F.sum("observed").over(W.partitionBy("event_type"))
+    col_total = F.sum("observed").over(W.partitionBy("high_value"))
+    grand = F.sum("observed").over(W.partitionBy())
+    expected = row_total.cast("double") * col_total / grand
+    return (
+        cells.select(
+            "event_type",
+            F.col("high_value").cast("int").alias("high_value"),
+            "observed",
+            q(expected).alias("expected"),
+            q(F.pow(F.col("observed") - expected, 2) / expected).alias(
+                "contribution"
+            ),
+        )
+        .orderBy("event_type", "high_value")
+    )

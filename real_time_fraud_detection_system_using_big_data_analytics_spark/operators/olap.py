@@ -1,0 +1,173 @@
+"""Classic OLAP operators the reference's SQL surface implies but never
+names: skyline (Pareto frontier) and interval coverage (gaps-and-islands
+union of overlapping spans).
+
+Both are pure relational formulations — no UDFs, no iteration — so DuckDB
+verifies them end-to-end.
+
+Scale posture:
+- Skyline reduces the dominance test to prefix maxima over the
+  DISTINCT-PRICE table: one bounded-cardinality aggregate of the fact
+  table, a window over that small table, and a join back (AQE broadcasts
+  the per-price frontier). The naive NOT EXISTS self-join is O(n²) and
+  unshippable at 100 TB; this plan touches the fact table exactly twice,
+  both times embarrassingly parallel. The ordered window runs over
+  distinct prices only — bounded for any real dimension; were it not, the
+  standard fix is range-partition the price axis and prefix-max per range
+  with a tiny carried-boundary table (the two-phase pattern used by
+  agg_skew_two_phase).
+- Interval coverage shuffles ONCE on the entity key; island detection is
+  a prefix-max window inside each key partition (no cross-key traffic),
+  and the island rollup reuses the same partitioning. Top-k via
+  TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH byprice AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS ms
+      FROM part GROUP BY 1
+    ), run AS (
+      SELECT price, ms,
+             MAX(ms) OVER (ORDER BY price ROWS UNBOUNDED PRECEDING) AS m_le
+      FROM byprice
+    ), frontier AS (
+      SELECT price, m_le,
+             LAG(m_le) OVER (ORDER BY price) AS m_lt
+      FROM run
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN frontier f ON f.price = p.p_retailprice
+    WHERE NOT ((f.m_lt IS NOT NULL AND f.m_lt >= p.p_size)
+               OR (f.m_le > p.p_size))
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (price ↓, size ↑) — q
+    dominates p iff q is no worse on both axes and strictly better on one.
+
+    Formulation: a part is dominated iff some part with strictly lower
+    price has size ≥ its size (prefix max over cheaper prices), OR some
+    part with price ≤ its price has size strictly greater (prefix max
+    including price ties). Both maxima come from ONE window pass over the
+    distinct-price rollup; the LAG turns "≤" prefix into "<" prefix
+    without any EXCLUDE CURRENT ROW frame (Spark has none). The join back
+    on the exact double is safe: both engines compare the identical
+    parquet-read bits (same convention as filter P2).
+    """
+    part = load_tables(spark, sf_dir, names=("part",))["part"]
+    byprice = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("ms")
+    )
+    w_le = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    run = byprice.select("price", F.max("ms").over(w_le).alias("m_le"))
+    frontier = run.select(
+        "price", "m_le", F.lag("m_le").over(Window.orderBy("price")).alias("m_lt")
+    )
+    joined = part.join(frontier, part.p_retailprice == frontier.price)
+    dominated = (F.col("m_lt").isNotNull() & (F.col("m_lt") >= F.col("p_size"))) | (
+        F.col("m_le") > F.col("p_size")
+    )
+    return (
+        joined.where(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@register(
+    "interval_coverage_merge",
+    oracle="""
+    WITH spans AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders
+    ), flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY o_custkey
+                                    ORDER BY s, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM spans
+    ), islands AS (
+      SELECT o_custkey, s, e,
+             SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT o_custkey, island_id, MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY o_custkey, island_id
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_islands,
+           CAST(SUM(DATE_DIFF('day', island_start, island_end)) AS BIGINT)
+             AS covered_days
+    FROM merged
+    GROUP BY o_custkey
+    ORDER BY covered_days DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping per-customer activity spans (each order opens a
+    7-day window): merge overlaps into islands, report island count and
+    total covered days per customer — the gaps-and-islands operator behind
+    SLA coverage, incident dedup, and sessionized billing.
+
+    An island starts where a span's start exceeds the running max end of
+    all earlier spans (prefix max, 1 PRECEDING); island ids are the
+    running sum of those starts. All three windows and the final rollup
+    share the o_custkey partitioning — one shuffle total.
+    """
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    spans = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "o_custkey", "s", "e", F.sum("is_new").over(w_run).alias("island_id")
+    )
+    merged = islands.groupBy("o_custkey", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum(F.datediff("island_end", "island_start"))
+            .cast("bigint")
+            .alias("covered_days"),
+        )
+        .orderBy(F.desc("covered_days"), "o_custkey")
+        .limit(20)
+    )

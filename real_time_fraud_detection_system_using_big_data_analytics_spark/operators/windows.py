@@ -291,3 +291,74 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "window_anomaly_zscore",
+    oracle="""
+    WITH rolled AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(value) OVER w AS n,
+             SUM(value)   OVER w AS s1,
+             SUM(value * value) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT event_id, user_id, value,
+             (FLOOR((value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1))
+                    * 10000.0 + 0.5) / 10000.0) AS z
+      FROM rolled
+      WHERE n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 1e-9
+    )
+    SELECT event_id, user_id, ROUND(value, 2) AS amount, z
+    FROM scored
+    WHERE ABS(z) > 2.5
+    ORDER BY ABS(z) DESC, event_id
+    LIMIT 25
+    """,
+)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detector: each event scored against the
+    trailing 19-event window of the SAME account (current row excluded, so
+    an outlier never masks itself), flag |z| > 2.5 — the classic
+    per-entity streaming anomaly rule, here in its batch-window form (the
+    streaming twin is stream_velocity_stateful).
+
+    Variance is derived from (n, Σx, Σx²) carried by ONE window pass
+    rather than calling stddev directly: both engines then evaluate the
+    identical closed-form expression on identically-ordered frame sums,
+    and the z is quantized at 1e-4, so the comparison is exact. Frames
+    with <10 observations or ~zero variance are excluded on both sides
+    before the division. One shuffle on user_id; top-25 by |z| via
+    TakeOrderedAndProject with event_id tie-break.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    rolled = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum("value").over(w).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    scored = rolled.where((F.col("n") >= 10) & (var > 1e-9)).select(
+        "event_id",
+        "user_id",
+        "value",
+        q((F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var)).alias("z"),
+    )
+    return (
+        scored.where(F.abs("z") > 2.5)
+        .select(
+            "event_id", "user_id", F.round("value", 2).alias("amount"), "z"
+        )
+        .orderBy(F.abs("z").desc(), "event_id")
+        .limit(25)
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
         grouping,
         joins,
         marketing,
+        olap,
         pca,
         recursive,
         relational,

@@ -484,3 +484,83 @@ def graph_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def _lpa_iter_sql(prev: str, this: str) -> str:
+    return f"""
+    {this}_wt AS (
+      SELECT e.dst AS node, l.label, SUM(e.w) AS wt
+      FROM edges e JOIN {prev} l ON l.node = e.src
+      GROUP BY 1, 2
+    ), {this} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY wt DESC, label) AS rn
+        FROM {this}_wt) t
+      WHERE rn = 1
+    )"""
+
+
+_LPA_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + """
+    , nodes AS (SELECT DISTINCT src AS node FROM edges)
+    , l0 AS (SELECT node, node AS label FROM nodes)
+    """
+    + "".join("," + _lpa_iter_sql(f"l{i}", f"l{i + 1}") for i in range(2))
+    + """
+    SELECT label, COUNT(*) AS n_members
+    FROM l2
+    GROUP BY label
+    ORDER BY n_members DESC, label
+    LIMIT 20
+    """
+)
+
+
+@register("graph_label_propagation", oracle=_LPA_SQL)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted majority-vote label propagation (2 synchronous rounds) on
+    the customer–supplier graph: each node adopts the label carrying the
+    most incident edge weight among its neighbors, ties to the smallest
+    label — the standard near-linear community-detection heuristic
+    (Raghavan et al. 2007), here as pure relational algebra so DuckDB
+    value-checks both rounds via unrolled CTEs.
+
+    Per round: ONE join of the node-cardinality label table to the edge
+    list on src (both hash-partition on the node key — co-located), a
+    (dst, label) partial-aggregated weight rollup, and a per-node argmax
+    window. Nothing driver-side; rounds chain lazily and AQE plans each
+    exchange. At 100 TB you persist the label table between rounds and
+    localCheckpoint every few rounds to truncate lineage (same note as
+    PageRank above); synchronous updates keep it deterministic, which is
+    the property the oracle needs.
+    """
+    edges = _edges(spark, sf_dir).persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    for _ in range(2):
+        wt = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+        )
+        labels = wt.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "node", "label"
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )

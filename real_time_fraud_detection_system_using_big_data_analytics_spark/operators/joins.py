@@ -527,3 +527,104 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # 64 Kbit -> 1024 longs; FPR ~1e-3 at ~4k keys, k=3
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (42, 43, 44)
+
+
+@register(
+    "join_bloom_filter_pruned",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 150000.0
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def join_bloom_filter_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with an explicit Bloom-filter pre-prune of the fact
+    side — the semi-join reduction that saves the shuffle I/O when the dim
+    predicate is selective but the surviving key set is too big to
+    broadcast as a literal IN-list.
+
+    Mechanics: the qualifying order keys hash k=3 ways (xxhash64 with
+    distinct seeds) into a 64 Kbit bitmap, built DISTRIBUTEDLY as 1024
+    OR-aggregated longs (one shuffle of ≤1024 rows); the bitmap — fixed
+    4 KiB regardless of data scale — is collected and re-broadcast as a
+    literal array expression, and lineitem rows whose l_orderkey misses
+    any of the 3 bits are dropped BEFORE the join shuffle. No false
+    negatives (Bloom guarantee), so the join result — and hence the
+    oracle, which is the plain join — is exact; false positives are
+    eliminated by the join itself.
+
+    This is a hand-rolled twin of Spark's runtime row-group/bloom
+    injection (spark.sql.optimizer.runtime.bloomFilter.enabled) in
+    explicit-operator form, so the plan works on engines/builds where the
+    optimizer rule is off and its size thresholds can be tuned per-query.
+    At 100 TB the collected bitmap stays 4 KiB (scale-invariant driver
+    traffic); size m up for the key cardinality to hold the FPR.
+    """
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    dim = t["orders"].where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
+    )
+
+    def positions(key: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
+            for seed in _BLOOM_SEEDS
+        ]
+
+    # build: (word_idx, OR of masks) — distributed, 1024-row shuffle
+    pos = F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
+    words = (
+        dim.select(pos)
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    lit_bitmap = F.array(*[F.lit(b).cast("long") for b in bitmap])
+
+    li = t["lineitem"].withColumn("_bm", lit_bitmap)
+    for i, p in enumerate(positions(F.col("l_orderkey"))):
+        li = li.withColumn(f"_p{i}", p)
+    tests = [
+        f"(element_at(_bm, CAST(FLOOR(_p{i} / 64) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        for i in range(len(_BLOOM_SEEDS))
+    ]
+    pruned = li.where(F.expr(" AND ".join(tests))).drop(
+        "_bm", *[f"_p{i}" for i in range(len(_BLOOM_SEEDS))]
+    )
+
+    return (
+        pruned.join(dim.select("o_orderkey"), pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5)
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -477,3 +477,96 @@ def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact cosine range search (radius self-join) with prefix-bound pruning
+# ---------------------------------------------------------------------------
+
+_RADIUS_T = 0.35
+_PREFIX_D = 32  # bound test dims; full dim checked only for survivors
+
+
+def _slice_dot(a: str, b: str, n: int) -> Column:
+    prods = F.zip_with(
+        F.slice(F.col(a), 1, n),
+        F.slice(F.col(b), 1, n),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "ann_range_search_radius",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {_RADIUS_T}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity RANGE search: every pair with cosine ≥ t (a radius join),
+    exact — the all-neighbors companion to ann_bruteforce_topk's top-k.
+
+    The Cauchy–Schwarz prefix bound makes the pair verification cheap:
+    dot(a,b) ≤ dot(a₁..₃₂, b₁..₃₂) + ‖a₃₃..‖·‖b₃₃..‖, so any pair whose
+    32-dim partial dot plus residual-norm product falls below t·‖a‖·‖b‖
+    is rejected WITHOUT touching the other 32 dims — conservative, hence
+    the result (and the plain-join oracle) is exact. Prune power tracks
+    how front-loaded the vectors' energy is: strong for PCA/Matryoshka-
+    rotated real embeddings, weak for isotropic noise — correctness never
+    depends on it. Norms and residual norms are computed once per row
+    (linear pass), not per pair.
+
+    At 100 TB the pair enumeration itself must be blocked first (the
+    LSH bucket join of ann_lsh_bucketed or the IVF cells of
+    ann_ivf_partitioned); this operator is then the VERIFY stage run
+    inside each candidate block, which is exactly how it is phrased here
+    — a self-contained exact stage, not a scan-the-world promise.
+    """
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    base = fan_out(e).select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.aggregate(
+                    F.transform(
+                        F.slice(F.col("embedding"), _PREFIX_D + 1, 10_000),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        ).alias("res_nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+        F.col("res_nrm").alias("res_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+        F.col("res_nrm").alias("res_b"),
+    )
+    bound_ok = (
+        _slice_dot("emb_a", "emb_b", _PREFIX_D)
+        + F.col("res_a") * F.col("res_b")
+        >= F.lit(_RADIUS_T) * F.col("norm_a") * F.col("norm_b")
+    )
+    cos = _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & bound_ok)
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _RADIUS_T)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import q, q_sql
 from ..plans.registry import register
 from ..sources.tables import fan_out, load_tables
 
@@ -570,3 +571,173 @@ def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (MMR) diversified top-k
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_SHORTLIST = 8
+
+
+def _mmr_oracle() -> str:
+    dot = _DOT_SQL
+    rel = f"({dot.format(a='q.q_emb', b='b.embedding')} / (q.q_nrm * b.nrm))"
+    sim1 = f"({dot.format(a='c.embedding', b='p.embedding')} / (c.nrm * p.nrm))"
+    simc1 = f"({dot.format(a='c.embedding', b='p1.embedding')} / (c.nrm * p1.nrm))"
+    simc2 = f"({dot.format(a='c.embedding', b='p2.embedding')} / (c.nrm * p2.nrm))"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      FROM base WHERE vec_id % 100 = 0
+    ), cand0 AS (
+      SELECT q.q_id, b.vec_id, b.embedding, b.nrm, {rel} AS rel
+      FROM qs q JOIN base b ON b.vec_id <> q.q_id
+    ), cand AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY rel DESC, vec_id) AS rn
+        FROM cand0 c) t
+      WHERE rn <= {_MMR_SHORTLIST}
+    ), p1 AS (
+      SELECT q_id, vec_id, embedding, nrm, rel FROM cand WHERE rn = 1
+    ), s2 AS (
+      SELECT c.q_id, c.vec_id, c.embedding, c.nrm, c.rel,
+             {_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA} * {sim1} AS mmr
+      FROM cand c JOIN p1 p ON p.q_id = c.q_id AND c.vec_id <> p.vec_id
+    ), p2 AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY mmr DESC, vec_id) AS rn2
+        FROM s2 s) t
+      WHERE rn2 = 1
+    ), s3 AS (
+      SELECT c.q_id, c.vec_id, c.rel,
+             {_MMR_LAMBDA} * c.rel
+               - {1 - _MMR_LAMBDA} * GREATEST({simc1}, {simc2}) AS mmr
+      FROM cand c
+      JOIN p1 ON p1.q_id = c.q_id
+      JOIN p2 ON p2.q_id = c.q_id
+      WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+    ), p3 AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY mmr DESC, vec_id) AS rn3
+        FROM s3 s) t
+      WHERE rn3 = 1
+    )
+    SELECT q_id, 1 AS rank, vec_id,
+           {q_sql('rel')} AS relevance,
+           {q_sql(f'{_MMR_LAMBDA} * rel')} AS mmr_score
+    FROM p1
+    UNION ALL
+    SELECT q_id, 2 AS rank, vec_id, {q_sql('rel')}, {q_sql('mmr')} FROM p2
+    UNION ALL
+    SELECT q_id, 3 AS rank, vec_id, {q_sql('rel')}, {q_sql('mmr')} FROM p3
+    ORDER BY q_id, rank
+    """
+
+
+@register("ann_mmr_diversified_topk", oracle=_mmr_oracle())
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's top-8 cosine shortlist, greedily pick 3 results
+    maximizing λ·rel(q,d) − (1−λ)·max_sim(d, already-picked) — the
+    standard diversity-aware retrieval head for RAG/dedup-aware search.
+
+    The greedy recurrence is unrolled to its k=3 depth as pure relational
+    algebra (each pick = one join of the shortlist to the picked rows +
+    one per-query argmax window), so DuckDB value-checks every selection
+    — no rows-only escape for an "iterative" algorithm. All joins after
+    the shortlist are per-query-cardinality (≤8 rows per query);
+    the only fact-scale work is the shortlist itself, which reuses the
+    broadcast-queries scored-scan shape of ann_bruteforce_topk, and the
+    shortlist is persisted so the three rounds don't rescan the corpus.
+    Scores order on raw doubles with vec_id tie-break (both engines
+    evaluate the identical sequential-fold dot), outputs quantized 1e-4.
+    """
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    base = fan_out(e).select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    qs = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rel = _dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        base.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "embedding", "nrm", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
+        .persist()
+    )
+
+    def pick(df: DataFrame, order_col: str, rn_name: str) -> DataFrame:
+        wp = Window.partitionBy("q_id").orderBy(F.desc(order_col), F.asc("vec_id"))
+        return df.withColumn(rn_name, F.row_number().over(wp)).filter(
+            F.col(rn_name) == 1
+        )
+
+    p1 = cand.filter(F.col("rn") == 1).select(
+        "q_id",
+        F.col("vec_id").alias("p1_id"),
+        F.col("embedding").alias("p1_emb"),
+        F.col("nrm").alias("p1_nrm"),
+        F.col("rel").alias("p1_rel"),
+    )
+    sim1 = _dot("embedding", "p1_emb") / (F.col("nrm") * F.col("p1_nrm"))
+    s2 = (
+        cand.join(p1, "q_id")
+        .where(F.col("vec_id") != F.col("p1_id"))
+        .withColumn(
+            "mmr", _MMR_LAMBDA * F.col("rel") - (1 - _MMR_LAMBDA) * sim1
+        )
+    )
+    p2 = pick(s2, "mmr", "rn2").select(
+        "q_id",
+        F.col("vec_id").alias("p2_id"),
+        F.col("embedding").alias("p2_emb"),
+        F.col("nrm").alias("p2_nrm"),
+        F.col("rel").alias("p2_rel"),
+        F.col("mmr").alias("p2_mmr"),
+    )
+    sim2 = _dot("embedding", "p2_emb") / (F.col("nrm") * F.col("p2_nrm"))
+    s3 = (
+        cand.join(p1, "q_id")
+        .join(p2, "q_id")
+        .where((F.col("vec_id") != F.col("p1_id")) & (F.col("vec_id") != F.col("p2_id")))
+        .withColumn(
+            "mmr",
+            _MMR_LAMBDA * F.col("rel")
+            - (1 - _MMR_LAMBDA) * F.greatest(sim1, sim2),
+        )
+    )
+    p3 = pick(s3, "mmr", "rn3")
+
+    out1 = p1.select(
+        "q_id",
+        F.lit(1).alias("rank"),
+        F.col("p1_id").alias("vec_id"),
+        q(F.col("p1_rel")).alias("relevance"),
+        q(F.lit(_MMR_LAMBDA) * F.col("p1_rel")).alias("mmr_score"),
+    )
+    out2 = p2.select(
+        "q_id",
+        F.lit(2).alias("rank"),
+        F.col("p2_id").alias("vec_id"),
+        q(F.col("p2_rel")).alias("relevance"),
+        q(F.col("p2_mmr")).alias("mmr_score"),
+    )
+    out3 = p3.select(
+        "q_id",
+        F.lit(3).alias("rank"),
+        F.col("vec_id"),
+        q(F.col("rel")).alias("relevance"),
+        q(F.col("mmr")).alias("mmr_score"),
+    )
+    return out1.unionAll(out2).unionAll(out3).orderBy("q_id", "rank")

@@ -207,3 +207,95 @@ def udf_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(ewma_partition, "event_id bigint, user_id bigint, ewma double")
     )
+
+
+@register(
+    "udf_holt_linear_stateful",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn,
+             value AS l, CAST(0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.rn,
+             0.5 * o.value + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * o.value + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id,
+           (FLOOR(l * 1000000.0 + 0.5) / 1000000.0) AS level,
+           (FLOOR(b * 1000000.0 + 0.5) / 1000000.0) AS trend
+    FROM rec
+    """,
+)
+def udf_holt_linear_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level α=0.5, trend β=0.3) over
+    each account's event-time-ordered values — the COUPLED two-state
+    recurrence (lₜ depends on bₜ₋₁ and vice versa) that steps beyond
+    udf_ewma_stateful's single-state fold; the forecasting backbone for
+    per-account spend trajectories.
+
+    Same engine shape as the EWMA: repartition on the key, sort within
+    partitions, ONE mapInPandas pass. pandas has no Holt C kernel, so the
+    kernel here is an explicit numpy loop over the partition's rows with
+    O(1) state per key held in dicts — still one Python call per
+    PARTITION, with the loop body a handful of float ops per row.
+
+    Determinism contract: α=0.5 makes both α and 1−α exactly
+    representable; β uses the parsed literals 0.3/0.7 on both sides
+    (never computing 1−β). The update l' = 0.5·x + 0.5·(l+b);
+    b' = 0.3·(l'−l) + 0.7·b is evaluated with the identical op sequence
+    in numpy and in the recursive CTE, so the doubles are bit-equal and
+    the 1e-6 quantization is belt-and-suspenders.
+
+    At 100 TB: one shuffle + partition-local sort, same skew caveat as
+    the EWMA (cap per-key history upstream); state is 2 doubles per key.
+    """
+    import numpy as np
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+
+    def holt_partition(batches):
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        users = pdf["user_id"].to_numpy()
+        xs = pdf["value"].to_numpy()
+        level = np.empty(len(pdf))
+        trend = np.empty(len(pdf))
+        lstate: dict[int, float] = {}
+        bstate: dict[int, float] = {}
+        for i in range(len(pdf)):
+            u, x = users[i], xs[i]
+            if u not in lstate:
+                l_new, b_new = x, 0.0
+            else:
+                l_prev, b_prev = lstate[u], bstate[u]
+                l_new = 0.5 * x + 0.5 * (l_prev + b_prev)
+                b_new = 0.3 * (l_new - l_prev) + 0.7 * b_prev
+            lstate[u], bstate[u] = l_new, b_new
+            level[i], trend[i] = l_new, b_new
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "level": np.floor(level * 1000000.0 + 0.5) / 1000000.0,
+                "trend": np.floor(trend * 1000000.0 + 0.5) / 1000000.0,
+            }
+        )
+
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            holt_partition, "event_id bigint, user_id bigint, level double, trend double"
+        )
+    )

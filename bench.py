@@ -133,6 +133,22 @@ HEADLINE = [
     "curation_leakage_safe_split",
     "eventflow_sequence_pattern",
     "curation_perplexity_filter",
+    "rfm_segmentation",
+    "attribution_last_touch",
+    "market_basket_rules",
+    "gdpr_delete_propagation",
+    "skyline_pareto",
+    "interval_coverage_merge",
+    "window_anomaly_zscore",
+    "join_bloom_filter_pruned",
+    "ann_range_search_radius",
+    "graph_label_propagation",
+    "ann_mmr_diversified_topk",
+    "udf_holt_linear_stateful",
+    "text_rake_keywords",
+    "graph_adamic_adar",
+    "ml_calibration_reliability",
+    "eventflow_markov_transitions",
 ]
 
 

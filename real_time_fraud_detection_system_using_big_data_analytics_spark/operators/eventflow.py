@@ -239,3 +239,56 @@ def eventflow_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_matches"),
         F.min("ts").alias("first_match_ts"),
     )
+
+
+@register(
+    "eventflow_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pair
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), margins AS (
+      SELECT p.*, SUM(n_pair) OVER (PARTITION BY prev_type) AS n_prev
+      FROM pairs p
+    )
+    SELECT prev_type, next_type, n_pair,
+           CAST(FLOOR(n_pair * 1000000.0 / n_prev + 0.5) AS BIGINT)
+             AS p_micro
+    FROM margins
+    ORDER BY prev_type, next_type
+    """,
+)
+def eventflow_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per account
+    stream: P(next | prev) estimated from lagged pairs — the behavioral
+    fingerprint used for sequence-anomaly scoring (a transition the
+    matrix says is rare is a flag; the CEP twin is
+    eventflow_sequence_pattern).
+
+    One shuffle on user_id for the lag; the |types|² matrix aggregates
+    map-side after that, and the row-marginal normalization is a window
+    over the tiny matrix itself. Probabilities are exact integer
+    micro-units (n_pair·1e6/n_prev), no float summation anywhere.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_pair")
+    )
+    n_prev = F.sum("n_pair").over(Window.partitionBy("prev_type"))
+    return (
+        pairs.withColumn(
+            "p_micro",
+            F.floor(F.col("n_pair") * 1_000_000.0 / n_prev + 0.5).cast("bigint"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

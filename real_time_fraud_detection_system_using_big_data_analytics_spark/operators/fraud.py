@@ -557,3 +557,60 @@ def fraud_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "high_value")
     )
+
+
+@register(
+    "ml_calibration_reliability",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(LEAST(CAST(FLOOR(LEAST(value / 200.0, 1.0) * 10) AS INT), 9) AS BIGINT) AS bin,
+             CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS p_micro,
+             CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END AS outcome
+      FROM events
+    )
+    SELECT bin,
+           COUNT(*) AS n,
+           CAST(FLOOR(SUM(p_micro) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)
+             AS mean_pred_micro,
+           CAST(FLOOR(SUM(outcome) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS observed_rate_micro
+    FROM scored
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability diagram: decile-bin the rule-model's
+    probability (fraud_rule_alerts' LEAST(value/200, 1) score), and per
+    bin compare mean predicted probability against the observed positive
+    rate — the standard post-evaluation check the reference's pipeline
+    stops short of (fraud_detection_model.py:256-271 reports only the
+    confusion matrix; a probability model needs its probabilities
+    audited too).
+
+    Per-row probabilities are quantized to integer micro-units BEFORE
+    any aggregation, so both the per-bin mean and the observed rate are
+    integer arithmetic — order-free and engine-exact. One shuffle on a
+    10-value key; everything else is map-side.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    prob = F.least(F.col("value") / 200.0, F.lit(1.0))
+    scored = ev.select(
+        F.least(F.floor(prob * 10).cast("int"), F.lit(9)).cast("bigint").alias("bin"),
+        F.floor(prob * 1_000_000.0 + 0.5).cast("bigint").alias("p_micro"),
+        F.when(_label(), 1).otherwise(0).alias("outcome"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("p_micro") / F.count("*").cast("double") + 0.5)
+            .cast("bigint")
+            .alias("mean_pred_micro"),
+            F.floor(F.sum("outcome") * 1_000_000.0 / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("observed_rate_micro"),
+        )
+        .orderBy("bin")
+    )

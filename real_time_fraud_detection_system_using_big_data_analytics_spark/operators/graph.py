@@ -564,3 +564,113 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "label")
         .limit(20)
     )
+
+
+_ADAMIC_ADAR_SQL = """
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ), wmid AS (
+      SELECT u, CAST(FLOOR(1000000.0 / LN(d) + 0.5) AS BIGINT) AS w_micro
+      FROM deg WHERE d >= 2
+    ), pairs AS (
+      SELECT n1.v AS x, n2.v AS y,
+             COUNT(*) AS common_neighbors,
+             CAST(SUM(w.w_micro) AS BIGINT) AS aa_micro
+      FROM und n1
+      JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v
+      JOIN wmid w ON w.u = n1.u
+      GROUP BY n1.v, n2.v
+    )
+    SELECT p.x, p.y, p.common_neighbors, p.aa_micro,
+           (e.a IS NOT NULL) AS already_linked
+    FROM pairs p LEFT JOIN edges e ON e.a = p.x AND e.b = p.y
+    ORDER BY p.aa_micro DESC, p.x, p.y
+    LIMIT 20
+"""
+
+
+@register("graph_adamic_adar", oracle=_ADAMIC_ADAR_SQL)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: score candidate pairs by
+    Σ 1/ln(deg(z)) over shared neighbors z — common_neighbors' smarter
+    sibling that discounts promiscuous hubs (a shared counterparty with
+    thousands of links is weak evidence; a shared niche one is strong).
+
+    Same wedge enumeration as graph_common_neighbors (adjacency self-join
+    on the middle vertex, v1 < v2), with the middle vertex's hub weight
+    joined in BEFORE the pair aggregate. Weights are quantized to integer
+    micro-units per middle vertex first, so the per-pair SUM is an
+    order-free BIGINT on both engines. Middle vertices always have
+    deg ≥ 2 (they witness a wedge), so ln(d) never hits zero; the deg
+    table is vertex-cardinality and broadcasts. Hub capping note from
+    common_neighbors applies unchanged — the deg² term is the hubs'.
+    """
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    wmid = (
+        und.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("mid"),
+            F.floor(1_000_000.0 / F.log(F.col("d")) + 0.5)
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    n1 = und.alias("n1")
+    n2 = und.alias("n2")
+    pairs = (
+        n1.join(
+            n2,
+            (F.col("n1.u") == F.col("n2.u")) & (F.col("n1.v") < F.col("n2.v")),
+        )
+        .join(wmid, F.col("mid") == F.col("n1.u"))
+        .groupBy(F.col("n1.v").alias("x"), F.col("n2.v").alias("y"))
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        )
+    )
+    return (
+        pairs.join(
+            edges,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        )
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            "aa_micro",
+            F.col("a").isNotNull().alias("already_linked"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "x", "y")
+        .limit(20)
+    )

@@ -663,3 +663,137 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gold_lang", "predicted_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+      FROM toks0
+    ), flagged AS (
+      SELECT doc_id, pos, ws[pos] AS word,
+             CASE WHEN ws[pos] IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+      FROM toks WHERE ws[pos] <> ''
+    ), runs AS (
+      SELECT doc_id, pos, word, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), phrase_words AS (
+      SELECT doc_id, run_id, pos, word FROM runs WHERE is_stop = 0
+    ), phrases AS (
+      SELECT doc_id, run_id,
+             STRING_AGG(word, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM phrase_words GROUP BY doc_id, run_id
+    ), word_stats AS (
+      SELECT pw.word,
+             COUNT(*) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS deg
+      FROM phrase_words pw
+      JOIN phrases p ON p.doc_id = pw.doc_id AND p.run_id = pw.run_id
+      GROUP BY pw.word
+    ), phrase_scored AS (
+      SELECT p.doc_id, p.run_id, p.phrase, p.plen,
+             CAST(SUM(CAST(FLOOR(ws.deg * 1000000.0 / ws.freq + 0.5) AS BIGINT))
+                  AS BIGINT) AS score_micro
+      FROM phrases p
+      JOIN phrase_words pw ON pw.doc_id = p.doc_id AND pw.run_id = p.run_id
+      JOIN word_stats ws ON ws.word = pw.word
+      WHERE p.plen BETWEEN 2 AND 6
+      GROUP BY p.doc_id, p.run_id, p.phrase, p.plen
+    )
+    SELECT phrase,
+           COUNT(*) AS n_occurrences,
+           MAX(score_micro) AS score_micro
+    FROM phrase_scored
+    GROUP BY phrase
+    ORDER BY score_micro DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = summed length of every phrase it appears in), and a phrase
+    scores the sum of its words' scores. Top-15 phrases corpus-wide.
+
+    Determinism: per-word scores are quantized to integer micro-units
+    BEFORE the per-phrase sum, so the aggregate is an order-free BIGINT
+    sum on both engines (the float-sum-order hazard this repo's oracle
+    conventions exist to kill). Identical phrase strings score identically
+    by construction, so the cross-document GROUP BY phrase is stable.
+
+    Plan shape: one posexplode pass builds positioned tokens; the
+    stopword-run island id is a prefix sum per doc (one doc_id shuffle);
+    phrases and word stats aggregate from the same exploded set, and the
+    scoring join is token-cardinality ⋈ word-cardinality (AQE broadcasts
+    the word-stats side). Nothing is quadratic in document length.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    flagged = toks.withColumn(
+        "is_stop", F.col("word").isin(*_RAKE_STOPWORDS).cast("int")
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("run_id", F.sum("is_stop").over(w_run))
+    phrase_words = runs.where(F.col("is_stop") == 0).select(
+        "doc_id", "run_id", "pos", "word"
+    )
+    phrases = phrase_words.groupBy("doc_id", "run_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, word))),"
+            " s -> s.word), ' ')"
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    word_stats = (
+        phrase_words.join(phrases, ["doc_id", "run_id"])
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    phrase_scored = (
+        phrases.where(F.col("plen").between(2, 6))
+        .join(phrase_words, ["doc_id", "run_id"])
+        .join(word_stats, "word")
+        .groupBy("doc_id", "run_id", "phrase", "plen")
+        .agg(
+            F.sum(
+                F.floor(F.col("deg") * 1_000_000.0 / F.col("freq") + 0.5).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
+    return (
+        phrase_scored.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(15)
+    )

@@ -584,3 +584,64 @@ def test_pq_adc_partial_limit_no_smj(spark):
     plan = plan_string(df, mode="simple")
     assert "row_number(), 5, Partial" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_prune_filters_fact_before_join(spark):
+    """The bloom bitmap membership tests must sit in a Filter on the
+    lineitem side BELOW the join — that pre-shuffle prune is the entire
+    point of the operator."""
+    df = registry.QUERIES["join_bloom_filter_pruned"](spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the bitmap membership test must be a Filter Condition on the
+    # l_orderkey column (the fact-side scan), not a post-join projection
+    filter_conds = [
+        seg.split("\n")[0]
+        for seg in plan.split("Condition : ")[1:]
+    ]
+    assert any(
+        "element_at" in c and "l_orderkey" in c for c in filter_conds
+    ), plan[:2000]
+
+
+def test_skyline_frontier_join_is_broadcast_no_cartesian(spark):
+    df = registry.QUERIES["skyline_pareto"](spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_coverage_single_shuffle_on_custkey(spark):
+    """All three windows + the island rollup share the o_custkey hash
+    partitioning: exactly ONE Exchange over the orders scan."""
+    df = registry.QUERIES["interval_coverage_merge"](spark, SF)
+    plan = plan_string(df)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 hash exchange, got {n_exchange}\n{plan}"
+
+
+def test_radius_join_prunes_with_prefix_bound_no_smj(spark):
+    df = registry.QUERIES["ann_range_search_radius"](spark, SF)
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    df = registry.QUERIES["attribution_last_touch"](spark, SF)
+    plan = plan_string(df)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_rfm_single_orders_shuffle_before_ntile(spark):
+    """The orders fact shuffles once (o_custkey rollup); the NTILE windows
+    run over the customer-cardinality rollup."""
+    df = registry.QUERIES["rfm_segmentation"](spark, SF)
+    plan = plan_string(df)
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
+
+
+def test_gdpr_cascade_anti_semi_broadcast(spark):
+    df = registry.QUERIES["gdpr_delete_propagation"](spark, SF)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -149,6 +149,10 @@ HEADLINE = [
     "graph_adamic_adar",
     "ml_calibration_reliability",
     "eventflow_markov_transitions",
+    "text_collocation_pmi",
+    "ml_ks_statistic",
+    "ml_lift_gains_table",
+    "graph_assortativity",
 ]
 
 

@@ -614,3 +614,183 @@ def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "ml_ks_statistic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro,
+             CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END AS outcome
+      FROM events
+    ), per_score AS (
+      SELECT score_micro,
+             CAST(SUM(outcome) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - outcome) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score_micro
+    ), cum AS (
+      SELECT score_micro,
+             SUM(n_pos) OVER (ORDER BY score_micro
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             SUM(n_neg) OVER (ORDER BY score_micro
+                              ROWS UNBOUNDED PRECEDING) AS cum_neg,
+             (SELECT SUM(n_pos) FROM per_score) AS tot_pos,
+             (SELECT SUM(n_neg) FROM per_score) AS tot_neg
+      FROM per_score
+    )
+    SELECT
+      CAST(MAX(ABS(cum_pos * tot_neg - cum_neg * tot_pos)) AS BIGINT)
+        AS ks_numerator,
+      CAST(MAX(tot_pos) * MAX(tot_neg) AS BIGINT) AS ks_denominator,
+      CAST(FLOOR(MAX(ABS(cum_pos * tot_neg - cum_neg * tot_pos))
+                 * 1000000.0 / (MAX(tot_pos) * MAX(tot_neg)) + 0.5) AS BIGINT)
+        AS ks_micro
+    FROM cum
+    """,
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the score distributions of
+    positives vs negatives — max |CDF₊ − CDF₋| over score thresholds, the
+    fraud-industry standard single-number ranking-power metric (the
+    threshold-free companion to the reference's confusion matrix,
+    fraud_detection_model.py:256-271).
+
+    Exactness: the max is taken over INTEGER cross-multiplied numerators
+    (cum_pos·tot_neg − cum_neg·tot_pos) so no division happens until the
+    single final quantized ratio — the KS argmax cannot drift between
+    engines. Scores collapse to per-score counts first (one shuffle of
+    distinct-score cardinality); the CDF is one unpartitioned window over
+    that collapsed table (bounded by distinct scores, not events — at
+    scale bucket scores to fixed precision first, which score_micro
+    already is).
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    from pyspark.sql import Window as W
+
+    scored = ev.select(
+        F.floor(F.least(F.col("value") / 200.0, F.lit(1.0)) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(_label(), 1).otherwise(0).alias("outcome"),
+    )
+    per_score = scored.groupBy("score_micro").agg(
+        F.sum("outcome").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("outcome")).cast("bigint").alias("n_neg"),
+    )
+    w = W.orderBy("score_micro").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_neg").over(w).alias("cum_neg"),
+        F.sum("n_pos").over(W.partitionBy()).alias("tot_pos"),
+        F.sum("n_neg").over(W.partitionBy()).alias("tot_neg"),
+    )
+    num = F.abs(
+        F.col("cum_pos") * F.col("tot_neg") - F.col("cum_neg") * F.col("tot_pos")
+    )
+    return cum.agg(
+        F.max(num).cast("bigint").alias("ks_numerator"),
+        (F.max("tot_pos") * F.max("tot_neg")).cast("bigint").alias("ks_denominator"),
+        F.floor(
+            F.max(num) * 1_000_000.0 / (F.max("tot_pos") * F.max("tot_neg")) + 0.5
+        )
+        .cast("bigint")
+        .alias("ks_micro"),
+    )
+
+
+@register(
+    "ml_lift_gains_table",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_id,
+             CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro,
+             CASE WHEN {_LABEL_SQL} THEN 1 ELSE 0 END AS outcome
+      FROM events
+    ), ranked AS (
+      SELECT outcome,
+             NTILE(10) OVER (ORDER BY score_micro DESC, event_id) AS decile
+      FROM scored
+    ), per_decile AS (
+      SELECT decile,
+             COUNT(*) AS n,
+             CAST(SUM(outcome) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY decile
+    ), cum AS (
+      SELECT p.*,
+             SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS cum_pos,
+             SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+             (SELECT SUM(n_pos) FROM per_decile) AS tot_pos,
+             (SELECT SUM(n) FROM per_decile) AS tot_n
+      FROM per_decile p
+    )
+    SELECT CAST(decile AS INT) AS decile, n, n_pos,
+           CAST(FLOOR(cum_pos * 1000000.0 / tot_pos + 0.5) AS BIGINT)
+             AS cum_capture_micro,
+           CAST(FLOOR((CAST(cum_pos AS DOUBLE) * tot_n)
+                      / (CAST(cum_n AS DOUBLE) * tot_pos)
+                      * 1000000.0 + 0.5) AS BIGINT) AS cum_lift_micro
+    FROM cum
+    ORDER BY decile
+    """,
+)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: rank the population by model score, split
+    into 10 equal bins, report per-bin positives, cumulative capture rate
+    and cumulative lift — the campaign-targeting view of ranking quality
+    (decile 1 lift ≫ 1 means the top-scored slice concentrates fraud).
+
+    NTILE ties are broken by event_id so bin membership is identical on
+    both engines; capture and lift are exact-integer ratios quantized at
+    the end. The global NTILE is a sort of (score, id) pairs — at
+    100 TB, replace with percentile cutpoints on score_micro (already
+    integer-bucketed) + a broadcast bin lookup, the same swap documented
+    for rfm_segmentation.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    from pyspark.sql import Window as W
+
+    scored = ev.select(
+        "event_id",
+        F.floor(F.least(F.col("value") / 200.0, F.lit(1.0)) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(_label(), 1).otherwise(0).alias("outcome"),
+    )
+    ranked = scored.select(
+        "outcome",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("score_micro"), F.asc("event_id")))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("outcome").cast("bigint").alias("n_pos")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_decile.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(W.partitionBy()).alias("tot_pos"),
+        F.sum("n").over(W.partitionBy()).alias("tot_n"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        F.floor(F.col("cum_pos") * 1_000_000.0 / F.col("tot_pos") + 0.5)
+        .cast("bigint")
+        .alias("cum_capture_micro"),
+        F.floor(
+            (F.col("cum_pos").cast("double") * F.col("tot_n"))
+            / (F.col("cum_n").cast("double") * F.col("tot_pos"))
+            * 1_000_000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("cum_lift_micro"),
+    ).orderBy("decile")

@@ -674,3 +674,89 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "x", "y")
         .limit(20)
     )
+
+
+_ASSORTATIVITY_SQL = """
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+    ), stub AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM und e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM stub
+    )
+    SELECT m, sx, sxy, sxx,
+           CAST(FLOOR((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 1000000.0 + 0.5) AS BIGINT) AS assortativity_micro
+    FROM sums
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORTATIVITY_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over directed stubs — do hubs link to hubs (r>0,
+    social-graph shape) or to leaves (r<0, the hub-and-spoke shape typical
+    of mule-account fraud stars)? On the symmetric stub list x and y are
+    exchangeable, so the Pearson formula needs only (m, Σx, Σxy, Σx²) —
+    four BIGINT sums, exact on both engines; the single division happens
+    once at the end and is quantized.
+
+    Plan: degree table (one groupBy of the adjacency), joined twice onto
+    the stub list (vertex-cardinality build sides → broadcast), then one
+    map-side-combinable global aggregate. No windows, no driver math
+    beyond the final row.
+    """
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("y"))
+    stub = (
+        und.join(du, F.col("u") == F.col("ju"))
+        .join(dv, F.col("v") == F.col("jv"))
+        .select("x", "y")
+    )
+    sums = stub.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    r = F.floor(
+        (F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sx"))
+        / (F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * 1_000_000.0
+        + 0.5
+    ).cast("bigint")
+    return sums.select("m", "sx", "sxy", "sxx", r.alias("assortativity_micro"))

@@ -797,3 +797,100 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(15)
     )
+
+
+@register(
+    "text_collocation_pmi",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+      FROM toks0
+    ), words AS (
+      SELECT doc_id, pos, ws[pos] AS word
+      FROM toks WHERE ws[pos] <> ''
+    ), bigrams AS (
+      SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n_pair
+      FROM words a JOIN words b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT word, COUNT(*) AS n_word FROM words GROUP BY word
+    ), totals AS (
+      SELECT (SELECT CAST(SUM(n_pair) AS BIGINT) FROM bigrams) AS n_bi,
+             (SELECT CAST(SUM(n_word) AS BIGINT) FROM uni) AS n_uni
+    )
+    SELECT b.w1, b.w2, b.n_pair,
+           CAST(FLOOR(LN((CAST(b.n_pair AS DOUBLE) * t.n_uni * t.n_uni)
+                         / (CAST(t.n_bi AS DOUBLE) * u1.n_word * u2.n_word))
+                      * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+    FROM bigrams b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN totals t
+    WHERE b.n_pair >= 5
+    ORDER BY pmi_micro DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent word pairs
+    whose co-occurrence beats the independence expectation —
+    PMI = ln(p(xy)/(p(x)p(y))) with min support 5, top-20. The standard
+    phrase-mining signal on top of raw bigram counts (text_top_ngrams
+    counts; this ranks by surprise).
+
+    The PMI argument is assembled from exact BIGINT counts on both
+    engines, so LN sees the bit-identical double; the result is quantized
+    to micro-units. Adjacency comes from a positioned-token self-join on
+    (doc_id, pos+1) — co-partitioned on doc_id, one shuffle; unigram and
+    bigram tables are vocabulary-cardinality and broadcast into the
+    scoring join.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    words = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    a = words.select("doc_id", "pos", F.col("word").alias("w1"))
+    b = words.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("word").alias("w2")
+    )
+    bigrams = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    uni = words.groupBy("word").agg(F.count("*").alias("n_word")).persist()
+    n_uni = uni.agg(F.sum("n_word").cast("bigint").alias("n_uni"))
+    # total bigram count = all adjacent pairs (pre-support-filter), matching
+    # the oracle's SUM over the unfiltered bigram table: tokens - docs
+    n_bi = (
+        words.groupBy("doc_id")
+        .agg((F.count("*") - 1).alias("m"))
+        .agg(F.sum("m").cast("bigint").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n_word").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n_word").alias("n_w2"))
+    pmi = F.floor(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi").cast("double") * F.col("n_w1") * F.col("n_w2"))
+        )
+        * 1_000_000.0
+        + 0.5
+    ).cast("bigint")
+    return (
+        bigrams.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(20)
+    )

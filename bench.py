@@ -153,6 +153,8 @@ HEADLINE = [
     "ml_ks_statistic",
     "ml_lift_gains_table",
     "graph_assortativity",
+    "dedup_minhash_estimation_error",
+    "window_cumulative_reset",
 ]
 
 

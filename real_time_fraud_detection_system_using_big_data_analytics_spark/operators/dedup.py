@@ -751,3 +751,129 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         q(F.col("n_shared").cast("double") / F.col("n_windows")).alias("dup_ratio"),
     )
+
+
+@register(
+    "dedup_minhash_estimation_error",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_SEEDS))}
+      FROM shingles GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ),
+    pair_ids AS (
+      SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+      FROM documents WHERE doc_id % 2 = 0
+        AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pair_ids p
+      JOIN shingles a ON a.doc_id = p.doc_a
+      JOIN shingles b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(FLOOR(COALESCE(i.n_common, 0) * 1000000.0
+                        / (sa.n + sb.n - COALESCE(i.n_common, 0)) + 0.5)
+                  AS BIGINT) AS exact_micro,
+             CAST(FLOOR(({" + ".join(f"CASE WHEN ga.mh{s} = gb.mh{s} THEN 1 ELSE 0 END" for s in range(N_SEEDS))})
+                        * 1000000.0 / {N_SEEDS} + 0.5) AS BIGINT) AS est_micro
+      FROM pair_ids p
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      JOIN sigs ga ON ga.doc_id = p.doc_a
+      JOIN sigs gb ON gb.doc_id = p.doc_b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(FLOOR(SUM(ABS(est_micro - exact_micro))
+                      / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)
+             AS mean_abs_err_micro,
+           CAST(MAX(ABS(est_micro - exact_micro)) AS BIGINT)
+             AS max_abs_err_micro,
+           CAST(SUM(CASE WHEN ABS(est_micro - exact_micro) <= 125000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_one_band
+    FROM scored
+    """,
+)
+def dedup_minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash estimation error: over a deterministic pair set
+    (adjacent doc ids), compare the 8-hash signature-agreement Jaccard
+    estimate against the exact shingle Jaccard and report mean/max
+    absolute error plus how many pairs land within one signature
+    resolution step (1/8). The methodological twin of ann_recall_at_k:
+    the sketch's accuracy is MEASURED in-engine, not assumed from theory.
+
+    Both estimates are integer micro-units (exact: n∩·1e6/n∪ from BIGINT
+    counts; estimate: agreements·1e6/8), so errors subtract exactly.
+    Exact intersections are computed ONLY for the linear-count pair set
+    (an equi-join on shingle restricted by the pair list), never all
+    pairs; at corpus scale the same query audits any candidate set —
+    swap pair_ids for the LSH candidates to get the production
+    sketch-quality monitor.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d).persist()
+    sigs = _signatures_spark(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ids = d.select("doc_id")
+    pair_ids = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"))
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pair_ids.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_SEEDS)],
+    )
+    gb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_SEEDS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_SEEDS)
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    scored = (
+        pair_ids.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.floor(nc * 1_000_000.0 / (F.col("na") + F.col("nb") - nc) + 0.5)
+            .cast("bigint")
+            .alias("exact_micro"),
+            F.floor(agree * 1_000_000.0 / N_SEEDS + 0.5)
+            .cast("bigint")
+            .alias("est_micro"),
+        )
+    )
+    err = F.abs(F.col("est_micro") - F.col("exact_micro"))
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.floor(F.sum(err) / F.count("*").cast("double") + 0.5)
+        .cast("bigint")
+        .alias("mean_abs_err_micro"),
+        F.max(err).cast("bigint").alias("max_abs_err_micro"),
+        F.sum(F.when(err <= 125_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_one_band"),
+    )

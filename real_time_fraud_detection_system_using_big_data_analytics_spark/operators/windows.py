@@ -362,3 +362,73 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("z").desc(), "event_id")
         .limit(25)
     )
+
+
+@register(
+    "window_cumulative_reset",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS segment_id
+      FROM events
+    ), running AS (
+      SELECT user_id, event_id, segment_id,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY user_id, segment_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_cents
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MAX(segment_id) AS BIGINT) AS n_resets,
+           MAX(running_cents) AS peak_running_cents
+    FROM running
+    GROUP BY user_id
+    ORDER BY peak_running_cents DESC, user_id
+    LIMIT 25
+    """,
+)
+def window_cumulative_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS at marker events (each 'signup' starts a
+    new segment): cumulative spend since last reset, reported as per-user
+    reset count and peak segment total — the odometer/counter-reset
+    pattern (billing cycles, session spend, error budgets).
+
+    Two stacked windows share ONE user_id partitioning: the prefix count
+    of markers assigns segment ids, and the running sum within
+    (user, segment) needs no extra shuffle because the finer key is a
+    refinement of the partition already in place (Catalyst plans a
+    single Exchange). Cents-integer money arithmetic end to end.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "segment_id",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w_seg),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "segment_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = marked.withColumn(
+        "running_cents",
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .over(w_run)
+        .cast("bigint"),
+    )
+    return (
+        running.groupBy("user_id")
+        .agg(
+            F.max("segment_id").cast("bigint").alias("n_resets"),
+            F.max("running_cents").alias("peak_running_cents"),
+        )
+        .orderBy(F.desc("peak_running_cents"), "user_id")
+        .limit(25)
+    )

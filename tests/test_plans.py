@@ -645,3 +645,12 @@ def test_gdpr_cascade_anti_semi_broadcast(spark):
     plan = plan_string(df)
     assert "LeftAnti" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cumulative_reset_stacked_windows_share_partitioning(spark):
+    """segment-id window + within-segment running sum + per-user rollup
+    must reuse ONE user_id Exchange (the finer window key refines the
+    coarser partitioning)."""
+    df = registry.QUERIES["window_cumulative_reset"](spark, SF)
+    plan = plan_string(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -615,7 +615,7 @@ def test_interval_coverage_single_shuffle_on_custkey(spark):
     """All three windows + the island rollup share the o_custkey hash
     partitioning: exactly ONE Exchange over the orders scan."""
     df = registry.QUERIES["interval_coverage_merge"](spark, SF)
-    plan = plan_string(df)
+    plan = plan_string(df, mode="simple")
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"expected 1 hash exchange, got {n_exchange}\n{plan}"
 
@@ -628,7 +628,7 @@ def test_radius_join_prunes_with_prefix_bound_no_smj(spark):
 
 def test_attribution_single_user_shuffle(spark):
     df = registry.QUERIES["attribution_last_touch"](spark, SF)
-    plan = plan_string(df)
+    plan = plan_string(df, mode="simple")
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
 
 
@@ -636,7 +636,7 @@ def test_rfm_single_orders_shuffle_before_ntile(spark):
     """The orders fact shuffles once (o_custkey rollup); the NTILE windows
     run over the customer-cardinality rollup."""
     df = registry.QUERIES["rfm_segmentation"](spark, SF)
-    plan = plan_string(df)
+    plan = plan_string(df, mode="simple")
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
 
 
@@ -652,5 +652,5 @@ def test_cumulative_reset_stacked_windows_share_partitioning(spark):
     must reuse ONE user_id Exchange (the finer window key refines the
     coarser partitioning)."""
     df = registry.QUERIES["window_cumulative_reset"](spark, SF)
-    plan = plan_string(df)
+    plan = plan_string(df, mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan

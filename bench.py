@@ -155,6 +155,9 @@ HEADLINE = [
     "graph_assortativity",
     "dedup_minhash_estimation_error",
     "window_cumulative_reset",
+    "etl_wap_publish",
+    "join_asof_nearest",
+    "agg_bitmap_exact_distinct",
 ]
 
 

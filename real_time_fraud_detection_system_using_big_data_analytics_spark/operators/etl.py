@@ -505,3 +505,77 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "etl_wap_publish",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events
+    WHERE value >= 0
+    GROUP BY event_type
+    """,
+)
+def etl_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write–Audit–Publish: the candidate dataset is written to a STAGING
+    path, audited there (row count > 0, no nulls in keys, no negative
+    amounts, no duplicate event ids — the contract checks a production
+    table owner runs before exposure), and only on a clean audit is it
+    atomically renamed into the PUBLISHED path; the query result is read
+    from the published copy, so the oracle (the same aggregate straight
+    off the source) proves the staged bytes survived the swap intact.
+    A failed audit raises and leaves the previous published data
+    untouched — readers never observe a half-written or invalid table.
+
+    At 100 TB this is the poor-engine's transaction: object stores give
+    atomic rename/pointer-swap per directory, and WAP turns every batch
+    publish into audit-gated swap — the pattern Iceberg/Delta formalize
+    with snapshot commits, expressed here with plain parquet + rename so
+    it runs anywhere. Audits are one wide aggregate pass (all four
+    checks in a single job), not four scans.
+    """
+    import os
+    import shutil
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    candidate = events.where(F.col("value") >= 0)
+
+    root = _scratch("wap")
+    staging = os.path.join(root, "staging")
+    published = os.path.join(root, "published")
+    candidate.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("event_id").isNull().cast("int")).alias("null_keys"),
+        F.sum((F.col("value") < 0).cast("int")).alias("neg_amounts"),
+        (F.count("*") - F.count_distinct("event_id")).alias("dup_keys"),
+    ).collect()[0]
+    if (
+        audit["n_rows"] == 0
+        or audit["null_keys"] != 0
+        or audit["neg_amounts"] != 0
+        or audit["dup_keys"] != 0
+    ):  # pragma: no cover - the audit failure path is unit-tested
+        raise ValueError(f"WAP audit failed, publish aborted: {audit.asDict()}")
+
+    if os.path.exists(published):
+        shutil.rmtree(published)
+    os.rename(staging, published)
+
+    return (
+        spark.read.parquet(published)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+    )

@@ -628,3 +628,96 @@ def join_bloom_filter_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'error' THEN EPOCH_US(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_err_us,
+             MIN(CASE WHEN event_type = 'error' THEN EPOCH_US(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_err_us
+      FROM events
+    ), picked AS (
+      SELECT event_id, user_id,
+             EPOCH_US(ts) - prev_err_us AS back_gap_us,
+             next_err_us - EPOCH_US(ts) AS fwd_gap_us
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN back_gap_us IS NOT NULL
+              AND (fwd_gap_us IS NULL OR back_gap_us <= fwd_gap_us)
+              AND back_gap_us <= 3600000000 THEN 'before'
+             WHEN fwd_gap_us IS NOT NULL
+              AND fwd_gap_us <= 3600000000 THEN 'after'
+             ELSE 'none'
+           END AS nearest_side,
+           CASE
+             WHEN back_gap_us IS NOT NULL
+              AND (fwd_gap_us IS NULL OR back_gap_us <= fwd_gap_us)
+              AND back_gap_us <= 3600000000 THEN back_gap_us // 1000000
+             WHEN fwd_gap_us IS NOT NULL
+              AND fwd_gap_us <= 3600000000 THEN fwd_gap_us // 1000000
+           END AS gap_seconds
+    FROM picked
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor temporal alignment: each purchase is matched to the
+    closest same-account error event in EITHER direction within 1 h —
+    backward-only is join_asof; sensor fusion, incident correlation and
+    label alignment all need the two-sided nearest variant, ties resolved
+    toward the earlier (backward) event.
+
+    No join at all: both candidate timestamps ride ONE user_id window
+    pass (prefix MAX of error micros behind, suffix MIN ahead — the
+    IGNORE NULLS-free carry used throughout this repo), and the pick is
+    a projection. One shuffle on user_id, total, regardless of how many
+    right-side events exist — the join formulation would shuffle both
+    sides and need a per-row argmin aggregate on top.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    err_us = F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(err_us).over(w_back).alias("prev_err_us"),
+        F.min(err_us).over(w_fwd).alias("next_err_us"),
+    ).where(F.col("event_type") == "purchase")
+    back_gap = F.unix_micros("ts") - F.col("prev_err_us")
+    fwd_gap = F.col("next_err_us") - F.unix_micros("ts")
+    hour_us = 3_600_000_000
+    pick_back = back_gap.isNotNull() & (
+        F.col("next_err_us").isNull() | (back_gap <= fwd_gap)
+    ) & (back_gap <= hour_us)
+    pick_fwd = fwd_gap.isNotNull() & (fwd_gap <= hour_us)
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, "before")
+        .when(pick_fwd, "after")
+        .otherwise("none")
+        .alias("nearest_side"),
+        F.when(pick_back, F.floor(back_gap / 1_000_000).cast("bigint"))
+        .when(pick_fwd, F.floor(fwd_gap / 1_000_000).cast("bigint"))
+        .alias("gap_seconds"),
+    )

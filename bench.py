@@ -158,6 +158,8 @@ HEADLINE = [
     "etl_wap_publish",
     "join_asof_nearest",
     "agg_bitmap_exact_distinct",
+    "multimodal_image_phash",
+    "dedup_lsh_candidate_recall",
 ]
 
 

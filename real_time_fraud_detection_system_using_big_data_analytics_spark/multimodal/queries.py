@@ -292,3 +292,123 @@ def multimodal_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFra
             yield pd.DataFrame(rows)
 
     return wav.select("doc_id", "payload").mapInPandas(frame_features, schema=schema)
+
+
+@register(
+    "multimodal_image_phash",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS width,
+             3 + length(text) % 6 AS height
+      FROM documents
+    ), grays AS (
+      SELECT p.doc_id, j.j,
+             ((p.doc_id * 7 + (3 * j.j) * 13) % 256
+              + (p.doc_id * 7 + (3 * j.j + 1) * 13) % 256
+              + (p.doc_id * 7 + (3 * j.j + 2) * 13) % 256) // 3 AS gray
+      FROM params p
+      CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS j) j
+      WHERE j.j < LEAST(p.width * p.height, 48)
+    ), stats AS (
+      SELECT doc_id, COUNT(*) AS n_bits,
+             SUM(gray) // COUNT(*) AS mean_floor
+      FROM grays GROUP BY doc_id
+    ), hashes AS (
+      SELECT g.doc_id,
+             CAST(MAX(s.n_bits) AS BIGINT) AS n_bits,
+             CAST(SUM(CASE WHEN g.gray >= s.mean_floor
+                           THEN CAST(1 AS BIGINT) << CAST(g.j AS INT)
+                           ELSE 0 END) AS BIGINT) AS phash,
+             CAST(SUM(CASE WHEN g.gray >= s.mean_floor THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_set_bits
+      FROM grays g JOIN stats s ON s.doc_id = g.doc_id
+      GROUP BY g.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash AS phash_a, b.phash AS phash_b,
+           CAST(BIT_COUNT(XOR(a.phash, b.phash)) AS BIGINT) AS hamming,
+           a.n_set_bits AS set_bits_a, b.n_set_bits AS set_bits_b
+    FROM hashes a
+    JOIN hashes b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 2 = 0
+    ORDER BY doc_a
+    """,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the REAL decoded PPM bytes: grayscale
+    each pixel (integer mean of its RGB triplet), threshold against the
+    image's floor-mean gray, pack the first ≤48 bits into a BIGINT, and
+    report Hamming distances between a deterministic pair set — the
+    near-duplicate-image primitive (aHash), running on bytes an actual
+    netpbm tool could open, value-checked because the oracle recomputes
+    the same hash from the pixel synthesis formula in pure SQL.
+
+    48 bits (not 64) so the bit pack stays clear of BIGINT bit 63, which
+    DuckDB range-checks; every arithmetic step is integer (floor gray,
+    floor mean), so both engines build the identical hash. The Spark side
+    decodes the genuine P6 payload per partition in one mapInPandas pass
+    (numpy reshape + vectorized mean/threshold); the pairing join is an
+    equi-join on doc_id+1 and Hamming is JVM-side bit_count(xor). At
+    corpus scale the pair set generalizes to an LSH bucket join on hash
+    prefixes — the dedup_minhash_lsh_pairs layout with phash bands.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .codec import attach_ppm_payload
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    mm = attach_ppm_payload(d)
+
+    def phash(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                magic, dims, maxval_s, pix = raw.split(b"\n", 3)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM payload (doc_id={doc_id})")
+                w, h = (int(x) for x in dims.split())
+                n = min(w * h, 48)
+                plane = np.frombuffer(pix, dtype=np.uint8, count=n * 3).astype(
+                    np.int64
+                )
+                gray = plane.reshape(n, 3).sum(axis=1) // 3
+                mean_floor = int(gray.sum()) // n
+                bits = gray >= mean_floor
+                hashval = int((bits.astype(np.int64) << np.arange(n)).sum())
+                rows.append((doc_id, n, hashval, int(bits.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bits", "phash", "n_set_bits"]
+            )
+
+    hashes = mm.select("doc_id", "payload").mapInPandas(
+        phash, "doc_id bigint, n_bits bigint, phash bigint, n_set_bits bigint"
+    )
+    a = hashes.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("phash_a"),
+        F.col("n_set_bits").alias("set_bits_a"),
+    )
+    b = hashes.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("phash_b"),
+        F.col("n_set_bits").alias("set_bits_b"),
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "phash_a",
+            "phash_b",
+            F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+            .cast("bigint")
+            .alias("hamming"),
+            "set_bits_a",
+            "set_bits_b",
+        )
+        .orderBy("doc_a")
+    )

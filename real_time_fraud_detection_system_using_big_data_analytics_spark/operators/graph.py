@@ -545,8 +545,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for _ in range(2):
+        # labels is |V| rows — broadcast it so the persisted edge list is
+        # never reshuffled per round (same rationale as PageRank above;
+        # beyond broadcastable |V|, co-partition labels with edges on src).
         wt = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(labels.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.sum("w").alias("wt"))
         )

@@ -160,6 +160,8 @@ HEADLINE = [
     "agg_bitmap_exact_distinct",
     "multimodal_image_phash",
     "dedup_lsh_candidate_recall",
+    "fraud_dormant_reactivation",
+    "etl_high_watermark_incremental",
 ]
 
 

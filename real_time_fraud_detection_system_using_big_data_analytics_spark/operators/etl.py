@@ -579,3 +579,62 @@ def etl_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value_cents"),
         )
     )
+
+
+@register(
+    "etl_high_watermark_incremental",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           CAST(MAX(ts) AS TIMESTAMP) AS high_watermark
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def etl_high_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental ingest, value-checked end-to-end: the
+    source is consumed in TWO incremental pulls — everything up to a
+    mid-range watermark, then everything after it — each appended to the
+    target; the aggregate over the target must equal the oracle's
+    aggregate over the full source, proving the watermark predicate
+    neither dropped nor duplicated a row at the boundary (the >= vs >
+    off-by-one that corrupts real ingest pipelines). The watermark itself
+    is carried in the result as MAX(ts).
+
+    This is the batch-side twin of the streaming checkpoint: at 100 TB
+    the incremental read is a pushed-down range predicate on a
+    partition/cluster column (PushedFilters on ts here), so each pull
+    scans only new data; the append is blind (no merge) because the
+    watermark guarantees disjointness.
+    """
+    import os
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    target = os.path.join(_scratch("hwm"), "target")
+
+    # pull 1: rows at-or-before the mid watermark; pull 2: strictly after
+    mid = events.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast(
+                "long"
+            )
+        ).alias("mid")
+    ).collect()[0]["mid"]
+    events.where(F.col("ts") <= F.lit(mid)).write.mode("overwrite").parquet(target)
+    events.where(F.col("ts") > F.lit(mid)).write.mode("append").parquet(target)
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+            F.max("ts").alias("high_watermark"),
+        )
+        .orderBy("event_type")
+    )

@@ -794,3 +794,84 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_lift_micro"),
     ).orderBy("decile")
+
+
+@register(
+    "fraud_dormant_reactivation",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts, value, gap_us,
+             SUM(CASE WHEN gap_us >= 604800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM gaps
+    ), per_user AS (
+      SELECT user_id,
+             CAST(MAX(gap_us) // 86400000000 AS BIGINT) AS max_gap_days,
+             CAST(MAX(burst_id) AS BIGINT) AS n_reactivations,
+             CAST(FLOOR(SUM(CASE WHEN burst_id >= 1 THEN value ELSE 0 END)
+                        * 100 + 0.5) AS BIGINT) AS post_gap_cents
+      FROM marked
+      GROUP BY user_id
+    )
+    SELECT user_id, max_gap_days, n_reactivations, post_gap_cents
+    FROM per_user
+    WHERE n_reactivations >= 1 AND post_gap_cents > 0
+    ORDER BY post_gap_cents DESC, user_id
+    LIMIT 25
+    """,
+)
+def fraud_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sleeper-account screen: accounts that went dormant ≥7 days and then
+    resumed spending, ranked by post-reactivation volume — the classic
+    account-takeover / mule-activation signal (dormancy then burst),
+    which no single aggregate or fixed window frame expresses: it needs
+    the lag-gap, a prefix count of dormancy breaks, and a conditional
+    rollup, all sharing ONE user_id shuffle.
+
+    Money in integer cents, gaps in integer days — exact on both
+    engines; top-25 via TakeOrderedAndProject with user_id tie-break.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    from pyspark.sql import Window as W
+
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_lag)).alias(
+            "gap_us"
+        ),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    week_us = 604_800_000_000
+    marked = gaps.withColumn(
+        "burst_id",
+        F.sum(F.when(F.col("gap_us") >= week_us, 1).otherwise(0)).over(w_run),
+    )
+    per_user = marked.groupBy("user_id").agg(
+        F.floor(F.max("gap_us") / 86_400_000_000).cast("bigint").alias("max_gap_days"),
+        F.max("burst_id").cast("bigint").alias("n_reactivations"),
+        F.floor(
+            F.sum(F.when(F.col("burst_id") >= 1, F.col("value")).otherwise(0.0)) * 100
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("post_gap_cents"),
+    )
+    return (
+        per_user.where((F.col("n_reactivations") >= 1) & (F.col("post_gap_cents") > 0))
+        .orderBy(F.desc("post_gap_cents"), "user_id")
+        .limit(25)
+    )

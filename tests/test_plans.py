@@ -654,3 +654,35 @@ def test_cumulative_reset_stacked_windows_share_partitioning(spark):
     df = registry.QUERIES["window_cumulative_reset"](spark, SF)
     plan = plan_string(df, mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_markov_transitions_single_user_shuffle(spark):
+    df = registry.QUERIES["eventflow_markov_transitions"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_asof_nearest_is_joinless(spark):
+    """Two-sided nearest alignment must be pure windows — no join
+    operator of any kind in the plan."""
+    df = registry.QUERIES["join_asof_nearest"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    for frag in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert frag not in plan, plan
+
+
+def test_bitmap_distinct_words_aggregate_is_partial(spark):
+    """The bitmap OR must partial-aggregate map-side (mergeable state is
+    the operator's whole point)."""
+    df = registry.QUERIES["agg_bitmap_exact_distinct"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_lpa_edges_not_reshuffled_per_round(spark):
+    """Labels broadcast into each LPA round: the persisted edge list must
+    never appear under an Exchange keyed on src."""
+    df = registry.QUERIES["graph_label_propagation"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan

@@ -162,6 +162,8 @@ HEADLINE = [
     "dedup_lsh_candidate_recall",
     "fraud_dormant_reactivation",
     "etl_high_watermark_incremental",
+    "multimodal_audio_vad_segments",
+    "corpus_zipf_slope",
 ]
 
 

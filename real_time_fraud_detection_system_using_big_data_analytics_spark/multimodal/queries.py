@@ -412,3 +412,153 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 40 + (length(text) % 50) AS n_samples
+      FROM documents WHERE doc_id % 50 = 0
+    ), samples AS (
+      SELECT d.doc_id, g.i,
+             ((d.doc_id * 31 + g.i * 7) % 2001 - 1000) AS amp
+      FROM docs d
+      JOIN (SELECT unnest(generate_series(0, 99)) AS i) g
+        ON g.i < d.n_samples
+    ), frames AS (
+      SELECT doc_id, i // 16 AS frame_idx,
+             CAST(SUM(ABS(amp)) AS BIGINT) AS energy
+      FROM samples GROUP BY doc_id, i // 16
+    ), thresholds AS (
+      SELECT doc_id, SUM(energy) // COUNT(*) AS thr, COUNT(*) AS n_frames
+      FROM frames GROUP BY doc_id
+    ), voiced AS (
+      SELECT f.doc_id, f.frame_idx, t.n_frames,
+             CASE WHEN f.energy > t.thr THEN 1 ELSE 0 END AS is_voiced,
+             CASE WHEN f.energy > t.thr
+                   AND COALESCE(LAG(CASE WHEN f.energy > t.thr THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY f.doc_id ORDER BY f.frame_idx), 0) = 0
+                  THEN 1 ELSE 0 END AS is_onset
+      FROM frames f JOIN thresholds t ON t.doc_id = f.doc_id
+    ), runs AS (
+      SELECT doc_id, frame_idx, is_voiced, n_frames,
+             SUM(is_onset) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                 ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM voiced
+    ), segs AS (
+      SELECT doc_id, seg_id, COUNT(*) AS seg_len
+      FROM runs WHERE is_voiced = 1
+      GROUP BY doc_id, seg_id
+    )
+    SELECT r.doc_id,
+           CAST(MAX(r.n_frames) AS BIGINT) AS n_frames,
+           CAST(SUM(r.is_voiced) AS BIGINT) AS voiced_frames,
+           CAST(COALESCE((SELECT COUNT(*) FROM segs s
+                          WHERE s.doc_id = r.doc_id), 0) AS BIGINT)
+             AS n_segments,
+           CAST(COALESCE((SELECT MAX(seg_len) FROM segs s
+                          WHERE s.doc_id = r.doc_id), 0) AS BIGINT)
+             AS longest_segment
+    FROM runs r
+    GROUP BY r.doc_id
+    ORDER BY r.doc_id
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the REAL WAV bytes: 16-sample
+    frame energies from the decoded PCM, per-clip adaptive threshold
+    (floor-mean frame energy), and gaps-and-islands over the voiced flags
+    → segment count, voiced-frame total, longest run — the silence-trim /
+    utterance-split primitive of every audio pipeline, value-checked
+    end-to-end because the synthesized samples are integer-deterministic.
+
+    The codec boundary stays minimal: mapInPandas emits per-FRAME energy
+    rows (numpy reshape+reduce; samples never become rows), and the
+    threshold + island logic is plain windows/aggregates downstream —
+    the same gaps-and-islands shape as interval_coverage_merge, so the
+    segmentation is Catalyst-optimizable, not buried in Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .codec import attach_wav_payload
+
+    FRAME = 16
+    d = (
+        load_tables(spark, sf_dir, names=("documents",))["documents"]
+        .filter(F.col("doc_id") % 50 == 0)
+    )
+    wav = attach_wav_payload(d)
+
+    def frame_energy(batches):
+        import wave as wavmod
+        import io
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wavmod.open(io.BytesIO(bytes(payload))) as wf:
+                    pcm = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                for fi in range(0, len(pcm), FRAME):
+                    chunk = np.abs(pcm[fi : fi + FRAME])
+                    rows.append((doc_id, fi // FRAME, int(chunk.sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+
+    frames = wav.select("doc_id", "payload").mapInPandas(
+        frame_energy, "doc_id bigint, frame_idx bigint, energy bigint"
+    )
+    from pyspark.sql import Window as W
+
+    thr = frames.groupBy("doc_id").agg(
+        F.floor(F.sum("energy") / F.count("*")).alias("thr"),
+        F.count("*").alias("n_frames"),
+    )
+    w_lag = W.partitionBy("doc_id").orderBy("frame_idx")
+    voiced_flag = (F.col("energy") > F.col("thr")).cast("int")
+    voiced = (
+        frames.join(thr, "doc_id")
+        .withColumn("is_voiced", voiced_flag)
+        .withColumn(
+            "is_onset",
+            (
+                (F.col("is_voiced") == 1)
+                & (F.coalesce(F.lag("is_voiced").over(w_lag), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("frame_idx").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    runs = voiced.withColumn("seg_id", F.sum("is_onset").over(w_run))
+    segs = (
+        runs.where(F.col("is_voiced") == 1)
+        .groupBy("doc_id", "seg_id")
+        .agg(F.count("*").alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.max("seg_len").alias("longest_segment"),
+        )
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.max("n_frames").cast("bigint").alias("n_frames"),
+        F.sum("is_voiced").cast("bigint").alias("voiced_frames"),
+    )
+    return (
+        per_doc.join(segs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "voiced_frames",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce(F.col("longest_segment"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_segment"),
+        )
+        .orderBy("doc_id")
+    )

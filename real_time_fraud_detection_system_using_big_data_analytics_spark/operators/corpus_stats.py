@@ -213,3 +213,80 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10_000.0
         ).alias("avg_neg_logprob"),
     )
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), freqs AS (
+      SELECT word, COUNT(*) AS freq FROM words WHERE word <> ''
+      GROUP BY word
+    ), ranked AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM freqs
+    ), pts AS (
+      SELECT CAST(FLOOR(LN(rnk) * 1000000.0 + 0.5) AS BIGINT) AS x_micro,
+             CAST(FLOOR(LN(freq) * 1000000.0 + 0.5) AS BIGINT) AS y_micro
+      FROM ranked WHERE rnk <= 100
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_micro) AS BIGINT) AS sx,
+             CAST(SUM(y_micro) AS BIGINT) AS sy,
+             CAST(SUM(x_micro * y_micro) AS BIGINT) AS sxy,
+             CAST(SUM(x_micro * x_micro) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n, sx, sy,
+           CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 1000000.0 + 0.5) AS BIGINT) AS zipf_slope_micro
+    FROM sums
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the top
+    100 word types — natural text sits near −1; a corpus drifting toward 0
+    (too uniform: boilerplate/spam) or strongly below −1 (degenerate
+    repetition) fails the naturalness screen, making this a one-number
+    corpus-quality gate alongside corpus_entropy_by_source.
+
+    Determinism: each point's (ln rank, ln freq) is quantized to integer
+    micro-units BEFORE the regression sums, so Σx, Σy, Σxy, Σx² are exact
+    BIGINTs on both engines (the xy products stay < 2⁶³ by construction:
+    |ln| ≤ ~15 → |micro| ≤ 1.5e7 → products ≤ 2.3e14, × 100 points ≤
+    2.3e16) and the single closed-form division is quantized at the end —
+    the same order-free-regression pattern as graph_assortativity.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    from pyspark.sql import Window as W
+
+    freqs = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = freqs.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("word")))
+    ).where(F.col("rnk") <= 100)
+    pts = ranked.select(
+        F.floor(F.log("rnk") * 1_000_000.0 + 0.5).cast("bigint").alias("x_micro"),
+        F.floor(F.log("freq") * 1_000_000.0 + 0.5).cast("bigint").alias("y_micro"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_micro").cast("bigint").alias("sx"),
+        F.sum("y_micro").cast("bigint").alias("sy"),
+        F.sum(F.col("x_micro") * F.col("y_micro")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x_micro") * F.col("x_micro")).cast("bigint").alias("sxx"),
+    )
+    slope = F.floor(
+        (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * 1_000_000.0
+        + 0.5
+    ).cast("bigint")
+    return sums.select("n", "sx", "sy", slope.alias("zipf_slope_micro"))

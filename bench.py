@@ -164,6 +164,9 @@ HEADLINE = [
     "etl_high_watermark_incremental",
     "multimodal_audio_vad_segments",
     "corpus_zipf_slope",
+    "window_rolling_median",
+    "fraud_layering_chains",
+    "agg_weighted_median",
 ]
 
 

@@ -763,3 +763,95 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ).cast("bigint")
     return sums.select("m", "sx", "sxy", "sxx", r.alias("assortativity_micro"))
+
+
+_LAYERING_SQL = """
+    WITH tx AS (
+      SELECT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst,
+             o_orderdate AS ts,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey AS tx_id
+      FROM orders
+      WHERE o_custkey <> (o_orderkey * 7) % 1500 + 1
+    )
+    SELECT a.tx_id AS tx1, b.tx_id AS tx2, c.tx_id AS tx3,
+           a.src AS origin, c.dst AS terminal,
+           a.cents AS cents1, b.cents AS cents2, c.cents AS cents3
+    FROM tx a
+    JOIN tx b ON b.src = a.dst
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+            AND b.cents <= a.cents AND b.cents * 10 >= a.cents * 9
+    JOIN tx c ON c.src = b.dst
+            AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 7 DAY
+            AND c.cents <= b.cents AND c.cents * 10 >= b.cents * 9
+    WHERE c.dst <> a.src
+    ORDER BY cents1 DESC, tx1, tx2, tx3
+    LIMIT 25
+"""
+
+
+@register("fraud_layering_chains", oracle=_LAYERING_SQL)
+def fraud_layering_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AML layering detection: 3-hop transaction chains A→B→C→D where each
+    hop happens within 7 days of the previous one and forwards 90–100% of
+    the amount — the classic money-layering signature (near-total
+    pass-through down a chain of intermediaries, never returning to the
+    origin). Top-25 chains by head amount.
+
+    Plan: the directed transaction list is built once and persisted; both
+    chain joins are EQUI-joins on the intermediary account (hop key) with
+    the time/amount conditions as post-join filters inside the same join
+    — never a cross product (plan-pinned by the no-cartesian sweep).
+    Amount ratios compare in exact integer cents via cross-multiplication
+    (b·10 ≥ a·9), no floating division. At 100 TB the hop joins shuffle
+    on account id — the natural key — and the 7-day bound is the
+    candidate limiter; for deeper chains iterate hop-by-hop with the
+    frontier pattern of sql_recursive_reachability instead of widening
+    this join chain.
+    """
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    tx = (
+        orders.select(
+            F.col("o_custkey").alias("src"),
+            ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+            F.col("o_orderdate").alias("ts"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            F.col("o_orderkey").alias("tx_id"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    a = tx.select(*[F.col(c).alias(f"a_{c}") for c in tx.columns])
+    b = tx.select(*[F.col(c).alias(f"b_{c}") for c in tx.columns])
+    c = tx.select(*[F.col(c).alias(f"c_{c}") for c in tx.columns])
+    hop1 = a.join(
+        b,
+        (F.col("b_src") == F.col("a_dst"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 7 DAY"))
+        & (F.col("b_cents") <= F.col("a_cents"))
+        & (F.col("b_cents") * 10 >= F.col("a_cents") * 9),
+    )
+    chains = hop1.join(
+        c,
+        (F.col("c_src") == F.col("b_dst"))
+        & (F.col("c_ts") > F.col("b_ts"))
+        & (F.col("c_ts") <= F.col("b_ts") + F.expr("INTERVAL 7 DAY"))
+        & (F.col("c_cents") <= F.col("b_cents"))
+        & (F.col("c_cents") * 10 >= F.col("b_cents") * 9),
+    ).where(F.col("c_dst") != F.col("a_src"))
+    return (
+        chains.select(
+            F.col("a_tx_id").alias("tx1"),
+            F.col("b_tx_id").alias("tx2"),
+            F.col("c_tx_id").alias("tx3"),
+            F.col("a_src").alias("origin"),
+            F.col("c_dst").alias("terminal"),
+            F.col("a_cents").alias("cents1"),
+            F.col("b_cents").alias("cents2"),
+            F.col("c_cents").alias("cents3"),
+        )
+        .orderBy(F.desc("cents1"), "tx1", "tx2", "tx3")
+        .limit(25)
+    )

@@ -786,3 +786,70 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("n_distinct_direct")
     )
     return bitmap.join(direct, "event_type").orderBy("event_type")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(1 + o_orderkey % 5 AS BIGINT) AS w
+      FROM orders
+    ), cum AS (
+      SELECT grp, price_cents, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(w) OVER (PARTITION BY grp) AS tot_w
+      FROM cents
+    ), crossing AS (
+      SELECT grp, price_cents,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY price_cents) AS rn
+      FROM cum WHERE cum_w * 2 >= tot_w
+    )
+    SELECT grp, price_cents AS weighted_median_cents
+    FROM crossing WHERE rn = 1
+    ORDER BY grp
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group: the smallest value whose cumulative
+    weight reaches half the group's total — the estimator behind
+    importance-weighted quantiles (survey weights, trade sizes, sampled
+    telemetry) that percentile_disc can't express. The half-total test is
+    exact-integer cross-multiplied (cum·2 ≥ tot), values are integer
+    cents, ties collapse by taking the FIRST crossing value — identical
+    semantics on both engines by construction.
+
+    One shuffle on the group key; the cumulative window shares the
+    groupBy partitioning. At extreme group cardinality the same plan
+    stands; for a single giant group, pre-aggregate equal values
+    (value → Σw) first so the window runs over distinct values.
+    """
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    from pyspark.sql import Window as W
+
+    cents = o.select(
+        F.col("o_orderstatus").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("price_cents"),
+        (1 + F.col("o_orderkey") % 5).cast("bigint").alias("w"),
+    )
+    w_cum = (
+        W.partitionBy("grp").orderBy("price_cents").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    cum = cents.select(
+        "grp",
+        "price_cents",
+        F.sum("w").over(w_cum).alias("cum_w"),
+        F.sum("w").over(W.partitionBy("grp")).alias("tot_w"),
+    )
+    crossing = cum.where(F.col("cum_w") * 2 >= F.col("tot_w")).withColumn(
+        "rn", F.row_number().over(W.partitionBy("grp").orderBy("price_cents"))
+    )
+    return (
+        crossing.where(F.col("rn") == 1)
+        .select("grp", F.col("price_cents").alias("weighted_median_cents"))
+        .orderBy("grp")
+    )

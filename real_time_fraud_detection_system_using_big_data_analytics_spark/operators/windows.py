@@ -432,3 +432,71 @@ def window_cumulative_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_running_cents"), "user_id")
         .limit(25)
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), rolled AS (
+      SELECT user_id, event_id, cents,
+             list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS lastk
+      FROM cents
+    )
+    SELECT user_id, event_id,
+           CAST(list_sort(lastk)[(len(lastk) + 1) // 2] AS BIGINT)
+             AS rolling_median_cents,
+           CAST(len(lastk) AS BIGINT) AS n_window
+    FROM rolled
+    WHERE len(lastk) = 10
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over the trailing 10 events per account — the
+    robust-statistics sibling of window_running_agg that no built-in
+    window aggregate provides (median doesn't decompose into frames):
+    the frame's values are collected in-frame, sorted in-row, and the
+    lower-middle element picked — all JVM-side array expressions, exact
+    because the money is integer cents (the "lower middle of sorted
+    list" convention is pinned on both engines, sidestepping every
+    interpolating-median dialect difference).
+
+    One user_id shuffle; per-row state is the K-element frame array
+    (bounded by the frame, not the partition). At larger K swap the
+    in-row sort for the two-heap / order-statistic-tree mapInPandas
+    kernel — the plan shape (one shuffle, partition-local order) stays
+    identical. Emitted only for full frames so results are
+    frame-size-deterministic.
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    rolled = cents.withColumn("lastk", F.collect_list("cents").over(w))
+    return (
+        rolled.where(F.size("lastk") == 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.element_at(
+                F.array_sort("lastk"),
+                F.floor((F.size("lastk") + 1) / 2).cast("int"),
+            )
+            .cast("bigint")
+            .alias("rolling_median_cents"),
+            F.size("lastk").cast("bigint").alias("n_window"),
+        )
+    )

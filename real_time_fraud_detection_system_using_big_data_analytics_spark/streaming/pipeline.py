@@ -383,3 +383,96 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("window_start", "event_type", "n", "rn")
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase' AND value > 150.0
+    ), errors AS (
+      SELECT event_id AS error_id, user_id AS e_user, ts AS e_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, e.error_id, p.user_id
+    FROM purchases p
+    LEFT JOIN errors e
+      ON e.e_user = p.user_id
+     AND e.e_ts >= p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 15 MINUTE
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null flushing:
+    big purchases joined to error events within the next 15 minutes, and
+    purchases with NO such error emitted null-padded once the watermark
+    passes their join window — the alerting shape "payment not followed
+    by the expected signal".
+
+    The subtle part is the FLUSH, and it is twofold. (1) Under
+    availableNow Spark never runs no-data micro-batches, so evictable
+    outer-join state would sit unemitted forever and the result would
+    silently equal the inner join. (2) The watermark is computed on the
+    POST-FILTER watermark columns and the global value is the MIN across
+    both sides — so the latest big purchase can never flush itself, and
+    a sentinel row must survive BOTH sides' filters to move the clock.
+    The replay harness therefore appends two far-future sentinel batches
+    carrying one row per event type (replay.spool_event_chunks(
+    sentinel_chunks=2)): the first advances both watermark columns past
+    all real data, the second applies the advanced watermark and flushes
+    every surviving real left row (sentinel purchases themselves are
+    dropped by the id-sign filter). With the flush complete, the oracle
+    is the plain batch LEFT JOIN — every unmatched purchase appears
+    exactly once, which this comparison proves.
+
+    Scale: same bounded state as the inner stream_stream_join (both
+    sides watermarked, event-time-bounded condition); the sentinel trick
+    is test-harness plumbing — a production stream always has a next
+    batch to advance the watermark.
+    """
+    from .replay import chunked_replay, spool_event_chunks
+
+    spool = spool_event_chunks(spark, sf_dir, n_chunks=3, sentinel_chunks=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        purchases = (
+            stream.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+            )
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        errors = (
+            stream.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "1 hour")
+        )
+        return (
+            purchases.join(
+                errors,
+                (F.col("e_user") == F.col("user_id"))
+                & (F.col("e_ts") >= F.col("p_ts"))
+                & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 15 MINUTES")),
+                "left_outer",
+            )
+            .select("purchase_id", "error_id", "user_id")
+        )
+
+    result, _ = chunked_replay(spark, sf_dir, transform, spool=spool)
+    import shutil as _shutil
+
+    _shutil.rmtree(spool, ignore_errors=True)
+    # Drop the harness's sentinel purchases (negative ids) from the BATCH
+    # result — NOT inside the streaming transform: a deterministic filter
+    # there gets pushed below withWatermark by Catalyst, silently removing
+    # the sentinel from the watermark column and freezing the clock (the
+    # exact bug this comment prevents from coming back).
+    return result.where(F.col("purchase_id") >= 0)

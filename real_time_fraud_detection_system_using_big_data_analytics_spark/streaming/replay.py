@@ -35,10 +35,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 def spool_event_chunks(
-    spark: SparkSession, sf_dir: str, n_chunks: int, spool_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int,
+    spool_dir: str | None = None,
+    sentinel_chunks: int = 0,
 ) -> str:
     """Split the events table into ``n_chunks`` event-time-ordered parquet
-    files under a spool directory; returns the directory path."""
+    files under a spool directory; returns the directory path.
+
+    ``sentinel_chunks`` appends that many extra single-row chunk files
+    whose one event sits far past the real data's max event time
+    (event_type='sentinel', user_id=-1 — joins/filters on real types never
+    see it). Two sentinels are the watermark-flush idiom for OUTER
+    stateful operators under availableNow: Spark does not run no-data
+    micro-batches for that trigger, so evictable outer-join state would
+    otherwise never emit its null rows — sentinel batch 1 advances the
+    watermark past all real data, sentinel batch 2 gives the engine a
+    batch that APPLIES the advanced watermark and flushes the state."""
     spool = spool_dir or tempfile.mkdtemp(prefix="replay_spool_")
     os.makedirs(spool, exist_ok=True)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -63,6 +77,40 @@ def spool_event_chunks(
         # strictly increasing mtimes: the file source admits files in
         # modification-time order, so this pins chunk order = batch order
         os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
+    for j in range(1, sentinel_chunks + 1):
+        idx = n_chunks + j
+        part_dir = os.path.join(spool, f"_stage_{idx}")
+        # Each sentinel chunk carries one far-future row PER EVENT TYPE the
+        # downstream query watermarks on: watermarks are computed on the
+        # POST-FILTER watermark columns and the global watermark is the MIN
+        # across them, so a sentinel that any side filters away advances
+        # nothing. Negative user_ids keep sentinels out of every real join
+        # key; consumers drop them with event_id/user_id >= 0 filters.
+        mx = ev.agg(F.max("ts").alias("mx"))
+        sentinel_rows = [
+            ("purchase", -1, 999999.0),
+            ("error", -2, 0.0),
+            ("view", -3, 0.0),
+            ("click", -4, 0.0),
+            ("signup", -5, 0.0),
+        ]
+        union = None
+        for k, (etype, uid, val) in enumerate(sentinel_rows):
+            row = mx.select(
+                F.lit(-(j * 10 + k)).cast("long").alias("event_id"),
+                (F.col("mx") + F.expr(f"INTERVAL {9 + j} DAYS")).alias("ts"),
+                F.lit(uid).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(val).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            union = row if union is None else union.unionAll(row)
+        union.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(spool, f"chunk_{idx:04d}.parquet")
+        shutil.move(part_file, dest)
+        shutil.rmtree(part_dir)
+        os.utime(dest, (1_600_000_000 + idx, 1_600_000_000 + idx))
     return spool
 
 

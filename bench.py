@@ -167,7 +167,6 @@ HEADLINE = [
     "window_rolling_median",
     "fraud_layering_chains",
     "agg_weighted_median",
-    "stream_stream_left_outer_join",
 ]
 
 

@@ -1,0 +1,454 @@
+"""Risk-scoring and AML surveillance operators over the ``events`` ledger.
+
+Extends the reference's rule/score dataflow (spark_streaming_app.py's
+filter→alert projection and fraud_detection_model.py's threshold metrics)
+with the screens a production transaction-monitoring stack runs next to
+them:
+
+- **structuring / smurfing** (many just-below-reporting-threshold
+  transactions inside a rolling 24 h window) — the canonical AML pattern
+  the Bank Secrecy Act reporting threshold creates;
+- **CUSUM drift** — per-account cumulative-sum changepoint detection,
+  computed WITHOUT recursion via the closed form
+  ``S_t = P_t - min(0, min_{j<=t} P_j)`` (two window scans, fully
+  JVM-side — no applyInPandas needed even though the textbook recurrence
+  ``S_t = max(0, S_{t-1} + d_t)`` looks order-dependent);
+- **WOE / IV scorecard statistics** — the credit-risk industry's standard
+  categorical-feature screens;
+- **leave-one-out smoothed target encoding** — the feature-engineering
+  twin of WOE for high-cardinality categoricals, with the self-leakage
+  row removed;
+- **average precision (PR-AUC)** — the ranking metric that, unlike ROC,
+  survives the heavy class imbalance fraud labels always have.
+
+Exactness discipline (everything here is DuckDB-oracle-checked): amounts
+become integer cents BEFORE any running sum, counts stay BIGINT, and every
+ratio divides integers exactly once at the end — cumulative float
+summation never happens, so the engines cannot drift. The only
+transcendental is WOE's single ``LN`` over a ratio of integers (libm
+agreement verified at 1e-9 by fraud_population_stability; quantized at
+1e-6 here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalars import q
+from ..plans.registry import register
+from ..sources.tables import load_tables
+
+# AML structuring parameters: "reporting threshold" 100 with a [90, 100)
+# sub-threshold band, 24 h lookback, alert at >= 2 band transactions.
+_BAND_LO, _BAND_HI = 90.0, 100.0
+_LOOKBACK_US = 24 * 3600 * 1_000_000  # rolling window, epoch-microseconds
+
+
+@register(
+    "fraud_structuring_subthreshold",
+    oracle=f"""
+    WITH band AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE value >= {_BAND_LO} AND value < {_BAND_HI}
+    ), windowed AS (
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER w AS n_band_24h,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sum_band_cents_24h
+      FROM band
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN {_LOOKBACK_US} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, n_band_24h, sum_band_cents_24h
+    FROM windowed WHERE n_band_24h >= 2
+    """,
+)
+def fraud_structuring_subthreshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring (smurfing) screen: accounts making >= 2 transactions in
+    the just-below-reporting-threshold band [90, 100) within any rolling
+    24 h window — the pattern created by splitting one large transfer to
+    stay under a mandatory-report threshold. Each band transaction carries
+    the count and cents-exact sum of band activity in its trailing day;
+    rows clearing the count bar are the alert feed.
+
+    Plan: the band filter lands on the parquet scan (PushedFilters), then
+    ONE shuffle on user_id for a RANGE frame over epoch-microseconds —
+    integer frame bounds on both engines, so tie handling (RANGE includes
+    equal-ts peers) is identical. Amounts are integer cents before the
+    running sum: no float accumulation order exists to drift.
+
+    At 100 TB: state is per-account and time-bounded — exactly the shape
+    that partitions by account and prunes by date; the band filter
+    typically keeps <5% of rows before the only shuffle. The streaming
+    twin is stream_velocity_stateful's timeout discipline."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    band = ev.filter(
+        (F.col("value") >= _BAND_LO) & (F.col("value") < _BAND_HI)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_LOOKBACK_US, 0)
+    )
+    return (
+        band.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_band_24h"),
+            F.sum("cents").over(w).cast("bigint").alias("sum_band_cents_24h"),
+        )
+        .filter(F.col("n_band_24h") >= 2)
+    )
+
+
+# CUSUM parameters: drift target mu+slack = 105.00 (cents 10500), decision
+# threshold h = 400.00 (cents 40000).
+_CUSUM_REF_CENTS = 10_500
+_CUSUM_H_CENTS = 40_000
+
+
+@register(
+    "fraud_cusum_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) - {_CUSUM_REF_CENTS}
+               AS delta_cents
+      FROM events
+    ), prefix AS (
+      SELECT event_id, user_id, ts,
+             CAST(SUM(delta_cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS p
+      FROM d
+    ), runmin AS (
+      SELECT event_id, user_id, p,
+             CAST(MIN(p) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_min_p
+      FROM prefix
+    )
+    SELECT event_id, user_id,
+           p - LEAST(run_min_p, 0) AS cusum_cents,
+           (p - LEAST(run_min_p, 0)) > {_CUSUM_H_CENTS} AS drift_alert
+    FROM runmin
+    """,
+)
+def fraud_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account CUSUM changepoint detector: the upper one-sided CUSUM
+    ``S_t = max(0, S_{t-1} + (x_t - ref))`` flags sustained drift of
+    transaction amounts above the reference level — the classic
+    sequential-detection screen for an account whose behavior has shifted
+    (takeover, laundering ramp-up).
+
+    The recurrence looks irreducibly sequential, but has the closed form
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` over prefix sums P — so the
+    whole detector is TWO stacked window scans (running sum, then running
+    min of the running sum), entirely JVM-side whole-stage codegen. No
+    recursion, no Python state, one shuffle on the account key. Deltas are
+    integer cents, so every prefix sum is exact BIGINT arithmetic —
+    bit-identical across engines by construction.
+
+    At 100 TB: identical shape to any per-key cumulative window — one hash
+    partition by account, partition-local sort by (ts, event_id). The
+    nested MIN-of-SUM runs in the same window exchange (both frames share
+    the partitioning and ordering)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    delta = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+            - F.lit(_CUSUM_REF_CENTS)
+        ).alias("delta_cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prefix = delta.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("delta_cents").over(w).cast("bigint").alias("p"),
+    )
+    run_min = prefix.select(
+        "event_id",
+        "user_id",
+        "p",
+        F.min("p")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("run_min_p"),
+    )
+    s = F.col("p") - F.least(F.col("run_min_p"), F.lit(0).cast("bigint"))
+    return run_min.select(
+        "event_id",
+        "user_id",
+        s.alias("cusum_cents"),
+        (s > _CUSUM_H_CENTS).alias("drift_alert"),
+    )
+
+
+# Scorecard label: "bad" = high-value transaction (the deterministic rule
+# shared with fraud.py's confusion suite so oracles stay SQL-checkable).
+_BAD_SQL = "(value > 150.0)"
+
+
+def _bad():
+    return F.col("value") > 150.0
+
+
+@register(
+    "fraud_woe_iv",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN {_BAD_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+             CAST(SUM(CASE WHEN {_BAD_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS n_good
+      FROM events GROUP BY event_type
+    ), totals AS (
+      SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg, COUNT(*) AS k FROM counts
+    ), terms AS (
+      SELECT c.event_type, c.n_bad, c.n_good,
+             CAST(FLOOR(LN(
+               (CAST(2 * c.n_good + 1 AS DOUBLE) * (2 * t.tb + t.k))
+               / (CAST(2 * c.n_bad + 1 AS DOUBLE) * (2 * t.tg + t.k))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS woe_micro,
+             CAST(FLOOR(
+               (CAST(2 * c.n_good + 1 AS DOUBLE) / (2 * t.tg + t.k)
+                - CAST(2 * c.n_bad + 1 AS DOUBLE) / (2 * t.tb + t.k))
+               * LN((CAST(2 * c.n_good + 1 AS DOUBLE) * (2 * t.tb + t.k))
+                    / (CAST(2 * c.n_bad + 1 AS DOUBLE) * (2 * t.tg + t.k)))
+               * 1000000.0 + 0.5) AS BIGINT) AS iv_micro
+      FROM counts c CROSS JOIN totals t
+    )
+    SELECT event_type, n_bad, n_good, woe_micro, iv_micro,
+           CAST(SUM(iv_micro) OVER () AS BIGINT) AS iv_total_micro
+    FROM terms
+    """,
+)
+def fraud_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value scorecard statistics per
+    categorical feature level — the credit-risk standard screen for how
+    much a categorical separates good from bad outcomes (IV < 0.02 means
+    drop the feature; > 0.5 means suspiciously predictive, check leakage).
+
+    Laplace-smoothed (+0.5) distributions are kept as INTEGER ratios
+    ((2g+1)/(2G+K)) so the only float work is one LN over a ratio of
+    integer products and one multiply — quantized to micros on both
+    engines (libm LN agreement at this scale established by
+    fraud_population_stability's 1e-9 quantization). The total IV is a
+    BIGINT sum of the quantized per-level terms: exact, order-free.
+
+    Plan: one map-side-combinable aggregate on the (tiny) level
+    cardinality, a broadcast of the 1-row totals, a K-row window. The
+    event scan reads two columns (ReadSchema pruned)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(_bad(), 1).otherwise(0)).cast("bigint").alias("n_bad"),
+        F.sum(F.when(_bad(), 0).otherwise(1)).cast("bigint").alias("n_good"),
+    )
+    totals = counts.agg(
+        F.sum("n_bad").alias("tb"),
+        F.sum("n_good").alias("tg"),
+        F.count("*").alias("k"),
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    good_num = (2 * F.col("n_good") + 1).cast("double")
+    bad_num = (2 * F.col("n_bad") + 1).cast("double")
+    good_den = 2 * F.col("tg") + F.col("k")
+    bad_den = 2 * F.col("tb") + F.col("k")
+    woe = F.log(good_num * bad_den / (bad_num * good_den))
+    iv = (good_num / good_den - bad_num / bad_den) * woe
+    terms = joined.select(
+        "event_type",
+        "n_bad",
+        "n_good",
+        F.floor(woe * 1_000_000.0 + 0.5).cast("bigint").alias("woe_micro"),
+        F.floor(iv * 1_000_000.0 + 0.5).cast("bigint").alias("iv_micro"),
+    )
+    return terms.withColumn(
+        "iv_total_micro",
+        F.sum("iv_micro").over(W.partitionBy()).cast("bigint"),
+    )
+
+
+_TE_SMOOTH = 10  # pseudo-observations pulled toward the global prior
+
+
+@register(
+    "feature_target_encoding_loo",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT event_id, event_type,
+             CASE WHEN {_BAD_SQL} THEN 1 ELSE 0 END AS y
+      FROM events
+    ), cat AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_cat,
+             CAST(SUM(y) AS BIGINT) AS s_cat
+      FROM labeled GROUP BY event_type
+    ), gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(y) AS BIGINT) AS s_all
+      FROM labeled
+    )
+    SELECT l.event_id, l.event_type, l.y,
+           (FLOOR(
+             (CAST(c.s_cat - l.y AS DOUBLE)
+              + {_TE_SMOOTH}.0 * (CAST(g.s_all AS DOUBLE) / g.n_all))
+             / (c.n_cat - 1 + {_TE_SMOOTH})
+             * 1000000.0 + 0.5) / 1000000.0) AS loo_enc
+    FROM labeled l
+    JOIN cat c ON c.event_type = l.event_type
+    CROSS JOIN gtot g
+    """,
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of a categorical feature:
+    each row's category is replaced by the mean outcome of the OTHER rows
+    in its category, shrunk toward the global prior by m=10 pseudo-counts
+    — the standard high-cardinality encoder, with the self-row excluded so
+    the encoding can't leak its own label into training.
+
+    Exactness: category sums and counts are integers; each row does one
+    subtraction and one division in a fixed expression order, so both
+    engines evaluate the identical float dag (then q6). Plan: one
+    aggregate at category cardinality, broadcast back onto the fact scan
+    (the join side is tiny by construction), plus a broadcast 1-row global
+    — no windows over the full table, no second shuffle of the fact rows.
+    That broadcast-back shape is exactly how this runs at 100 TB; a
+    window-function formulation would shuffle every fact row instead."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    labeled = ev.select(
+        "event_id",
+        "event_type",
+        F.when(_bad(), 1).otherwise(0).alias("y"),
+    )
+    cat = labeled.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cat"),
+        F.sum("y").cast("bigint").alias("s_cat"),
+    )
+    glob = labeled.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("y").cast("bigint").alias("s_all"),
+    )
+    prior = F.col("s_all").cast("double") / F.col("n_all")
+    loo = (
+        (F.col("s_cat") - F.col("y")).cast("double")
+        + float(_TE_SMOOTH) * prior
+    ) / (F.col("n_cat") - 1 + _TE_SMOOTH)
+    return (
+        labeled.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select("event_id", "event_type", "y", q(loo, 6).alias("loo_enc"))
+    )
+
+
+@register(
+    "ml_pr_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro,
+             CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ), per_score AS (
+      SELECT score_micro,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY score_micro
+    ), cum AS (
+      SELECT n_pos,
+             CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum_n
+      FROM per_score
+      WINDOW w AS (ORDER BY score_micro DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos_total,
+           CAST(SUM(n_pos * CAST(FLOOR(cum_pos * 1000000.0 / cum_n + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS ap_micro_sum,
+           (FLOOR(CAST(SUM(n_pos * CAST(FLOOR(cum_pos * 1000000.0 / cum_n
+                                              + 0.5) AS BIGINT)) AS DOUBLE)
+                  / NULLIF(SUM(n_pos), 0) + 0.5) / 1000000.0)
+             AS average_precision
+    FROM cum
+    """,
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, with the
+    standard step interpolation): the ranking metric that stays honest
+    under fraud's extreme class imbalance, where ROC-AUC saturates. The
+    deterministic score is value/200 capped at 1 (the same rule pair as
+    ml_ks_statistic); precision is evaluated at each DISTINCT score
+    threshold and weighted by the positives tied at that threshold — the
+    correct tie handling, and the reason rows collapse to per-score counts
+    first.
+
+    Exactness: cumulative counts are integer; precision is floor-quantized
+    to integer micros BEFORE the weighted sum, so AP's accumulation is
+    BIGINT arithmetic with one final division — no float summation order
+    exists. Plan: per-score collapse is one map-side-combinable aggregate
+    (distinct-score cardinality, already micro-bucketed); the cumulative
+    window runs over that collapsed table, not the events — the same
+    two-phase CDF shape as ml_ks_statistic, which is what survives 100 TB
+    (the window input is bounded by score granularity, max 1e6 rows)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    scored = ev.select(
+        F.floor(F.least(F.col("value") / 200.0, F.lit(1.0)) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_score = scored.groupBy("score_micro").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = W.orderBy(F.col("score_micro").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        "n_pos",
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )
+    prec_micro = F.floor(
+        F.col("cum_pos") * 1_000_000.0 / F.col("cum_n") + 0.5
+    ).cast("bigint")
+    return cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos_total"),
+        F.sum(F.col("n_pos") * prec_micro).cast("bigint").alias("ap_micro_sum"),
+        (
+            F.floor(
+                F.sum(F.col("n_pos") * prec_micro).cast("double")
+                / F.nullif(F.sum("n_pos"), F.lit(0))
+                + 0.5
+            )
+            / 1_000_000.0
+        ).alias("average_precision"),
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
         pca,
         recursive,
         relational,
+        risk,
         sampling,
         scalars_extra,
         setops,

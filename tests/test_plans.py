@@ -686,3 +686,43 @@ def test_lpa_edges_not_reshuffled_per_round(spark):
     df = registry.QUERIES["graph_label_propagation"](spark, SF)
     plan = plan_string(df, mode="simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_structuring_band_filter_pushed_single_user_shuffle(spark):
+    """The sub-threshold band filter must reach the parquet scan (the
+    whole point at scale: <5% of rows survive before the only shuffle),
+    and the rolling window must cost exactly one user_id Exchange."""
+    df = registry.QUERIES["fraud_structuring_subthreshold"](spark, SF)
+    plan = plan_string(df)
+    assert "PushedFilters" in plan and "value" in plan.split("PushedFilters")[1][:200], plan
+    simple = plan_string(df, mode="simple")
+    assert simple.count("Exchange hashpartitioning(user_id") == 1, simple
+
+
+def test_cusum_stacked_windows_share_one_user_shuffle(spark):
+    """Running-sum then running-min-of-sum share partitioning AND ordering
+    — the closed-form CUSUM must not pay a second Exchange or Sort."""
+    df = registry.QUERIES["fraud_cusum_drift"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("Exchange hashpartitioning(user_id") == 1, simple
+    assert simple.count("Sort [user_id") == 1, simple
+
+
+def test_target_encoding_broadcasts_category_stats(spark):
+    """Category stats and the 1-row global prior broadcast back onto the
+    fact scan — the fact rows themselves must never hash-shuffle."""
+    df = registry.QUERIES["feature_target_encoding_loo"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("BroadcastHashJoin") >= 1, simple
+    assert "BroadcastNestedLoopJoin" in simple, simple  # 1-row global cross
+    assert "SortMergeJoin" not in simple, simple
+
+
+def test_pr_auc_window_runs_on_collapsed_scores(spark):
+    """The cumulative window must consume the per-score aggregate, not raw
+    events: a partial+final HashAggregate pair precedes the single-
+    partition window Exchange."""
+    df = registry.QUERIES["ml_pr_auc"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("HashAggregate") >= 4, simple
+    assert simple.index("HashAggregate") < simple.index("Window"), simple

@@ -894,3 +894,157 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword ranking
+# ---------------------------------------------------------------------------
+
+def _textrank_oracle() -> str:
+    """Unrolled 3-iteration weighted-PageRank chain over the word
+    co-occurrence graph; scores carried as integer micros each round."""
+    head = f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+      FROM toks0
+    ), words AS (
+      SELECT doc_id, pos, ws[pos] AS word FROM toks
+      WHERE ws[pos] <> '' AND ws[pos] NOT IN ({_RAKE_STOP_SQL})
+    ), seq AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
+      FROM words
+    ), nbr AS (
+      SELECT doc_id, word,
+             LEAD(word, 1) OVER win AS w1,
+             LEAD(word, 2) OVER win AS w2
+      FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY rpos)
+    ), pairs AS (
+      SELECT LEAST(word, w1) AS a, GREATEST(word, w1) AS b
+      FROM nbr WHERE w1 IS NOT NULL AND word <> w1
+      UNION ALL
+      SELECT LEAST(word, w2) AS a, GREATEST(word, w2) AS b
+      FROM nbr WHERE w2 IS NOT NULL AND word <> w2
+    ), edges0 AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY a, b
+    ), und AS (
+      SELECT a AS src, b AS dst, w FROM edges0
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM edges0
+    ), wdeg AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM und GROUP BY src
+    ), s0 AS (
+      SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM wdeg
+    )"""
+    prev = "s0"
+    steps = []
+    for i in (1, 2, 3):
+        steps.append(f"""
+    , s{i} AS (
+      SELECT u.dst AS node,
+             CAST(150000 + FLOOR(0.85 * SUM(
+               CAST(FLOOR(CAST(u.w * s.s AS DOUBLE) / d.wd + 0.5) AS BIGINT)
+             ) + 0.5) AS BIGINT) AS s
+      FROM und u
+      JOIN {prev} s ON s.node = u.src
+      JOIN wdeg d ON d.src = u.src
+      GROUP BY u.dst
+    )""")
+        prev = f"s{i}"
+    return head + "".join(steps) + f"""
+    SELECT s.node AS word, d.wd AS wdeg, s.s AS score_micro
+    FROM {prev} s JOIN wdeg d ON d.src = s.node
+    ORDER BY score_micro DESC, word
+    LIMIT 20
+    """
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword ranking (Mihalcea & Tarau 2004): weighted PageRank
+    over the word co-occurrence graph — tokens (stopword-filtered, as
+    RAKE) co-occur when within distance 2 in the filtered sequence; edge
+    weight = corpus-wide co-occurrence count; 3 synchronous damped
+    iterations (d=0.85) from uniform init; top-20 words. Complements RAKE:
+    degree/frequency scoring vs global random-walk centrality.
+
+    Determinism (the iterative-fixpoint discipline shared with
+    cluster_kmeans_embeddings and graph_label_propagation): scores live as
+    integer MICROS between rounds; each edge contribution floor-quantizes
+    w·s/wdeg before an order-free BIGINT sum, and the single 0.85·sum
+    product is one double op on an exactly-representable integer. Both
+    engines therefore carry bit-identical state into every round.
+
+    Plan: co-occurrence needs NO self-join — two LEADs over one
+    (doc_id, rpos) window build the distance-≤2 pairs, then one aggregate
+    makes the edge list. Each round joins the persisted edge list to the
+    vocabulary-sized score table (broadcast — vocab ≪ corpus; same
+    fallback note as label propagation: at web-vocab scale co-partition
+    edges and scores on src instead) and re-aggregates by dst. The edge
+    list never re-shuffles across rounds."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).where((F.col("word") != "") & ~F.col("word").isin(*_RAKE_STOPWORDS))
+    seq = toks.withColumn(
+        "rpos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    win = Window.partitionBy("doc_id").orderBy("rpos")
+    nbr = seq.select(
+        "word",
+        F.lead("word", 1).over(win).alias("w1"),
+        F.lead("word", 2).over(win).alias("w2"),
+    )
+    pairs = (
+        nbr.where(F.col("w1").isNotNull() & (F.col("word") != F.col("w1")))
+        .select(
+            F.least("word", "w1").alias("a"), F.greatest("word", "w1").alias("b")
+        )
+        .unionAll(
+            nbr.where(F.col("w2").isNotNull() & (F.col("word") != F.col("w2")))
+            .select(
+                F.least("word", "w2").alias("a"),
+                F.greatest("word", "w2").alias("b"),
+            )
+        )
+    )
+    edges0 = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("w"))
+    und = edges0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(edges0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    wdeg = und.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    trans = und.join(wdeg, "src").persist()
+    scores = wdeg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("s")
+    )
+    for _ in range(3):
+        contrib = F.floor(
+            (F.col("w") * F.col("s")).cast("double") / F.col("wd") + 0.5
+        ).cast("bigint")
+        scores = (
+            trans.join(F.broadcast(scores), trans["src"] == scores["node"])
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150_000)
+                    + F.floor(0.85 * F.sum(contrib) + 0.5)
+                )
+                .cast("bigint")
+                .alias("s")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    return (
+        scores.join(wdeg, scores["node"] == wdeg["src"])
+        .select(
+            F.col("node").alias("word"),
+            F.col("wd").alias("wdeg"),
+            F.col("s").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "word")
+        .limit(20)
+    )

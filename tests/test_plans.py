@@ -726,3 +726,24 @@ def test_pr_auc_window_runs_on_collapsed_scores(spark):
     simple = plan_string(df, mode="simple")
     assert simple.count("HashAggregate") >= 4, simple
     assert simple.index("HashAggregate") < simple.index("Window"), simple
+
+
+def test_textrank_cooccurrence_is_joinless_and_edges_cached(spark):
+    """Distance-≤2 co-occurrence must come from LEAD windows, not a token
+    self-join; rounds broadcast the score table against the persisted
+    edge list (no per-round src re-shuffle)."""
+    df = registry.QUERIES["text_textrank_keywords"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in simple, simple
+    assert "InMemoryTableScan" in simple, simple
+    assert "CartesianProduct" not in simple, simple
+
+
+def test_jaccard_neighbors_no_broadcast_of_node_cardinality_side(spark):
+    """Degree/candidate joins are node-cardinality: no explicit broadcast
+    hint — and top-20 compiles to TakeOrderedAndProject, not a global
+    sort."""
+    df = registry.QUERIES["graph_jaccard_neighbors"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "TakeOrderedAndProject" in simple, simple
+    assert "CartesianProduct" not in simple, simple

@@ -853,3 +853,108 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", F.col("price_cents").alias("weighted_median_cents"))
         .orderBy("grp")
     )
+
+
+_SDEC_ANOM_CENTS = 50_000  # |residual| alert bar, integer cents
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ), trended AS (
+      SELECT event_type, day, total_cents,
+             CAST(FLOOR(CAST(SUM(total_cents) OVER w AS DOUBLE)
+                        / COUNT(*) OVER w + 0.5) AS BIGINT) AS trend_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seasonal AS (
+      SELECT event_type, date_diff('day', DATE '2024-01-01', day) % 7 AS dow,
+             CAST(FLOOR(CAST(SUM(total_cents - trend_cents) AS DOUBLE)
+                        / COUNT(*) + 0.5) AS BIGINT) AS seasonal_cents
+      FROM trended
+      GROUP BY event_type, date_diff('day', DATE '2024-01-01', day) % 7
+    )
+    SELECT t.event_type, t.day, t.total_cents, t.trend_cents,
+           s.seasonal_cents,
+           t.total_cents - t.trend_cents - s.seasonal_cents AS residual_cents,
+           ABS(t.total_cents - t.trend_cents - s.seasonal_cents)
+             > {_SDEC_ANOM_CENTS} AS anomaly
+    FROM trended t
+    JOIN seasonal s
+      ON s.event_type = t.event_type
+     AND s.dow = date_diff('day', DATE '2024-01-01', t.day) % 7
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of the daily revenue
+    series per event type: trend = 7-day centered moving average, seasonal
+    = day-of-week mean of the detrended series, residual = what's left —
+    with an absolute-residual anomaly flag. The monitoring decomposition
+    behind every 'traffic looks weird today' alert: a spike is only
+    anomalous AFTER trend and weekday rhythm are removed.
+
+    Determinism: daily totals are integer cents; trend and seasonal means
+    floor-quantize a double division of exact integers (identical single
+    op both engines); day-of-week comes from epoch-day arithmetic, not the
+    engines' (incompatible) dayofweek numbering. Plan: the heavy input
+    collapses to (type × day) cardinality in ONE map-side-combinable
+    aggregate; everything after — window, seasonal group, final join —
+    runs on that tiny series. At 100 TB the decomposition cost IS the
+    first aggregate; the rest is noise."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day",
+        "total_cents",
+        F.floor(
+            F.sum("total_cents").over(w).cast("double")
+            / F.count("*").over(w)
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("trend_cents"),
+    )
+    dow = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7
+    seasonal = (
+        trended.groupBy("event_type", dow.alias("dow"))
+        .agg(
+            F.floor(
+                F.sum(F.col("total_cents") - F.col("trend_cents")).cast("double")
+                / F.count("*")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("seasonal_cents")
+        )
+    )
+    joined = trended.withColumn("dow", dow).join(
+        F.broadcast(seasonal), ["event_type", "dow"]
+    )
+    resid = F.col("total_cents") - F.col("trend_cents") - F.col("seasonal_cents")
+    return joined.select(
+        "event_type",
+        "day",
+        "total_cents",
+        "trend_cents",
+        "seasonal_cents",
+        resid.alias("residual_cents"),
+        (F.abs(resid) > _SDEC_ANOM_CENTS).alias("anomaly"),
+    )

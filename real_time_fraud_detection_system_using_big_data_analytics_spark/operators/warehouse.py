@@ -284,3 +284,69 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("target_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+@register(
+    "etl_join_ivm_delta",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def etl_join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a JOIN view — the delta algebra
+    behind streaming materialized views: with both inputs split into base
+    and delta (O = Ob∪δO, L = Lb∪δL), the view delta is the three cross
+    terms  Ob⋈δL ∪ δO⋈Lb ∪ δO⋈δL,  and base state Ob⋈Lb is never
+    recomputed. This operator maintains a per-customer revenue rollup that
+    way and must equal the oracle's full-recompute join — the IVM
+    correctness identity itself is the value check (the companion to
+    etl_incremental_agg_merge, which covers the aggregate-only case).
+
+    Each cross term joins a DELTA side (orderkey-suffix slice, ~10-14% of
+    rows) against a base table, so maintenance work scales with |δ|, not
+    |base⋈base|; the delta sides carry explicit broadcast hints (deltas
+    are small by definition — that's the IVM contract), the partial
+    states are (count, cent-sum) semigroups merged AFTER the union, and
+    the average-style derivations would happen post-merge as in the agg
+    twin. Disjointness of the four terms is guaranteed by the
+    partition-complement split (modulus on the join key itself), so no
+    double counting is possible."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    orders, lineitem = t["orders"], t["lineitem"]
+    o_delta_pred = (F.col("o_orderkey") % 10) == 0
+    l_delta_pred = (F.col("l_orderkey") % 7) == 0
+    ob, od = orders.filter(~o_delta_pred), orders.filter(o_delta_pred)
+    lb, ld = lineitem.filter(~l_delta_pred), lineitem.filter(l_delta_pred)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+    def partial(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(cents).alias("revenue_cents"),
+            )
+        )
+
+    base_state = partial(ob, lb)          # stored view state (Ob⋈Lb)
+    d1 = partial(ob, F.broadcast(ld))     # Ob ⋈ δL
+    d2 = partial(F.broadcast(od), lb)     # δO ⋈ Lb
+    d3 = partial(F.broadcast(od), ld)     # δO ⋈ δL
+    return (
+        base_state.unionAll(d1)
+        .unionAll(d2)
+        .unionAll(d3)
+        .groupBy("custkey")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -747,3 +747,22 @@ def test_jaccard_neighbors_no_broadcast_of_node_cardinality_side(spark):
     simple = plan_string(df, mode="simple")
     assert "TakeOrderedAndProject" in simple, simple
     assert "CartesianProduct" not in simple, simple
+
+
+def test_seasonal_decompose_collapses_before_windows(spark):
+    """The (type × day) aggregate must precede the trend window, and the
+    tiny seasonal table broadcasts back."""
+    df = registry.QUERIES["timeseries_seasonal_decompose"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    # the trend window reads the aggregated daily series, never raw events
+    assert "sum(total_cents" in simple.split("Window")[1], simple
+    assert "BroadcastHashJoin" in simple, simple
+
+
+def test_join_ivm_delta_sides_broadcast(spark):
+    """Every cross term joins through a broadcast of its delta side —
+    maintenance cost must scale with |delta|, so no SortMergeJoin may
+    appear anywhere in the maintenance plan."""
+    df = registry.QUERIES["etl_join_ivm_delta"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("BroadcastHashJoin") >= 3, simple

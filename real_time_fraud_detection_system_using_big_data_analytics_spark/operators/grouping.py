@@ -958,3 +958,118 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         resid.alias("residual_cents"),
         (F.abs(resid) > _SDEC_ANOM_CENTS).alias("anomaly"),
     )
+
+
+@register(
+    "agg_hll_accuracy_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine accuracy audit of the HLL distinct-count sketch: per
+    group, the DataSketches estimate must land within 15% relative error
+    (3× the lgK=12 standard error) of the exact COUNT DISTINCT computed
+    in the SAME query. The oracle pins the exact counts and expects every
+    bound flag TRUE — so a sketch regression becomes a value MISMATCH,
+    not a silent quality drift. Same conversion trick as ann_recall_at_k:
+    engine-private sketch internals become oracle-checkable by shipping
+    the MEASUREMENT, not the sketch.
+
+    (At these per-group cardinalities HLL runs in sparse mode and is
+    typically exact; the 15% bound is the dense-mode guarantee so the
+    audit stays green at any scale.) Both aggregates share one shuffle;
+    the sketch is the part that pre-aggregates at 100 TB, the exact count
+    is the audit-time truth you compute on a sample or a backfill."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12))
+        .cast("bigint")
+        .alias("approx_ndv"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_ndv"),
+    )
+    rel_err_ok = (
+        F.abs(F.col("approx_ndv") - F.col("exact_ndv")) * 100
+        <= F.col("exact_ndv") * 15
+    )
+    return per.select("event_type", "exact_ndv", rel_err_ok.alias("within_bound"))
+
+
+_CMS_EPS = 0.005   # width guarantee: overcount <= eps * N with prob 1-delta
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_TOPN = 10
+
+
+@register(
+    "agg_cms_heavy_hitter_audit",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+    ), top AS (
+      SELECT user_id, exact_n FROM counts
+      ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPN}
+    )
+    SELECT user_id, exact_n,
+           TRUE AS lower_ok, TRUE AS upper_ok
+    FROM top
+    """,
+)
+def agg_cms_heavy_hitter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: build the CMS over the full
+    event stream (distributed, mergeable — Spark's JVM sketch aggregates
+    per partition and merges), then verify its two-sided guarantee on the
+    exact top-{_CMS_TOPN} accounts: CMS never undercounts
+    (estimate >= exact, a hard property of min-of-counters), and with eps
+    = {_CMS_EPS} overcounts by at most eps·N (probabilistic, delta =
+    {1 - _CMS_CONF:.2f}, deterministic here under the fixed seed). The
+    oracle pins exact counts + both flags TRUE — a sketch regression hash-
+    mismatches instead of drifting silently.
+
+    The sketch is built by the count_min_sketch SQL AGGREGATE (partial
+    sketches per partition, merged JVM-side — the mergeability that makes
+    CMS the 100 TB heavy-hitter tool); the only driver-side work is
+    deserializing the one finished sketch and probing it for {_CMS_TOPN}
+    keys. At 100 TB you'd keep the per-partition sketches as stored
+    partials; the audit shape is unchanged."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    agg = ev.agg(
+        F.count_min_sketch(
+            F.col("user_id").cast("string"),
+            F.lit(_CMS_EPS),
+            F.lit(_CMS_CONF),
+            F.lit(_CMS_SEED),
+        ).alias("sk"),
+        F.count("*").alias("n_total"),
+    ).collect()[0]
+    n_total = agg["n_total"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(_CMS_TOPN)
+        .collect()
+    )
+    bound = int(_CMS_EPS * n_total)
+    rows = []
+    for r in top:
+        est = cms.estimateCount(str(r["user_id"]))
+        rows.append(
+            (
+                r["user_id"],
+                r["exact_n"],
+                bool(est >= r["exact_n"]),
+                bool(est <= r["exact_n"] + bound),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "user_id bigint, exact_n bigint, lower_ok boolean, upper_ok boolean"
+    )

@@ -299,3 +299,119 @@ def udf_holt_linear_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             holt_partition, "event_id bigint, user_id bigint, level double, trend double"
         )
     )
+
+
+@register(
+    "udf_holt_winters_stateful",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn,
+             value AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS c0, CAST(0 AS DOUBLE) AS c1,
+             CAST(0 AS DOUBLE) AS c2, CAST(0 AS DOUBLE) AS c3,
+             CAST(0 AS DOUBLE) AS c_new
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.rn,
+             0.5 * (o.value - r.c0) + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * (o.value - r.c0) + 0.5 * (r.l + r.b)) - r.l)
+               + 0.7 * r.b,
+             r.c1, r.c2, r.c3,
+             0.25 * (o.value
+                     - (0.5 * (o.value - r.c0) + 0.5 * (r.l + r.b)))
+               + 0.75 * r.c0,
+             0.25 * (o.value
+                     - (0.5 * (o.value - r.c0) + 0.5 * (r.l + r.b)))
+               + 0.75 * r.c0
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id,
+           (FLOOR(l * 1000000.0 + 0.5) / 1000000.0) AS level,
+           (FLOOR(b * 1000000.0 + 0.5) / 1000000.0) AS trend,
+           (FLOOR(c_new * 1000000.0 + 0.5) / 1000000.0) AS seasonal
+    FROM rec
+    """,
+)
+def udf_holt_winters_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, season m=4)
+    per account: level, trend AND a rotating 4-slot seasonal queue —
+    the coupled nonlinear recurrence no window frame or closed form can
+    decompose (CUSUM has one, fraud_cusum_drift; this genuinely doesn't).
+    The completion of the smoothing family: EWMA (1 state) → Holt (2) →
+    Holt-Winters (2 + m).
+
+    Same engine shape as its siblings: repartition on the key, sort
+    within partitions, ONE mapInPandas pass whose kernel is an explicit
+    loop with O(m) state per key — per-row Python is the honest cost of a
+    recurrence with no pandas C kernel, and it is documented as such (the
+    module's only per-row loop).
+
+    Determinism contract: α=0.5 and γ=0.25 are exactly representable
+    (so are 1−α, 1−γ); β uses parsed literals 0.3/0.7. The update
+    sequence  l' = 0.5·(x−c₀) + 0.5·(l+b);  b' = 0.3·(l'−l) + 0.7·b;
+    c' = 0.25·(x−l') + 0.75·c₀  is evaluated with the IDENTICAL op order
+    in the loop and in the recursive CTE (whose b'/c' re-inline the l'
+    expression — recomputing a deterministic double yields the same
+    double), so state stays bit-equal without per-step quantization; the
+    final 1e-6 floor is belt-and-suspenders. The seasonal queue rotates
+    (c₀←c₁←c₂←c₃←c'), giving each slot exactly period-m reuse.
+
+    At 100 TB: one shuffle + partition-local sort; state is m+2 doubles
+    per key; the usual skew caveat (cap per-key history upstream)."""
+    import numpy as np
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+
+    def hw_partition(batches):
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        users = pdf["user_id"].to_numpy()
+        xs = pdf["value"].to_numpy()
+        n = len(pdf)
+        level = np.empty(n)
+        trend = np.empty(n)
+        seasonal = np.empty(n)
+        state: dict[int, tuple[float, float, list[float]]] = {}
+        for i in range(n):
+            u, x = users[i], xs[i]
+            st = state.get(u)
+            if st is None:
+                l_new, b_new, c_new = x, 0.0, 0.0
+                queue = [0.0, 0.0, 0.0, 0.0]
+            else:
+                l_prev, b_prev, queue = st
+                c0 = queue[0]
+                l_new = 0.5 * (x - c0) + 0.5 * (l_prev + b_prev)
+                b_new = 0.3 * (l_new - l_prev) + 0.7 * b_prev
+                c_new = 0.25 * (x - l_new) + 0.75 * c0
+                queue = [queue[1], queue[2], queue[3], c_new]
+            state[u] = (l_new, b_new, queue)
+            level[i], trend[i], seasonal[i] = l_new, b_new, c_new
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "level": np.floor(level * 1000000.0 + 0.5) / 1000000.0,
+                "trend": np.floor(trend * 1000000.0 + 0.5) / 1000000.0,
+                "seasonal": np.floor(seasonal * 1000000.0 + 0.5) / 1000000.0,
+            }
+        )
+
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            hw_partition,
+            "event_id bigint, user_id bigint, level double, trend double,"
+            " seasonal double",
+        )
+    )

@@ -452,3 +452,127 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("average_precision"),
     )
+
+
+@register(
+    "fraud_interarrival_profile",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR((epoch_us(ts)
+               - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+               / 1000000.0) AS BIGINT) AS gap_s
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             list_sort(list(gap_s)) AS sorted_gaps,
+             MAX(gap_s) AS max_gap_s
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           sorted_gaps[CAST(FLOOR((n_gaps + 1) / 2.0) AS INTEGER)]
+             AS median_gap_s,
+           max_gap_s,
+           max_gap_s > 10 * sorted_gaps[CAST(FLOOR((n_gaps + 1) / 2.0) AS INTEGER)]
+             AS bursty
+    FROM agg
+    """,
+)
+def fraud_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral inter-arrival profile per account: lower-median and max
+    of the gaps between consecutive transactions (integer epoch-seconds),
+    with a burstiness flag (max gap > 10× median — the 'long quiet then
+    burst' rhythm that precedes bust-out fraud; the profile complement of
+    fraud_dormant_reactivation's absolute-gap screen).
+
+    Gaps come from one LAG over the per-account order; the exact lower
+    median is element (n+1)/2 of the in-group sorted array — no
+    interpolation, so no percentile-dialect divergence (same trick as
+    window_rolling_median). Integer seconds end-to-end. The collect_list
+    is bounded by per-account history (the usual skew cap applies
+    upstream); everything rides ONE user_id shuffle."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id",
+        F.floor((us - F.lag(us).over(w)) / 1_000_000.0)
+        .cast("bigint")
+        .alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.sort_array(F.collect_list("gap_s")).alias("sorted_gaps"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    med = F.element_at(
+        F.col("sorted_gaps"), F.floor((F.col("n_gaps") + 1) / 2.0).cast("int")
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        med.alias("median_gap_s"),
+        "max_gap_s",
+        (F.col("max_gap_s") > 10 * med).alias("bursty"),
+    )
+
+
+@register(
+    "fraud_round_amount_affinity",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tx,
+             CAST(SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                % 100 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_round
+      FROM events GROUP BY user_id
+    ), pop AS (
+      SELECT SUM(n_tx) AS n_all, SUM(n_round) AS r_all FROM per_user
+    )
+    SELECT u.user_id, u.n_tx, u.n_round,
+           CAST(FLOOR(u.n_round * 1000000.0 / u.n_tx + 0.5) AS BIGINT)
+             AS round_rate_micro
+    FROM per_user u CROSS JOIN pop p
+    WHERE u.n_round >= 3 AND u.n_round * p.n_all > 3 * u.n_tx * p.r_all
+    """,
+)
+def fraud_round_amount_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-amount affinity screen: accounts transacting in whole-unit
+    amounts (cents % 100 == 0) at more than 3× the population base rate
+    (with >= 3 such transactions) — fabricated and collusive transactions
+    over-index on round numbers, the per-account cousin of the corpus-wide
+    Benford digit test.
+
+    The 3× comparison is INTEGER cross-multiplied (n_round·N > 3·n_tx·R),
+    so the flag cannot float-drift; the reported rate divides integers
+    once, floor-quantized. One map-side-combinable aggregate per account,
+    one broadcast 1-row population join."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    is_round = (
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint") % 100 == 0
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_tx"),
+        F.sum(F.when(is_round, 1).otherwise(0)).cast("bigint").alias("n_round"),
+    )
+    pop = per_user.agg(
+        F.sum("n_tx").alias("n_all"), F.sum("n_round").alias("r_all")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(pop))
+        .where(
+            (F.col("n_round") >= 3)
+            & (F.col("n_round") * F.col("n_all") > 3 * F.col("n_tx") * F.col("r_all"))
+        )
+        .select(
+            "user_id",
+            "n_tx",
+            "n_round",
+            F.floor(F.col("n_round") * 1_000_000.0 / F.col("n_tx") + 0.5)
+            .cast("bigint")
+            .alias("round_rate_micro"),
+        )
+    )

@@ -1048,3 +1048,64 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "word")
         .limit(20)
     )
+
+
+_HASHTF_BUCKETS = 16
+_HEX = "0123456789abcdef"
+
+
+def _hashing_tf_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN bucket = {b} THEN 1 ELSE 0 END) AS BIGINT) AS b{b}"
+        for b in range(_HASHTF_BUCKETS)
+    )
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS word FROM toks0
+    ), bucketed AS (
+      SELECT doc_id,
+             (strpos('{_HEX}', substring(md5(word), 1, 1)) - 1)
+               % {_HASHTF_BUCKETS} AS bucket
+      FROM toks WHERE word <> ''
+    )
+    SELECT doc_id, {cols}
+    FROM bucketed GROUP BY doc_id
+    """
+
+
+@register("text_hashing_trick_tf", oracle=_hashing_tf_oracle())
+def text_hashing_trick_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick', Weinberger et al. 2009):
+    fixed-width term-frequency vectors with NO vocabulary — each token
+    maps to bucket md5(token)[0] mod 16 and the doc's feature vector is
+    the bucket-count row. The property that matters at 100 TB: the
+    featurizer is STATELESS (no vocabulary broadcast, no fit pass, no
+    OOV), so it composes with streaming and with any partitioning — the
+    engine-side equivalent of MLlib's HashingTF, here with a
+    cross-engine-checkable hash (md5's first nibble, not murmur3, so
+    DuckDB reproduces every bucket exactly).
+
+    Plan: explode → one map-side-combinable aggregate keyed on doc_id
+    with 16 conditional sums — one shuffle at document cardinality, no
+    pivot (bucket count is a compile-time constant)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    bucket = (
+        F.instr(F.lit(_HEX), F.substring(F.md5("word"), 1, 1)) - 1
+    ) % _HASHTF_BUCKETS
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"b{b}")
+                for b in range(_HASHTF_BUCKETS)
+            ]
+        )
+    )

@@ -167,6 +167,16 @@ HEADLINE = [
     "window_rolling_median",
     "fraud_layering_chains",
     "agg_weighted_median",
+    "fraud_structuring_subthreshold",
+    "fraud_cusum_drift",
+    "feature_target_encoding_loo",
+    "text_textrank_keywords",
+    "graph_jaccard_neighbors",
+    "timeseries_seasonal_decompose",
+    "etl_join_ivm_delta",
+    "udf_holt_winters_stateful",
+    "text_hashing_trick_tf",
+    "fraud_interarrival_profile",
 ]
 
 

@@ -953,3 +953,96 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_micro"), "x", "y")
         .limit(20)
     )
+
+
+_CLUSTERING_COEF_SQL = """
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), triangles AS (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT e1.a, e1.b, e2.b AS c
+            FROM edges e1 JOIN edges e2 ON e2.a = e1.b) w
+      JOIN edges e3 ON e3.a = w.a AND e3.b = w.c
+    ), tri_per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM triangles
+        UNION ALL SELECT b FROM triangles
+        UNION ALL SELECT c FROM triangles
+      ) GROUP BY node
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY node
+    )
+    SELECT t.node, d.deg, t.n_tri,
+           CAST(FLOOR(2.0 * t.n_tri * 1000000.0
+                      / (d.deg * (d.deg - 1)) + 0.5) AS BIGINT)
+             AS clustering_micro
+    FROM tri_per_node t JOIN deg d ON d.node = t.node
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTERING_COEF_SQL)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex: 2·triangles(v) /
+    (deg(v)·(deg(v)−1)) for every vertex on at least one triangle — the
+    per-node density score that separates collusion rings (neighbors who
+    all transact with each other → coefficient near 1) from legitimate
+    hubs (star centers → near 0). The per-node companion to
+    graph_triangle_count's global tally.
+
+    Triangles come from the same ordered-edge wedge-close plan (each
+    found once, a<b<c), then fan out to their three corners with an
+    in-plan unpivot — no second triangle enumeration. The ratio is
+    floor-quantized from integer operands. Scale law unchanged from
+    triangle counting (Σ deg² wedges; degree-order the edges to bound it
+    — documented there); the corner fan-out is 3 rows per triangle."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b")).select(
+        F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
+    )
+    e3 = edges.alias("e3")
+    triangles = wedges.join(
+        e3, (F.col("e3.a") == F.col("wa")) & (F.col("e3.b") == F.col("wc"))
+    ).select("wa", "wb", "wc")
+    corners = (
+        triangles.select(F.col("wa").alias("node"))
+        .unionAll(triangles.select(F.col("wb").alias("node")))
+        .unionAll(triangles.select(F.col("wc").alias("node")))
+    )
+    tri_per_node = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    coeff = F.floor(
+        2.0 * F.col("n_tri") * 1_000_000.0
+        / (F.col("deg") * (F.col("deg") - 1))
+        + 0.5
+    ).cast("bigint")
+    return tri_per_node.join(deg, "node").select(
+        "node", "deg", "n_tri", coeff.alias("clustering_micro")
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from .cusum import run_cusum_hermetic
 from .velocity import run_velocity_hermetic
 
 
@@ -87,3 +88,49 @@ if _tws_available():  # pragma: no cover - dependency absent in the sandbox
         FROM events GROUP BY user_id
         """,
     )(_stream_account_profile_tws)
+
+
+@register(
+    "stream_cusum_drift_stateful",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) - 10500 AS delta_cents
+      FROM events
+    ), prefix AS (
+      SELECT event_id, user_id, ts,
+             CAST(SUM(delta_cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS p
+      FROM d
+    ), runmin AS (
+      SELECT event_id, user_id, p,
+             CAST(MIN(p) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_min_p
+      FROM prefix
+    )
+    SELECT event_id, user_id,
+           p - LEAST(run_min_p, 0) AS cusum_cents,
+           (p - LEAST(run_min_p, 0)) > 40000 AS drift_alert
+    FROM runmin
+    """,
+)
+def stream_cusum_drift_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint detection (applyInPandasWithState) with
+    the MINIMAL keyed state — two BIGINTs per account (prefix sum +
+    running min), no buffer, no horizon pruning. The oracle is the batch
+    closed-form window SQL (operators/risk.fraud_cusum_drift): integer-
+    cent arithmetic end to end, so the incremental replay must equal the
+    batch computation BIT-exactly, not just approximately — the
+    stream==batch equivalence claim is itself the value check. See
+    streaming/cusum.py."""
+    out = run_cusum_hermetic(spark, sf_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("cusum_cents").cast("bigint"),
+        "drift_alert",
+    )

@@ -741,3 +741,69 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("mmr")).alias("mmr_score"),
     )
     return out1.unionAll(out2).unionAll(out3).orderBy("q_id", "rank")
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_cosine_sql('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rn
+      FROM queries q
+      JOIN embeddings e ON e.vec_id <> q.q_id AND e.label = q.q_label
+    )
+    SELECT q_id, vec_id, label, ROUND(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= 5
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — exact cosine top-5 restricted to corpus
+    vectors sharing the query's metadata label (the 'filtered ANN'
+    problem every production vector store has to solve: predicate + 
+    similarity in one query). The critical plan property is that the
+    metadata predicate applies BEFORE scoring — the equi-join on label
+    replaces the unfiltered cross, so the scored candidate set shrinks by
+    the label selectivity and the per-partition WindowGroupLimit cut
+    (inherited from ann_bruteforce_topk's two-phase shape) operates on the
+    reduced set. Post-filtering instead (score-then-filter) both wastes
+    vector math AND under-fills k when the filter is selective — the
+    classic filtered-ANN correctness bug; this formulation cannot
+    under-fill because ranking happens after the restriction.
+
+    At IVF scale the same shape holds: the label predicate prunes cells
+    (or rides partition pruning on a label-partitioned index, as in
+    ann_ivf_persisted_probe) before any distance is computed."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = fan_out(e).select(
+        "vec_id", "label", "embedding", _norm("embedding").alias("e_norm")
+    )
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        _norm("embedding").alias("q_norm"),
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "label", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -350,3 +350,115 @@ def etl_join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "dq_freshness_by_source",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts) AS latest_ts
+      FROM events GROUP BY event_type
+    ), gmax AS (SELECT MAX(latest_ts) AS global_latest FROM per_type)
+    SELECT p.event_type, p.n_events, p.latest_ts,
+           CAST(FLOOR((epoch_us(g.global_latest) - epoch_us(p.latest_ts))
+                      / 1000000.0) AS BIGINT) AS lag_s,
+           CAST(FLOOR((epoch_us(g.global_latest) - epoch_us(p.latest_ts))
+                      / 1000000.0) AS BIGINT) > 3600 AS stale
+    FROM per_type p CROSS JOIN gmax g
+    """,
+)
+def dq_freshness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitor: per source (event type), the latest event
+    time and its lag behind the freshest source, with a staleness flag at
+    1 h — the first page of every pipeline-ops dashboard (a silent
+    upstream outage shows up as one source's lag growing while the others
+    advance). Lag is floor()ed integer seconds from epoch-microsecond
+    arithmetic (the division-dialect trap fraud_interarrival_profile
+    documents). One map-side-combinable aggregate at source cardinality +
+    a 1-row broadcast; at 100 TB read the per-partition parquet footers
+    (max statistics) instead of scanning — same output contract."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("ts").alias("latest_ts"),
+    )
+    glob = per.agg(F.max("latest_ts").alias("global_latest"))
+    lag = F.floor(
+        (F.unix_micros("global_latest") - F.unix_micros("latest_ts")) / 1_000_000.0
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_events",
+            "latest_ts",
+            lag.alias("lag_s"),
+            (lag > 3600).alias("stale"),
+        )
+    )
+
+
+@register(
+    "dq_partition_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS part_key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             CAST(MAX(n_rows) AS BIGINT) AS max_rows
+      FROM per_key
+    )
+    SELECT s.n_keys, s.total_rows, s.max_rows,
+           CAST(FLOOR(s.max_rows * s.n_keys * 1000000.0 / s.total_rows + 0.5)
+                AS BIGINT) AS skew_factor_micro,
+           s.max_rows * s.n_keys > 5 * s.total_rows AS skewed,
+           (SELECT COUNT(*) FROM per_key p, stats s2
+            WHERE p.n_rows * s2.n_keys > 2 * s2.total_rows) AS n_hot_keys
+    FROM stats s
+    """,
+)
+def dq_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for a prospective join/aggregation key:
+    max-partition/mean-partition ratio (the AQE skew-join trigger
+    quantity) plus the count of hot keys exceeding 2× the mean — the
+    diagnostic you run BEFORE choosing salting (operators/skew.py) or
+    relying on AQE. All comparisons integer cross-multiplied (n·keys vs
+    k·total), the reported factor floor-quantized once. One aggregate at
+    key cardinality; the report itself is O(1) rows."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    per_key = li.groupBy(F.col("l_suppkey").alias("part_key")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    stats = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    hot = (
+        per_key.crossJoin(F.broadcast(stats))
+        .where(F.col("n_rows") * F.col("n_keys") > 2 * F.col("total_rows"))
+        .agg(F.count("*").alias("n_hot_keys"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(hot))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_rows",
+            F.floor(
+                F.col("max_rows") * F.col("n_keys") * 1_000_000.0
+                / F.col("total_rows")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("skew_factor_micro"),
+            (F.col("max_rows") * F.col("n_keys") > 5 * F.col("total_rows")).alias(
+                "skewed"
+            ),
+            "n_hot_keys",
+        )
+    )

@@ -766,3 +766,15 @@ def test_join_ivm_delta_sides_broadcast(spark):
     df = registry.QUERIES["etl_join_ivm_delta"](spark, SF)
     simple = plan_string(df, mode="simple")
     assert simple.count("BroadcastHashJoin") >= 3, simple
+
+
+def test_filtered_topk_restricts_before_scoring(spark):
+    """The label predicate must be a join condition on the broadcast
+    (restriction before ranking — post-filtering under-fills k), and the
+    partial WindowGroupLimit must still cut below the q_id Exchange."""
+    df = registry.QUERIES["ann_filtered_topk"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin [label" in simple or "BroadcastHashJoin [q_label" in simple \
+        or ("BroadcastHashJoin" in simple and "label" in simple.split("BroadcastHashJoin")[1][:120]), simple
+    assert "WindowGroupLimit" in simple, simple
+    assert simple.index("Exchange hashpartitioning(q_id") < simple.rindex("WindowGroupLimit"), simple

@@ -290,3 +290,107 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ).cast("bigint")
     return sums.select("n", "sx", "sy", slope.alias("zipf_slope_micro"))
+
+
+@register(
+    "corpus_js_divergence_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE word <> '' GROUP BY source, word
+    ), gword AS (
+      SELECT word, CAST(SUM(n) AS BIGINT) AS n_g
+      FROM tf GROUP BY word HAVING SUM(n) >= 5
+    ), vocab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(n_g) AS BIGINT) AS n_gtot
+      FROM gword
+    ), stot AS (
+      SELECT tf.source, CAST(SUM(tf.n) AS BIGINT) AS n_s
+      FROM tf JOIN gword g ON g.word = tf.word GROUP BY tf.source
+    ), grid AS (
+      SELECT s.source, s.n_s, g.word, g.n_g, COALESCE(t.n, 0) AS n_sw
+      FROM gword g CROSS JOIN stot s
+      LEFT JOIN tf t ON t.source = s.source AND t.word = g.word
+    ), terms AS (
+      SELECT source, n_s,
+             CAST(FLOOR((
+               0.5 * ((n_sw + 1.0) / (n_s + vb.v))
+                   * LN(((n_sw + 1.0) / (n_s + vb.v))
+                        / (0.5 * (((n_sw + 1.0) / (n_s + vb.v))
+                                  + ((n_g + 1.0) / (vb.n_gtot + vb.v)))))
+               + 0.5 * ((n_g + 1.0) / (vb.n_gtot + vb.v))
+                   * LN(((n_g + 1.0) / (vb.n_gtot + vb.v))
+                        / (0.5 * (((n_sw + 1.0) / (n_s + vb.v))
+                                  + ((n_g + 1.0) / (vb.n_gtot + vb.v)))))
+             ) * 1000000000.0 + 0.5) AS BIGINT) AS c_nano
+      FROM grid CROSS JOIN vocab vb
+    )
+    SELECT source, MAX(n_s) AS n_tokens,
+           CAST(SUM(c_nano) AS BIGINT) AS js_nano
+    FROM terms GROUP BY source
+    """,
+)
+def corpus_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus-wide distribution — the domain-shift score a pretrain
+    data pipeline uses to spot a source whose language drifted (scraper
+    broke, domain changed) and to weight mixture sampling
+    (curation_mix_weighted_sample's informed cousin). Laplace-smoothed
+    over the >= 5-count shared vocabulary, so every term's p and q are
+    strictly positive and BOTH KL halves are finite by construction.
+
+    Determinism: counts are exact BIGINTs; each term contributes one
+    nano-quantized double (two LNs over ratios of integer-derived doubles
+    with an identical expression tree on both engines — the PSI
+    discipline at the same 1e-9 scale), and the per-source total is an
+    order-free BIGINT sum. Plan: token counts collapse to (source × word)
+    then the V×S grid is vocab ⨯ BROADCAST(20-row source totals) with a
+    left join back onto counts — the only large operand is vocabulary
+    cardinality, never the token stream."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy("source", "word").agg(F.count("*").cast("bigint").alias("n"))
+    gword = (
+        tf.groupBy("word")
+        .agg(F.sum("n").cast("bigint").alias("n_g"))
+        .where(F.col("n_g") >= 5)
+    )
+    vocab = gword.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("n_g").cast("bigint").alias("n_gtot"),
+    )
+    stot = (
+        tf.join(gword.select("word"), "word")
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_s"))
+    )
+    grid = (
+        gword.crossJoin(F.broadcast(stot))
+        .join(tf, ["source", "word"], "left")
+        .select(
+            "source",
+            "n_s",
+            "n_g",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_sw"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("n_sw") + 1.0) / (F.col("n_s") + F.col("v"))
+    qd = (F.col("n_g") + 1.0) / (F.col("n_gtot") + F.col("v"))
+    m = 0.5 * (p + qd)
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * qd * F.log(qd / m)
+    terms = grid.select(
+        "source",
+        "n_s",
+        F.floor(contrib * 1_000_000_000.0 + 0.5).cast("bigint").alias("c_nano"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.sum("c_nano").cast("bigint").alias("js_nano"),
+    )

@@ -292,3 +292,83 @@ def eventflow_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "eventflow_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy_us
+      FROM events GROUP BY user_id
+    ), latency AS (
+      SELECT CAST(FLOOR((first_buy_us - first_view_us) / 1000000.0) AS BIGINT)
+               AS ttc_s
+      FROM firsts
+      WHERE first_view_us IS NOT NULL AND first_buy_us IS NOT NULL
+        AND first_buy_us >= first_view_us
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+             list_sort(list(ttc_s)) AS sorted_ttc,
+             MAX(ttc_s) AS max_ttc_s
+      FROM latency
+    )
+    SELECT n_converted,
+           sorted_ttc[CAST(FLOOR((n_converted + 1) / 2.0) AS INTEGER)]
+             AS median_ttc_s,
+           sorted_ttc[CAST(FLOOR((n_converted * 9 + 9) / 10.0) AS INTEGER)]
+             AS p90_ttc_s,
+           max_ttc_s
+    FROM agg
+    """,
+)
+def eventflow_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency distribution: seconds from each user's FIRST
+    view to their FIRST purchase (converted users only), reported as
+    exact lower-median / lower-p90 / max — the funnel-velocity companion
+    to funnel_conversion's rate (how MANY convert) and
+    eventflow_sequence_pattern's path (in what ORDER): this is how FAST.
+
+    The per-user firsts are two conditional MINs in one pass (no
+    self-join, no window); latencies are floor()ed integer seconds;
+    quantiles index into the sorted array (positions floor((n+1)/2) and
+    floor((9n+9)/10) — the same interpolation-free discipline as
+    fraud_interarrival_profile). The final collect_list holds one value
+    per CONVERTED user — at 100 TB swap it for the two-pass exact
+    quantile (count, then offset lookup) or the t-digest; the per-user
+    stage is unchanged."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_buy_us"),
+    )
+    latency = firsts.where(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_buy_us").isNotNull()
+        & (F.col("first_buy_us") >= F.col("first_view_us"))
+    ).select(
+        F.floor(
+            (F.col("first_buy_us") - F.col("first_view_us")) / 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("ttc_s")
+    )
+    agg = latency.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.sort_array(F.collect_list("ttc_s")).alias("sorted_ttc"),
+        F.max("ttc_s").alias("max_ttc_s"),
+    )
+    return agg.select(
+        "n_converted",
+        F.element_at(
+            F.col("sorted_ttc"),
+            F.floor((F.col("n_converted") + 1) / 2.0).cast("int"),
+        ).alias("median_ttc_s"),
+        F.element_at(
+            F.col("sorted_ttc"),
+            F.floor((F.col("n_converted") * 9 + 9) / 10.0).cast("int"),
+        ).alias("p90_ttc_s"),
+        "max_ttc_s",
+    )

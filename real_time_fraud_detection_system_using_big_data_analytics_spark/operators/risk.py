@@ -576,3 +576,125 @@ def fraud_round_amount_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("round_rate_micro"),
         )
     )
+
+
+@register(
+    "ml_auc_exact_ranksum",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro,
+             CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ), per_score AS (
+      SELECT score_micro,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY score_micro
+    ), cum AS (
+      SELECT n_pos, n,
+             CAST(SUM(n) OVER (ORDER BY score_micro
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n
+      FROM per_score
+    ), ranks AS (
+      -- average rank of a tie group, doubled to stay integer:
+      -- 2*avg_rank = (first + last) = (cum_n - n + 1) + cum_n
+      SELECT CAST(SUM(n_pos * (2 * cum_n - n + 1)) AS BIGINT) AS two_ranksum_pos,
+             CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n - n_pos) AS BIGINT) AS neg
+      FROM cum
+    )
+    SELECT p AS n_pos, neg AS n_neg,
+           two_ranksum_pos - p * (p + 1) AS two_u_statistic,
+           (FLOOR((two_ranksum_pos - p * (p + 1)) * 1000000.0
+                  / (2.0 * p * neg) + 0.5) / 1000000.0) AS auc
+    FROM ranks
+    """,
+)
+def ml_auc_exact_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity
+    AUC = (R₊ − P(P+1)/2) / (P·N), with correct tie handling through
+    midranks — doubled so every intermediate stays integer
+    (2·midrank of a tie group = first+last rank). The oracle-checked
+    exact twin of the rows-only MLlib evaluator (ml_evaluation_metrics):
+    same family as ml_ks_statistic / ml_pr_auc, completing the
+    threshold-free metric trio.
+
+    Plan: rows collapse to per-score counts (map-side combinable), ONE
+    cumulative window over the collapsed table computes every midrank,
+    and the AUC is three BIGINT sums with a single final division —
+    no per-row ranks, no sort of the fact table, no floats until the
+    last quantized ratio. Window input is bounded by score granularity
+    (≤1e6 rows) at any fact scale."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    scored = ev.select(
+        F.floor(F.least(F.col("value") / 200.0, F.lit(1.0)) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_score = scored.groupBy("score_micro").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = W.orderBy("score_micro").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        "n_pos", "n", F.sum("n").over(w).cast("bigint").alias("cum_n")
+    )
+    ranks = cum.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("cum_n") - F.col("n") + 1))
+        .cast("bigint")
+        .alias("two_ranksum_pos"),
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("bigint").alias("neg"),
+    )
+    two_u = F.col("two_ranksum_pos") - F.col("p") * (F.col("p") + 1)
+    return ranks.select(
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        two_u.alias("two_u_statistic"),
+        (
+            F.floor(two_u * 1_000_000.0 / (2.0 * F.col("p") * F.col("neg")) + 0.5)
+            / 1_000_000.0
+        ).alias("auc"),
+    )
+
+
+@register(
+    "fraud_cross_channel_burst",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_channels
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT user_id, hour_bucket, n_events, n_channels
+    FROM hourly WHERE n_channels >= 3 AND n_events >= 5
+    """,
+)
+def fraud_cross_channel_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel burst screen: account-hours touching >= 3 distinct
+    channels with >= 5 events inside one clock hour — coordinated
+    scripted activity fans across channels in a way organic use doesn't
+    (the distinct-dimension companion to fraud_velocity_alert's pure
+    count). One aggregate on (user, hour): COUNT(DISTINCT type) is exact
+    over a 5-value domain — at wider domains swap in the HLL audit
+    pattern (agg_hll_accuracy_audit). Tumbling buckets, not sliding:
+    the alert is cheap enough to run hourly, and a RANGE-frame
+    distinct-in-window is the one thing windows do NOT decompose."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("event_type").cast("bigint").alias("n_channels"),
+        )
+        .where((F.col("n_channels") >= 3) & (F.col("n_events") >= 5))
+    )

@@ -500,3 +500,69 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("lastk").cast("bigint").alias("n_window"),
         )
     )
+
+
+@register(
+    "window_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ), islands AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS island_id
+      FROM days
+    ), streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             CAST(MIN(d) AS INTEGER) AS start_d
+      FROM islands GROUP BY user_id, island_id
+    ), ranked AS (
+      SELECT user_id, streak_days, start_d,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, start_d) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks
+      FROM streaks
+    )
+    SELECT user_id, streak_days AS max_streak_days, start_d AS streak_start_d,
+           n_streaks
+    FROM ranked WHERE rk = 1
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per account (plus total
+    streak count) — the gaps-and-islands classic: distinct active days,
+    island id = day − row_number (constant within a consecutive run),
+    one aggregate per island, top streak by (length, earliest start).
+    Engagement metric on the analytics side; on the fraud side a
+    too-perfect streak is scripted activity. Days are epoch-day integers
+    (the dialect-free date arithmetic used across the repo). Two stacked
+    windows + one aggregate, all sharing the single user_id Exchange."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("island_id", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island_id").agg(
+        F.count("*").cast("bigint").alias("streak_days"),
+        F.min("d").alias("start_d"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "start_d"
+    )
+    ranked = streaks.select(
+        "user_id",
+        "streak_days",
+        "start_d",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("user_id")).cast("bigint").alias("n_streaks"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "user_id",
+        F.col("streak_days").alias("max_streak_days"),
+        F.col("start_d").alias("streak_start_d"),
+        "n_streaks",
+    )

@@ -417,3 +417,46 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.max("s")).alias("max_score"),
         F.max(action).alias("action"),
     )
+
+
+@register(
+    "curation_dup_rate_by_source",
+    oracle="""
+    WITH hashed AS (
+      SELECT source, md5(text) AS h FROM documents
+    ), per_hash AS (
+      SELECT source, h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hashed GROUP BY source, h
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST(FLOOR((SUM(n) - COUNT(*)) * 1000000.0 / SUM(n) + 0.5) AS BIGINT)
+             AS dup_rate_micro
+    FROM per_hash GROUP BY source
+    """,
+)
+def curation_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate report — the curation dashboard
+    line that catches a scraper re-crawling the same pages (one source's
+    dup rate spiking while others hold). Two stacked map-side-combinable
+    aggregates on (source, content-hash) then (source); the content hash
+    means the shuffle carries 32-byte digests, never document text.
+    The rate is integer-derived and floor-quantized. Companion to the
+    corpus-wide dedup_exact (which deduplicates; this MEASURES, per
+    source, feeding curation_mix_weighted_sample's weights)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    per_hash = d.select("source", F.md5("text").alias("h")).groupBy(
+        "source", "h"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return per_hash.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("n_dup_docs"),
+        F.floor(
+            (F.sum("n") - F.count("*")) * 1_000_000.0 / F.sum("n") + 0.5
+        )
+        .cast("bigint")
+        .alias("dup_rate_micro"),
+    )

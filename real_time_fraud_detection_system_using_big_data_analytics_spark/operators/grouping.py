@@ -1073,3 +1073,46 @@ def agg_cms_heavy_hitter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, exact_n bigint, lower_ok boolean, upper_ok boolean"
     )
+
+
+@register(
+    "agg_pivot_dynamic",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot — the pivot-column set is discovered from the data at
+    plan-build time (sorted distinct scan), not hard-coded: the two-phase
+    pattern every BI tool's PIVOT implements, done right on Spark.
+    Passing the discovered list to pivot(values=...) matters at scale:
+    without it Spark runs the SAME distinct scan implicitly but with a
+    10k-value safety limit and an extra blocking job inside planning;
+    explicit discovery makes the schema step visible, bounded, and
+    sortable (deterministic column order — schema stability is what the
+    oracle checks here, since a new category silently appearing would
+    change the output shape).
+
+    The collect is category-cardinality (the one legitimate driver-side
+    step); the pivot itself compiles to single-pass conditional
+    aggregation, map-side combinable."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    values = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", values)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_bucket",
+            *[F.coalesce(F.col(v), F.lit(0)).cast("bigint").alias(v) for v in values],
+        )
+    )

@@ -171,3 +171,74 @@ def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("covered_days"), "o_custkey")
         .limit(20)
     )
+
+
+@register(
+    "olap_share_shift",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+    ), shared AS (
+      SELECT segment, month, rev_cents,
+             CAST(FLOOR(rev_cents * 1000000.0
+                        / SUM(rev_cents) OVER (PARTITION BY month) + 0.5)
+                  AS BIGINT) AS share_micro
+      FROM rev
+    )
+    SELECT segment, month, rev_cents, share_micro,
+           share_micro - LAG(share_micro) OVER (PARTITION BY segment
+                                                ORDER BY month)
+             AS share_delta_micro
+    FROM shared
+    """,
+)
+def olap_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shift report: each segment's share of monthly revenue
+    and its month-over-month delta — the BI staple behind every 'who is
+    gaining share' dashboard, and a one-query composition of the repo's
+    window discipline: share = row/total within month (window over the
+    collapsed rollup, integer-cents numerators, one floor-quantized
+    division), delta = LAG within segment across months. The raw fact
+    rows collapse to (segment × month) in the FIRST aggregate; both
+    windows and the join run on that tiny grid. Customer dim broadcasts
+    onto the orders scan."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
+    rev = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    shared = rev.select(
+        "segment",
+        "month",
+        "rev_cents",
+        F.floor(
+            F.col("rev_cents")
+            * 1_000_000.0
+            / F.sum("rev_cents").over(Window.partitionBy("month"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+    return shared.withColumn(
+        "share_delta_micro",
+        F.col("share_micro")
+        - F.lag("share_micro").over(Window.partitionBy("segment").orderBy("month")),
+    )

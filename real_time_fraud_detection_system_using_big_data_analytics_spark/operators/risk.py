@@ -698,3 +698,135 @@ def fraud_cross_channel_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_channels") >= 3) & (F.col("n_events") >= 5))
     )
+
+
+_SWEEP_THRESHOLDS_MICRO = [100000, 200000, 300000, 400000, 500000, 600000, 700000, 800000, 900000]
+
+
+@register(
+    "ml_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro,
+             CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN score_micro >= 100000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp1,
+             CAST(SUM(CASE WHEN score_micro >= 100000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+             CAST(SUM(CASE WHEN score_micro < 100000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn1,
+             CAST(SUM(CASE WHEN score_micro >= 200000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp2,
+             CAST(SUM(CASE WHEN score_micro >= 200000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp2,
+             CAST(SUM(CASE WHEN score_micro < 200000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn2,
+             CAST(SUM(CASE WHEN score_micro >= 300000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp3,
+             CAST(SUM(CASE WHEN score_micro >= 300000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp3,
+             CAST(SUM(CASE WHEN score_micro < 300000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn3,
+             CAST(SUM(CASE WHEN score_micro >= 400000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp4,
+             CAST(SUM(CASE WHEN score_micro >= 400000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp4,
+             CAST(SUM(CASE WHEN score_micro < 400000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn4,
+             CAST(SUM(CASE WHEN score_micro >= 500000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp5,
+             CAST(SUM(CASE WHEN score_micro >= 500000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp5,
+             CAST(SUM(CASE WHEN score_micro < 500000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn5,
+             CAST(SUM(CASE WHEN score_micro >= 600000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp6,
+             CAST(SUM(CASE WHEN score_micro >= 600000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp6,
+             CAST(SUM(CASE WHEN score_micro < 600000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn6,
+             CAST(SUM(CASE WHEN score_micro >= 700000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp7,
+             CAST(SUM(CASE WHEN score_micro >= 700000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp7,
+             CAST(SUM(CASE WHEN score_micro < 700000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn7,
+             CAST(SUM(CASE WHEN score_micro >= 800000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp8,
+             CAST(SUM(CASE WHEN score_micro >= 800000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp8,
+             CAST(SUM(CASE WHEN score_micro < 800000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn8,
+             CAST(SUM(CASE WHEN score_micro >= 900000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp9,
+             CAST(SUM(CASE WHEN score_micro >= 900000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp9,
+             CAST(SUM(CASE WHEN score_micro < 900000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn9
+      FROM scored
+    ), stacked AS (
+      SELECT CAST(100000 AS BIGINT) AS threshold_micro, tp1 AS tp, fp1 AS fp, fn1 AS fn FROM agg
+      UNION ALL SELECT CAST(200000 AS BIGINT) AS threshold_micro, tp2 AS tp, fp2 AS fp, fn2 AS fn FROM agg
+      UNION ALL SELECT CAST(300000 AS BIGINT) AS threshold_micro, tp3 AS tp, fp3 AS fp, fn3 AS fn FROM agg
+      UNION ALL SELECT CAST(400000 AS BIGINT) AS threshold_micro, tp4 AS tp, fp4 AS fp, fn4 AS fn FROM agg
+      UNION ALL SELECT CAST(500000 AS BIGINT) AS threshold_micro, tp5 AS tp, fp5 AS fp, fn5 AS fn FROM agg
+      UNION ALL SELECT CAST(600000 AS BIGINT) AS threshold_micro, tp6 AS tp, fp6 AS fp, fn6 AS fn FROM agg
+      UNION ALL SELECT CAST(700000 AS BIGINT) AS threshold_micro, tp7 AS tp, fp7 AS fp, fn7 AS fn FROM agg
+      UNION ALL SELECT CAST(800000 AS BIGINT) AS threshold_micro, tp8 AS tp, fp8 AS fp, fn8 AS fn FROM agg
+      UNION ALL SELECT CAST(900000 AS BIGINT) AS threshold_micro, tp9 AS tp, fp9 AS fp, fn9 AS fn FROM agg
+    )
+    SELECT threshold_micro, tp, fp, fn,
+           CAST(FLOOR(tp * 1000000.0 / NULLIF(tp + fp, 0) + 0.5) AS BIGINT)
+             AS precision_micro,
+           CAST(FLOOR(tp * 1000000.0 / NULLIF(tp + fn, 0) + 0.5) AS BIGINT)
+             AS recall_micro,
+           CAST(FLOOR(2 * tp * 1000000.0 / NULLIF(2 * tp + fp + fn, 0) + 0.5)
+                AS BIGINT) AS f1_micro
+    FROM stacked
+""",
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: precision / recall / F1 at nine fixed score
+    thresholds in ONE pass — the table a fraud-ops team reads to pick the
+    alert threshold (the pointwise companion to the threshold-free trio
+    ml_ks_statistic / ml_pr_auc / ml_auc_exact_ranksum). All 27 confusion
+    cells are conditional sums in a single map-side-combinable aggregate
+    (no per-threshold scan, no shuffle of fact rows); an in-plan stack()
+    unpivots them to one row per threshold; ratios are integer
+    floor-quantized divisions (F1 via the all-integer identity
+    2TP/(2TP+FP+FN))."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    scored = ev.select(
+        F.floor(F.least(F.col("value") / 200.0, F.lit(1.0)) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    cells = []
+    for tm in _SWEEP_THRESHOLDS_MICRO:
+        hit = F.col("score_micro") >= tm
+        pos = F.col("y") == 1
+        cells.append(
+            F.sum(F.when(hit & pos, 1).otherwise(0)).cast("bigint").alias(f"tp_{tm}")
+        )
+        cells.append(
+            F.sum(F.when(hit & ~pos, 1).otherwise(0)).cast("bigint").alias(f"fp_{tm}")
+        )
+        cells.append(
+            F.sum(F.when(~hit & pos, 1).otherwise(0)).cast("bigint").alias(f"fn_{tm}")
+        )
+    agg = scored.agg(*cells)
+    parts = ", ".join(
+        f"CAST({tm} AS BIGINT), tp_{tm}, fp_{tm}, fn_{tm}"
+        for tm in _SWEEP_THRESHOLDS_MICRO
+    )
+    stacked = agg.selectExpr(
+        f"stack({len(_SWEEP_THRESHOLDS_MICRO)}, {parts})"
+        " as (threshold_micro, tp, fp, fn)"
+    )
+    return stacked.select(
+        "threshold_micro",
+        "tp",
+        "fp",
+        "fn",
+        F.floor(
+            F.col("tp") * 1_000_000.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("precision_micro"),
+        F.floor(
+            F.col("tp") * 1_000_000.0 / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+        F.floor(
+            2 * F.col("tp") * 1_000_000.0
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("f1_micro"),
+    )

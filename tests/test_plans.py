@@ -778,3 +778,28 @@ def test_filtered_topk_restricts_before_scoring(spark):
         or ("BroadcastHashJoin" in simple and "label" in simple.split("BroadcastHashJoin")[1][:120]), simple
     assert "WindowGroupLimit" in simple, simple
     assert simple.index("Exchange hashpartitioning(q_id") < simple.rindex("WindowGroupLimit"), simple
+
+
+def test_auc_ranksum_window_on_collapsed_scores(spark):
+    """The midrank window must consume the per-score aggregate, never raw
+    events (window input bounded by score granularity)."""
+    df = registry.QUERIES["ml_auc_exact_ranksum"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("HashAggregate") >= 4, simple
+    assert "sum(n#" in simple.split("Window")[1][:300], simple
+
+
+def test_threshold_sweep_single_aggregate_no_shuffle_of_facts(spark):
+    """All 27 confusion cells in one aggregate pass: exactly one
+    hashpartitioning-free global agg + the stack projection."""
+    df = registry.QUERIES["ml_threshold_sweep"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "Exchange hashpartitioning" not in simple, simple
+    assert simple.count("Scan parquet") == 1, simple
+
+
+def test_share_shift_customer_dim_broadcast(spark):
+    df = registry.QUERIES["olap_share_shift"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in simple, simple
+    assert "SortMergeJoin" not in simple, simple

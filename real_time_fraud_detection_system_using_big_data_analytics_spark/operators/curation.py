@@ -460,3 +460,39 @@ def curation_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_rate_micro"),
     )
+
+
+@register(
+    "curation_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def curation_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source quota sampling (5 docs per source), deterministic:
+    rank by the md5 of the key and keep the first N — the quota-exact
+    complement of curation_mix_weighted_sample's probabilistic weights
+    (Bernoulli gives you the mix in expectation; a benchmark slice or
+    labeling batch needs EXACTLY N per stratum, reproducibly). Hash-order
+    ranking is unbiased w.r.t. any data attribute, stable across reruns,
+    engines, and cluster sizes, and joinable back by key. One shuffle on
+    source; the rank filter compiles to WindowGroupLimit, so each
+    partition ships at most N rows per stratum at 100 TB."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+    )

@@ -1046,3 +1046,68 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri_per_node.join(deg, "node").select(
         "node", "deg", "n_tri", coeff.alias("clustering_micro")
     )
+
+
+_SP_SOURCE = "C1"
+_SP_ROUNDS = 3
+
+
+def _shortest_path_oracle() -> str:
+    head = f"""
+    WITH {_EDGES_SQL.strip()}
+    , d0 AS (
+      SELECT '{_SP_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist
+    )"""
+    prev = "d0"
+    steps = []
+    for i in range(1, _SP_ROUNDS + 1):
+        steps.append(f"""
+    , d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS dist
+        FROM {prev} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node
+    )""")
+        prev = f"d{i}"
+    return head + "".join(steps) + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM {prev}
+    ORDER BY dist, node
+    LIMIT 25
+    """
+
+
+@register("graph_shortest_path_bounded", oracle=_shortest_path_oracle())
+def graph_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths, hop-bounded (3 rounds of
+    Bellman-Ford relaxation) over the customer↔supplier transaction
+    graph — min-plus semiring iteration as plain relational algebra:
+    each round unions current distances with (distances ⋈ edges) and
+    takes MIN per node. Distances are integer edge-weight sums, so the
+    min-plus algebra is exact; the 25 closest nodes are the output
+    (ties broken by node id). Completes the traversal family:
+    reachability (sql_recursive_reachability) counts hops, k-core peels,
+    this one WEIGHTS the hops.
+
+    Per round: one equi-join frontier⋈edges + one map-side-combinable MIN
+    — the frontier is broadcast while it fits (3-hop frontiers usually
+    do; beyond that co-partition frontier and edges on node, same loop).
+    Edge list persisted once across rounds, as PageRank/LPA do. Bounded
+    rounds keep the plan static so Catalyst sees the whole chain (the
+    repo's fixed-depth-iteration discipline)."""
+    edges = _edges(spark, sf_dir).persist()
+    dist = spark.createDataFrame([(_SP_SOURCE, 0)], "node string, dist bigint")
+    for _ in range(_SP_ROUNDS):
+        relaxed = (
+            F.broadcast(dist)
+            .join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist.orderBy("dist", "node").limit(25)

@@ -1116,3 +1116,53 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(v), F.lit(0)).cast("bigint").alias(v) for v in values],
         )
     )
+
+
+@register(
+    "timeseries_quantile_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), agg AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+             list_sort(list(cents)) AS sorted_cents
+      FROM daily GROUP BY day
+    )
+    SELECT day, n,
+           sorted_cents[CAST(FLOOR((n - 1) / 4.0) + 1 AS INTEGER)] AS p25_cents,
+           sorted_cents[CAST(FLOOR((n - 1) / 2.0) + 1 AS INTEGER)] AS p50_cents,
+           sorted_cents[CAST(FLOOR((n - 1) * 3 / 4.0) + 1 AS INTEGER)] AS p75_cents
+    FROM agg
+    """,
+)
+def timeseries_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily quantile bands (exact lower p25/p50/p75 of transaction cents)
+    — the box-plot-over-time series behind every latency/amount
+    monitoring chart, where a widening inter-quartile band flags
+    distribution drift before the mean moves (the per-period companion
+    to the global agg_quantiles). Lower quantiles index the in-group
+    sorted array at floor((n−1)q)+1 — pure integer positions, no
+    interpolation dialect. One shuffle at day granularity; the per-day
+    collect_list is bounded by a day's rows — at 100 TB swap for the
+    two-pass offset lookup per day, same output."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    daily = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    agg = daily.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sort_array(F.collect_list("cents")).alias("sorted_cents"),
+    )
+    def at(expr):
+        return F.element_at(F.col("sorted_cents"), expr.cast("int"))
+    n1 = F.col("n") - 1
+    return agg.select(
+        "day",
+        "n",
+        at(F.floor(n1 / 4.0) + 1).alias("p25_cents"),
+        at(F.floor(n1 / 2.0) + 1).alias("p50_cents"),
+        at(F.floor(n1 * 3 / 4.0) + 1).alias("p75_cents"),
+    )

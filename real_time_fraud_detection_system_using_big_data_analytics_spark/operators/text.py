@@ -1109,3 +1109,80 @@ def text_hashing_trick_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+      FROM toks0
+    ), words AS (
+      SELECT doc_id, pos, ws[pos] AS word FROM toks WHERE ws[pos] <> ''
+    ), tri AS (
+      SELECT doc_id,
+             word || ' ' || LEAD(word, 1) OVER win || ' '
+                  || LEAD(word, 2) OVER win AS trigram
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), tri2 AS (
+      SELECT DISTINCT doc_id, trigram FROM tri WHERE trigram IS NOT NULL
+    ), first_seen AS (
+      SELECT trigram, MIN(doc_id) AS first_doc FROM tri2 GROUP BY trigram
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS novelty_micro
+    FROM tri2 t JOIN first_seen f ON f.trigram = t.trigram
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty against the ingestion order: the share
+    of a doc's distinct trigrams whose FIRST corpus occurrence is that
+    doc — the streaming-dedup quality signal pretrain pipelines track
+    (novelty collapsing toward 0 means the crawl is re-reading itself;
+    the per-doc complement of dedup_repeated_passages' corpus view).
+
+    Trigrams come from two LEADs over the (doc, pos) window (joinless, as
+    TextRank); first-occurrence is one MIN aggregate over distinct
+    (doc, trigram) pairs; novelty is an integer-quantized ratio. Two
+    shuffles total (trigram, then doc), both map-side combinable. The
+    'earlier' relation is doc_id order — at scale that is the ingestion
+    sequence number a crawler already assigns."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "word",
+            F.lead("word", 1).over(win),
+            F.lead("word", 2).over(win),
+        ).alias("trigram"),
+        F.lead("word", 2).over(win).alias("w2chk"),
+    ).where(F.col("w2chk").isNotNull()).select("doc_id", "trigram").distinct()
+    first_seen = tri.groupBy("trigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        tri.join(first_seen, "trigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.floor(novel * 1_000_000.0 / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )

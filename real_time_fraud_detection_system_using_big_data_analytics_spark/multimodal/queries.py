@@ -562,3 +562,84 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_image_channel_stats",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS width,
+             3 + length(text) % 6 AS height
+      FROM documents
+    ), sub AS (
+      SELECT p.doc_id,
+             k.k % 3 AS channel,
+             (p.doc_id * 7 + k.k * 13) % 256 AS pix
+      FROM params p CROSS JOIN (SELECT unnest(generate_series(0, 191)) AS k) k
+      WHERE k.k < p.width * p.height * 3
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN channel = 0 THEN pix ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(MAX(CASE WHEN channel = 0 THEN pix END) AS BIGINT) AS r_max,
+           CAST(SUM(CASE WHEN channel = 1 THEN pix ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(MAX(CASE WHEN channel = 1 THEN pix END) AS BIGINT) AS g_max,
+           CAST(SUM(CASE WHEN channel = 2 THEN pix ELSE 0 END) AS BIGINT) AS b_sum,
+           CAST(MAX(CASE WHEN channel = 2 THEN pix END) AS BIGINT) AS b_max
+    FROM sub GROUP BY doc_id
+    """,
+)
+def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CHANNEL pixel statistics decoded from the real binary PPM
+    payload: the interleaved RGB plane is deinterleaved (stride-3 numpy
+    views, no Python loop over pixels) and each channel reports its exact
+    integer sum and max — the color-histogram primitive behind white-
+    balance checks, duplicate-frame screening, and day/night
+    classification in image pipelines. The oracle recomputes every
+    channel from the synthesis formula (k % 3 is the channel of subpixel
+    k), so an interleave/stride bug in the decoder — the classic way an
+    image reader silently swaps channels — is a value mismatch, not a
+    plausible-looking wrong answer. Same Arrow-batched mapInPandas shape
+    as decode_ppm_features; one scan, no shuffle (per-doc statistics)."""
+    import numpy as np
+    import pandas as pd
+    from .codec import attach_ppm_payload
+
+    schema = (
+        "doc_id bigint, r_sum bigint, r_max bigint, g_sum bigint,"
+        " g_max bigint, b_sum bigint, b_max bigint"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                magic, dims, maxval_s, pix = raw.split(b"\n", 3)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM payload (doc_id={doc_id})")
+                w, h = (int(x) for x in dims.split())
+                plane = np.frombuffer(pix, dtype=np.uint8, count=w * h * 3)
+                chans = [plane[c::3] for c in range(3)]
+                rows.append(
+                    (
+                        doc_id,
+                        int(chans[0].sum(dtype=np.int64)),
+                        int(chans[0].max()),
+                        int(chans[1].sum(dtype=np.int64)),
+                        int(chans[1].max()),
+                        int(chans[2].sum(dtype=np.int64)),
+                        int(chans[2].max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "r_sum", "r_max", "g_sum", "g_max", "b_sum", "b_max"],
+            )
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        attach_ppm_payload(d)
+        .select("doc_id", "payload")
+        .mapInPandas(extract, schema=schema)
+    )

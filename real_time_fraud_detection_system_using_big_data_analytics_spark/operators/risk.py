@@ -830,3 +830,91 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_micro"),
     )
+
+
+@register(
+    "fraud_sequence_likelihood",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), margins AS (
+      SELECT p.*, CAST(SUM(n_pair) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS n_prev
+      FROM pairs p
+    ), scored AS (
+      SELECT s.user_id,
+             CAST(FLOOR(LN(CAST(m.n_pair AS DOUBLE) / m.n_prev)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS ll_nano
+      FROM seq s
+      JOIN margins m ON m.prev_type = s.prev_type
+                    AND m.next_type = s.event_type
+      WHERE s.prev_type IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(ll_nano) AS BIGINT) AS loglik_nano,
+           CAST(FLOOR(CAST(SUM(ll_nano) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS avg_ll_nano
+    FROM scored GROUP BY user_id
+    """,
+)
+def fraud_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence-anomaly score: each account's event stream is
+    scored by its log-likelihood under the CORPUS-WIDE first-order Markov
+    transition matrix (eventflow_markov_transitions' matrix, put to its
+    intended use) — an account whose avg per-transition log-likelihood
+    sits far below the population is behaving in an order the population
+    never does (bot scripts and account takeovers change the TRANSITION
+    structure even when marginal event counts look normal).
+
+    Each transition contributes one nano-quantized LN of an integer
+    ratio; per-account totals are order-free BIGINT sums; the average is
+    one floored division. Plan: one user_id shuffle for the LAG, the
+    |types|² matrix broadcasts back onto the lagged stream (25 cells —
+    the textbook broadcast), then a map-side-combinable per-account
+    rollup rides the SAME user_id partitioning."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n_pair")
+    )
+    margins = pairs.withColumn(
+        "n_prev",
+        F.sum("n_pair").over(W.partitionBy("prev_type")).cast("bigint"),
+    )
+    matrix = margins.select(
+        F.col("prev_type").alias("m_prev"),
+        F.col("next_type").alias("m_next"),
+        F.floor(
+            F.log(F.col("n_pair").cast("double") / F.col("n_prev"))
+            * 1_000_000_000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("ll_nano"),
+    )
+    scored = seq.join(
+        F.broadcast(matrix),
+        (F.col("m_prev") == F.col("prev_type"))
+        & (F.col("m_next") == F.col("event_type")),
+    ).select("user_id", "ll_nano")
+    return scored.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.sum("ll_nano").cast("bigint").alias("loglik_nano"),
+        F.floor(F.sum("ll_nano").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("avg_ll_nano"),
+    )

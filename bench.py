@@ -298,6 +298,9 @@ def streaming_bench(spark, sf_dir: str) -> dict:
     from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.velocity import (
         velocity_features_stream,
     )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.cusum import (
+        cusum_stream,
+    )
 
     def rule_alerts(stream):
         return stream.filter(
@@ -311,6 +314,7 @@ def streaming_bench(spark, sf_dir: str) -> dict:
         for name, transform in (
             ("stream_rule_alerts", rule_alerts),
             ("stream_velocity_stateful", velocity_features_stream),
+            ("stream_cusum_drift_stateful", cusum_stream),
         ):
             walls, batches, rows = [], 0, 0
             for _ in range(2):

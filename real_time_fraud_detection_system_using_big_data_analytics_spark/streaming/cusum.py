@@ -113,3 +113,113 @@ def run_cusum_hermetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- Streaming structuring (smurfing) screen --------------------------------
+
+BAND_LO, BAND_HI = 90.0, 100.0
+LOOKBACK_US = 24 * 3600 * 1_000_000
+
+STRUCT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_band_24h", T.LongType()),
+        T.StructField("sum_band_cents_24h", T.LongType()),
+    ]
+)
+
+STRUCT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _structuring_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Buffered per-account state pruned to the 24 h horizon; counts and
+    sums are int64 (integer cents), so the windowed sum is exact and the
+    replay equals the batch RANGE frame bit-for-bit. Unlike velocity's
+    strictly-prior frame, the alert frame INCLUDES the current row —
+    searchsorted side='left' over (buffer ++ batch) with the row itself
+    appended before the prefix-sum difference."""
+    import numpy as np
+
+    if state.exists:
+        buf_ts, buf_cents = state.get
+    else:
+        buf_ts, buf_cents = [], []
+    user_id = key[0]
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        ts = np.concatenate(
+            [np.asarray(buf_ts, dtype=np.int64), pdf["ts_us"].to_numpy(np.int64)]
+        )
+        cents = np.concatenate(
+            [
+                np.asarray(buf_cents, dtype=np.int64),
+                pdf["cents"].to_numpy(np.int64),
+            ]
+        )
+        b = len(buf_ts)
+        k = np.arange(b, len(ts))
+        lo = np.searchsorted(ts, ts[k] - LOOKBACK_US, side="left")
+        cs = np.concatenate([[0], np.cumsum(cents, dtype=np.int64)])
+        n_band = k + 1 - lo
+        sum_band = cs[k + 1] - cs[lo]
+        keep_mask = n_band >= 2
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(np.int64)[keep_mask],
+                "user_id": np.full(int(keep_mask.sum()), user_id, dtype=np.int64),
+                "n_band_24h": n_band[keep_mask],
+                "sum_band_cents_24h": sum_band[keep_mask],
+            }
+        )
+        keep = ts >= ts[-1] - LOOKBACK_US
+        buf_ts, buf_cents = ts[keep].tolist(), cents[keep].tolist()
+    state.update((buf_ts, buf_cents))
+
+
+def structuring_stream(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    prepared = (
+        events.filter((F.col("value") >= BAND_LO) & (F.col("value") < BAND_HI))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+            "ts",
+        )
+        .withWatermark("ts", "1 hour")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _structuring_fn,
+        outputStructType=STRUCT_OUTPUT_SCHEMA,
+        stateStructType=STRUCT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_structuring_hermetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir)
+    out = structuring_stream(stream)
+    name = "struct_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -134,3 +134,44 @@ def stream_cusum_drift_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum_cents").cast("bigint"),
         "drift_alert",
     )
+
+
+@register(
+    "stream_structuring_alerts",
+    oracle="""
+    WITH band AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE value >= 90.0 AND value < 100.0
+    ), windowed AS (
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS n_band_24h,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sum_band_cents_24h
+      FROM band
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n_band_24h, sum_band_cents_24h
+    FROM windowed WHERE n_band_24h >= 2
+    """,
+)
+def stream_structuring_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AML structuring screen (applyInPandasWithState): the
+    stateful twin of fraud_structuring_subthreshold — per-account buffer
+    of sub-threshold transactions pruned to the 24 h horizon, alerting
+    when >= 2 land inside any trailing day. The oracle is the batch RANGE
+    frame SQL; integer-cent sums make the replay equality exact, not
+    approximate. The band filter runs INSIDE the stream before keying, so
+    state only ever holds band transactions (<5% of traffic) — the
+    filter-before-state discipline that bounds the state store at scale.
+    See streaming/cusum.py (module shared with the CUSUM twin)."""
+    from .cusum import run_structuring_hermetic
+
+    out = run_structuring_hermetic(spark, sf_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("n_band_24h").cast("bigint"),
+        F.col("sum_band_cents_24h").cast("bigint"),
+    )

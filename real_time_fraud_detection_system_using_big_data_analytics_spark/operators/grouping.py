@@ -1166,3 +1166,35 @@ def timeseries_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(F.floor(n1 / 2.0) + 1).alias("p50_cents"),
         at(F.floor(n1 * 3 / 4.0) + 1).alias("p75_cents"),
     )
+
+
+@register(
+    "agg_heatmap_2d",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 5) AS value_bucket,
+           CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) % 24 AS hour_utc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (amount band × hour-of-day): the fraud-ops heat map
+    that shows WHEN the big transactions happen — card-testing bursts
+    light up the small-amount/odd-hour corner. Hour comes from integer
+    epoch-microsecond arithmetic ((us / 3.6e9) % 24), NOT the engines'
+    hour() functions, so no timezone/dialect surface exists at all; the
+    amount band is a capped integer division. One map-side-combinable
+    aggregate over at most 6×24 cells — the collapsed grid a dashboard
+    reads directly."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    vb = F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(5))
+    hr = F.floor(F.unix_micros("ts") / 3_600_000_000.0).cast("bigint") % 24
+    return ev.groupBy(vb.alias("value_bucket"), hr.alias("hour_utc")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -462,3 +462,84 @@ def dq_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hot_keys",
         )
     )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census across the star schema's five FK
+    edges: orphan counts via LEFT ANTI joins (rows whose FK target is
+    missing) next to each table's row count — the ingest-gate check that
+    catches a partial dimension load before it silently drops fact rows
+    from every inner join downstream (the WAP audit's cross-table
+    companion; dq_audit_rules covers single-table nulls/ranges).
+
+    Each edge is one anti join against the DIMENSION side — broadcast
+    where the dimension is small (customer/nation/part/supplier), shuffle
+    otherwise — then a count; the five 1-row results union in-plan. The
+    fact table scans read ONLY the FK column (ReadSchema-pruned)."""
+    t = load_tables(
+        spark, sf_dir,
+        names=("orders", "customer", "lineitem", "part", "supplier", "nation"),
+    )
+
+    def edge(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        orphans = fact.select(F.col(fk)).join(
+            dim.select(F.col(pk)), fact[fk] == dim[pk], "left_anti"
+        )
+        return (
+            orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+            .crossJoin(
+                fact.agg(F.count("*").cast("bigint").alias("n_rows"))
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_orphans", "n_rows")
+        )
+
+    return (
+        edge("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey")
+        .unionByName(
+            edge("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey")
+        )
+        .unionByName(
+            edge("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey")
+        )
+        .unionByName(
+            edge("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey")
+        )
+        .unionByName(
+            edge("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey")
+        )
+    )

@@ -566,3 +566,38 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_d").alias("streak_start_d"),
         "n_streaks",
     )
+
+
+@register(
+    "window_topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            DESC) AS rk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, price_cents, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 2
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k WITH TIES (SQL:2008 FETCH FIRST ... WITH TIES
+    semantics): RANK() instead of ROW_NUMBER(), so equal-priced orders at
+    the cut BOTH survive — the semantics difference that silently drops
+    or keeps revenue depending on which the analyst meant
+    (window_topk_per_group is the arbitrary-cut row_number twin). Prices
+    compared as integer cents so tie groups are identical across engines
+    — a float-compared RANK would make tie membership itself
+    engine-dependent. Same single-shuffle WindowGroupLimit plan shape as
+    the row_number form."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("price_cents"))
+    return (
+        o.select("o_custkey", "o_orderkey", cents.alias("price_cents"))
+        .withColumn("rk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rk") <= 2)
+    )

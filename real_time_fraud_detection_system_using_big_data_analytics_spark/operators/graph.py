@@ -1111,3 +1111,110 @@ def graph_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return dist.orderBy("dist", "node").limit(25)
+
+
+_HITS_SQL = """
+    WITH edges0 AS (
+      SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS src,
+             'S' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), h0 AS (
+      SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS s FROM edges0
+    ), a1 AS (
+      SELECT e.dst AS node, CAST(SUM(e.w * h.s) AS BIGINT) AS s
+      FROM edges0 e JOIN h0 h ON h.node = e.src GROUP BY e.dst
+    ), a1n AS (
+      SELECT node, CAST(FLOOR(s * 1000000.0 / (SELECT MAX(s) FROM a1) + 0.5)
+                        AS BIGINT) AS s
+      FROM a1
+    ), h1 AS (
+      SELECT e.src AS node, CAST(SUM(e.w * a.s) AS BIGINT) AS s
+      FROM edges0 e JOIN a1n a ON a.node = e.dst GROUP BY e.src
+    ), h1n AS (
+      SELECT node, CAST(FLOOR(s * 1000000.0 / (SELECT MAX(s) FROM h1) + 0.5)
+                        AS BIGINT) AS s
+      FROM h1
+    ), a2 AS (
+      SELECT e.dst AS node, CAST(SUM(e.w * h.s) AS BIGINT) AS s
+      FROM edges0 e JOIN h1n h ON h.node = e.src GROUP BY e.dst
+    ), a2n AS (
+      SELECT node, CAST(FLOOR(s * 1000000.0 / (SELECT MAX(s) FROM a2) + 0.5)
+                        AS BIGINT) AS s
+      FROM a2
+    ), ranked AS (
+      SELECT 'authority' AS role, node, s AS score_micro,
+             ROW_NUMBER() OVER (ORDER BY s DESC, node) AS rk
+      FROM a2n
+      UNION ALL
+      SELECT 'hub', node, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, node)
+      FROM h1n
+    )
+    SELECT role, node, score_micro, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+"""
+
+
+@register("graph_hits_hubs_authorities", oracle=_HITS_SQL)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the directed customer→
+    supplier purchase graph, 1.5 unrolled mutual-reinforcement rounds
+    (h₀ → a₁ → h₁ → a₂): authorities are suppliers bought by the biggest
+    buyers, hubs are customers buying from the most-bought suppliers —
+    the bipartite centrality pair PageRank's single score conflates (and
+    in a payment graph, a high-hub/low-authority account is a
+    disbursement mule candidate). Top-10 of each role.
+
+    Scores stay integer micros; each round is one equi-join + one
+    BIGINT-exact weighted sum, re-normalized by the round MAX (a 1-row
+    broadcastable scalar) so magnitudes can't overflow across rounds —
+    the same quantized-fixpoint discipline as TextRank/LPA/k-means.
+    The edge list is built once and reused by all three propagation
+    joins; at scale persist it (PageRank's documented pattern)."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .persist()
+    )
+    h = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("s")
+    )
+
+    def propagate(scores, from_col, to_col):
+        raw = (
+            edges.join(
+                F.broadcast(scores), scores["node"] == edges[from_col]
+            )
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum(F.col("w") * F.col("s")).cast("bigint").alias("s"))
+        )
+        mx = raw.agg(F.max("s").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.floor(F.col("s") * 1_000_000.0 / F.col("mx") + 0.5)
+            .cast("bigint")
+            .alias("s"),
+        )
+
+    from pyspark.sql import Window
+
+    a1 = propagate(h, "src", "dst")
+    h1 = propagate(a1, "dst", "src")
+    a2 = propagate(h1, "src", "dst")
+    ranked = (
+        a2.select(F.lit("authority").alias("role"), "node", F.col("s").alias("score_micro"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("score_micro"), "node")).cast("bigint"))
+        .unionByName(
+            h1.select(F.lit("hub").alias("role"), "node", F.col("s").alias("score_micro"))
+            .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("score_micro"), "node")).cast("bigint"))
+        )
+    )
+    return ranked.where(F.col("rk") <= 10)

@@ -918,3 +918,116 @@ def fraud_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_ll_nano"),
     )
+
+
+@register(
+    "ml_brier_score",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(LEAST(value / 200.0, 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS p_micro,
+             CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM((p_micro - y * 1000000) * (p_micro - y * 1000000))
+                AS BIGINT) AS sq_err_micro2_sum,
+           (FLOOR(CAST(SUM((p_micro - y * 1000000) * (p_micro - y * 1000000))
+                       AS DOUBLE) / COUNT(*) / 1000000.0 + 0.5) / 1000000.0)
+             AS brier
+    FROM scored
+    """,
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared error of probability forecasts) — the
+    CALIBRATION metric that closes the evaluation family: KS/AUC/AP rank,
+    the reliability table bins, Brier is the single proper scoring rule
+    that punishes both miscalibration and low resolution. Probabilities
+    live as integer micros, so every squared error is an exact BIGINT
+    ((p−y·1e6)², max ~1e12·N — far inside int64) summed order-free; one
+    double division at the end. One map-side-combinable aggregate, no
+    shuffle of fact rows, single-row output."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    scored = ev.select(
+        F.floor(F.least(F.col("value") / 200.0, F.lit(1.0)) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("p_micro"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    err = F.col("p_micro") - F.col("y") * 1_000_000
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(err * err).cast("bigint").alias("sq_err_micro2_sum"),
+        (
+            F.floor(
+                F.sum(err * err).cast("double") / F.count("*") / 1_000_000.0 + 0.5
+            )
+            / 1_000_000.0
+        ).alias("brier"),
+    )
+
+
+@register(
+    "fraud_mirror_trades",
+    oracle="""
+    WITH keyed AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(COUNT(*) AS BIGINT) AS n_coincidences
+      FROM keyed a JOIN keyed b
+        ON a.hour_bucket = b.hour_bucket AND a.cents = b.cents
+       AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT user_a, user_b, n_coincidences
+    FROM pairs WHERE n_coincidences >= 3
+    """,
+)
+def fraud_mirror_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-trade / collusion screen: account pairs with >= 3 EXACT
+    (hour, amount) coincidences — two accounts repeatedly moving the same
+    amount in the same hour is the signature of wash trading, collusive
+    layering, or one person driving two accounts. Amounts compare as
+    integer cents and hours as epoch-hour integers, so 'coincidence' is
+    exact equality, not a float tolerance.
+
+    Plan shape is LSH-style blocking: the equi-join key (hour, cents)
+    IS the blocking key, so the pair expansion happens only inside
+    same-hour-same-amount buckets (the Σ bucket² law — at production
+    scale cap or drop buckets above a size bound exactly as dedup's
+    MAX_DOC_FREQ does; a popular price point is the hub hazard here).
+    DISTINCT first so one account's repeats inside an hour don't inflate
+    pair counts."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    keyed = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 3_600_000_000.0)
+        .cast("bigint")
+        .alias("hour_bucket"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    ).distinct()
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour_bucket") == F.col("b.hour_bucket"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_coincidences"))
+        .where(F.col("n_coincidences") >= 3)
+    )

@@ -543,3 +543,39 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             edge("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey")
         )
     )
+
+
+@register(
+    "etl_idempotent_reload",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_idempotent_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-reload proof: the SAME source batch ingested TWICE
+    (union of two full reads — the at-least-once delivery every retrying
+    loader produces) must yield byte-identical aggregates to a single
+    clean load after key-dedup. The engine deliberately doubles the
+    input, dedups on the natural key (row_number-free dropDuplicates —
+    rows are exact replicas, so no version ordering is needed), and
+    aggregates; the oracle is the single-copy truth. This is the
+    correctness contract behind exactly-once SINKS built on at-least-once
+    SOURCES (stream_exactly_once_filesink is the streaming face of the
+    same invariant).
+
+    Dedup on the key is one shuffle; the doubled scan is two reads of
+    the same files — at 100 TB the real loader dedups per-batch against
+    a key index instead, but the invariant tested here is unchanged."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -721,3 +721,70 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pick_fwd, F.floor(fwd_gap / 1_000_000).cast("bigint"))
         .alias("gap_seconds"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH pairs AS (
+      SELECT e.event_id, e.user_id, e.ts AS error_ts,
+             p.ts AS purchase_ts, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM events e
+      JOIN events p
+        ON p.user_id = e.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= e.ts
+       AND p.ts >= e.ts - INTERVAL 6 HOURS
+      WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id, error_ts, purchase_ts,
+           ROUND(purchase_value, 2) AS purchase_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`
+    parameter as a distributed join): each error event matches its most
+    recent prior purchase ONLY if it happened within the last 6 hours —
+    a stale match is semantically no match (the attribution/session bound
+    every real as-of lookup needs; join_asof is the unbounded twin).
+
+    The tolerance predicate joins INSIDE the range condition, so the
+    pre-rank pair fan-out shrinks to the window width — at 100 TB the
+    bound is also what makes the as-of join state FINITE (its streaming
+    analogue is exactly a watermark). Same plan family as join_asof: an
+    equi-join on the key with the range predicate, per-left-row top-1 by
+    event time, never a cartesian."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    from pyspark.sql import Window
+    joined = errors.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") <= F.col("error_ts"))
+        & (F.col("purchase_ts") >= F.col("error_ts") - F.expr("INTERVAL 6 HOURS")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("purchase_ts"), F.desc("p_event_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "error_ts",
+            "purchase_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )

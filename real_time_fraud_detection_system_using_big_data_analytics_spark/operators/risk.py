@@ -1031,3 +1031,85 @@ def fraud_mirror_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_coincidences"))
         .where(F.col("n_coincidences") >= 3)
     )
+
+
+@register(
+    "ml_welch_t_test",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s2
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY event_type
+    ), sides AS (
+      SELECT MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+             MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS s1a,
+             MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS s2a,
+             MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+             MAX(CASE WHEN event_type = 'view' THEN s1 END) AS s1b,
+             MAX(CASE WHEN event_type = 'view' THEN s2 END) AS s2b
+      FROM stats
+    )
+    SELECT n1, n2,
+           CAST(FLOOR((CAST(s1a AS DOUBLE) / n1 - CAST(s1b AS DOUBLE) / n2)
+                      * 100.0 + 0.5) AS BIGINT) AS mean_diff_microcents,
+           CAST(FLOOR(
+             (CAST(s1a AS DOUBLE) / n1 - CAST(s1b AS DOUBLE) / n2)
+             / SQRT(
+                 ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n1)
+                  / (n1 - 1)) / n1
+               + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n2)
+                  / (n2 - 1)) / n2
+             ) * 1000000.0 + 0.5) AS BIGINT) AS t_stat_micro
+    FROM sides
+    """,
+)
+def ml_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) comparing
+    purchase vs view transaction amounts — the parametric member of the
+    repo's hypothesis-testing family (χ² tests independence of
+    categoricals, KS compares whole distributions, Welch tests MEANS
+    without the pooled-variance assumption that fails whenever one
+    segment is heavier-tailed, i.e. always in money data).
+
+    Everything derives from three exact BIGINT sums per side (n, Σcents,
+    Σcents²) via one map-side-combinable pass; the t statistic's float
+    expression is evaluated in one fixed tree whose only non-arithmetic
+    op is SQRT — correctly rounded under IEEE 754 on both engines, so
+    micro-quantization is safe (the same reasoning that lets the z-score
+    suite quantize)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    stats = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s1"),
+            F.sum(cents * cents).cast("bigint").alias("s2"),
+        )
+    )
+    sides = stats.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s1"))).alias("s1a"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s2"))).alias("s2a"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s1"))).alias("s1b"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s2"))).alias("s2b"),
+    )
+    m1 = F.col("s1a").cast("double") / F.col("n1")
+    m2 = F.col("s1b").cast("double") / F.col("n2")
+    v1 = (F.col("s2a").cast("double") - F.col("s1a").cast("double") * F.col("s1a") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("s2b").cast("double") - F.col("s1b").cast("double") * F.col("s1b") / F.col("n2")) / (F.col("n2") - 1)
+    t = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return sides.select(
+        "n1",
+        "n2",
+        F.floor((m1 - m2) * 100.0 + 0.5).cast("bigint").alias("mean_diff_microcents"),
+        F.floor(t * 1_000_000.0 + 0.5).cast("bigint").alias("t_stat_micro"),
+    )

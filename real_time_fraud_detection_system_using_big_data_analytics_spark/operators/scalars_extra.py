@@ -353,3 +353,50 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "scalar_ip_cidr_match",
+    oracle="""
+    WITH addr AS (
+      SELECT event_id, user_id,
+             (10 * 16777216)
+               + (CAST(user_id % 256 AS BIGINT) * 65536)
+               + (CAST(event_id % 256 AS BIGINT) * 256)
+               + CAST((event_id * 7) % 256 AS BIGINT) AS ip_int
+      FROM events
+    )
+    SELECT CAST(FLOOR(ip_int / 65536.0) AS BIGINT) AS net16,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(FLOOR(ip_int / 16777216.0) AS BIGINT) = 10
+                          AND CAST(FLOOR(ip_int / 65536.0) AS BIGINT) % 256
+                              BETWEEN 0 AND 63
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_allowlist
+    FROM addr GROUP BY 1
+    """,
+)
+def scalar_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4/CIDR arithmetic as integer scalar expressions: addresses are
+    packed 32-bit integers (synthesized deterministically from event
+    keys, the shape a web log's inet column has after inet_aton), rolled
+    up by /16 network, with an allowlist test for 10.0.0.0/10.63.255.255
+    (a /10-style range) done purely by integer division and range
+    comparison — the geo/network enrichment primitive that runs at scan
+    speed with NO string parsing, NO UDF, and NO dialect surface (shift
+    semantics expressed as division by powers of two, identical on both
+    engines). Group-by lands on /16 cardinality, map-side combinable."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    ip = (
+        F.lit(10 * 16_777_216)
+        + (F.col("user_id") % 256).cast("bigint") * 65_536
+        + (F.col("event_id") % 256).cast("bigint") * 256
+        + ((F.col("event_id") * 7) % 256).cast("bigint")
+    )
+    addr = ev.select("event_id", "user_id", ip.alias("ip_int"))
+    net16 = F.floor(F.col("ip_int") / 65_536.0).cast("bigint")
+    oct1 = F.floor(F.col("ip_int") / 16_777_216.0).cast("bigint")
+    allow = (oct1 == 10) & (net16 % 256).between(0, 63)
+    return addr.groupBy(net16.alias("net16")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(allow, 1).otherwise(0)).cast("bigint").alias("n_in_allowlist"),
+    )

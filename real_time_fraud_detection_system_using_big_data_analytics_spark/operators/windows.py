@@ -601,3 +601,77 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.rank().over(w).cast("bigint"))
         .where(F.col("rk") <= 2)
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END
+               AS delta_cents
+      FROM events
+    ), bal AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(delta_cents) OVER w AS BIGINT) AS balance
+      FROM flows
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), peaks AS (
+      SELECT user_id, balance,
+             CAST(MAX(balance) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS peak
+      FROM bal
+    )
+    SELECT user_id,
+           CAST(MAX(peak - balance) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_balance_cents
+    FROM peaks GROUP BY user_id
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per account: the deepest peak-to-trough fall of
+    the running balance (purchases debit, everything else credits) — the
+    risk metric that catches an account being drained, and the exact
+    MIRROR of fraud_cusum_drift's closed form (CUSUM tracks excursion
+    above the running MIN; drawdown tracks fall below the running MAX —
+    same two stacked window scans, same single user_id Exchange, same
+    exact-BIGINT algebra). A third scan would be redundant: the final
+    per-account MAX rides the same partitioning as the windows."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    flows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", -cents)
+        .otherwise(cents)
+        .alias("delta_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bal = flows.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta_cents").over(w).cast("bigint").alias("balance"),
+    )
+    peaks = bal.select(
+        "user_id",
+        "balance",
+        F.max("balance").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).cast("bigint").alias("peak"),
+    )
+    return peaks.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("balance"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.max("peak").cast("bigint").alias("peak_balance_cents"),
+    )

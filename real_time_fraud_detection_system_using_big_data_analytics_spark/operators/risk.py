@@ -1113,3 +1113,138 @@ def ml_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((m1 - m2) * 100.0 + 0.5).cast("bigint").alias("mean_diff_microcents"),
         F.floor(t * 1_000_000.0 + 0.5).cast("bigint").alias("t_stat_micro"),
     )
+
+
+@register(
+    "fraud_composite_risk_score",
+    oracle="""
+    WITH structuring AS (
+      SELECT DISTINCT user_id FROM (
+        SELECT user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 86400000000 PRECEDING
+                              AND CURRENT ROW) AS c
+        FROM events WHERE value >= 90.0 AND value < 100.0
+      ) WHERE c >= 2
+    ), cusum AS (
+      SELECT DISTINCT user_id FROM (
+        SELECT user_id, p,
+               MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS mp
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) - 10500)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS p
+          FROM events
+        )
+      ) WHERE p - LEAST(mp, 0) > 40000
+    ), roundaff AS (
+      SELECT u.user_id
+      FROM (SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tx,
+                   CAST(SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                      % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_round
+            FROM events GROUP BY user_id) u
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                         CAST(SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5)
+                                               AS BIGINT) % 100 = 0
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS r_all
+                  FROM events) p
+      WHERE u.n_round >= 3 AND u.n_round * p.n_all > 3 * u.n_tx * p.r_all
+    ), burst AS (
+      SELECT DISTINCT user_id FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hb,
+               COUNT(*) AS n, COUNT(DISTINCT event_type) AS ch
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+      ) WHERE ch >= 3 AND n >= 5
+    ), accounts AS (
+      SELECT DISTINCT user_id FROM events
+    )
+    SELECT a.user_id,
+           (s.user_id IS NOT NULL) AS structuring_flag,
+           (c.user_id IS NOT NULL) AS cusum_flag,
+           (r.user_id IS NOT NULL) AS round_amount_flag,
+           (b.user_id IS NOT NULL) AS burst_flag,
+           CAST(CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS risk_score
+    FROM accounts a
+    LEFT JOIN structuring s ON s.user_id = a.user_id
+    LEFT JOIN cusum c ON c.user_id = a.user_id
+    LEFT JOIN roundaff r ON r.user_id = a.user_id
+    LEFT JOIN burst b ON b.user_id = a.user_id
+    WHERE (CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) >= 2
+    """,
+)
+def fraud_composite_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal risk fusion — the capstone every transaction-
+    monitoring stack ships: four independent integer-exact screens
+    (structuring, CUSUM drift, round-amount affinity, cross-channel
+    burst) each produce a per-account flag, and accounts firing >= 2
+    screens surface with the per-signal breakdown — corroboration
+    across INDEPENDENT behavioral dimensions is what separates a case
+    worth an analyst's time from four noisy alert feeds.
+
+    Engine side composes the SAME registered operators (plan reuse, not
+    copy-paste): each screen reduces to a DISTINCT account list, the
+    four lists LEFT-join onto the account dimension, and the score is a
+    flag sum. Every screen is integer-exact, so the composite inherits
+    cross-engine exactness with no new quantization surface. All four
+    screens and the fusion join shuffle on the SAME key (user_id) —
+    at 100 TB this is one partitioning reused five times."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    structuring = (
+        fraud_structuring_subthreshold(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("structuring_flag", F.lit(True))
+    )
+    cusum = (
+        fraud_cusum_drift(spark, sf_dir)
+        .where(F.col("drift_alert"))
+        .select("user_id")
+        .distinct()
+        .withColumn("cusum_flag", F.lit(True))
+    )
+    roundaff = (
+        fraud_round_amount_affinity(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("round_amount_flag", F.lit(True))
+    )
+    burst = (
+        fraud_cross_channel_burst(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("burst_flag", F.lit(True))
+    )
+    accounts = ev.select("user_id").distinct()
+    fused = (
+        accounts.join(structuring, "user_id", "left")
+        .join(cusum, "user_id", "left")
+        .join(roundaff, "user_id", "left")
+        .join(burst, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("structuring_flag", F.lit(False)).alias("structuring_flag"),
+            F.coalesce("cusum_flag", F.lit(False)).alias("cusum_flag"),
+            F.coalesce("round_amount_flag", F.lit(False)).alias("round_amount_flag"),
+            F.coalesce("burst_flag", F.lit(False)).alias("burst_flag"),
+        )
+    )
+    score = (
+        F.col("structuring_flag").cast("int")
+        + F.col("cusum_flag").cast("int")
+        + F.col("round_amount_flag").cast("int")
+        + F.col("burst_flag").cast("int")
+    ).cast("bigint")
+    return fused.withColumn("risk_score", score).where(F.col("risk_score") >= 2)

@@ -242,3 +242,73 @@ def olap_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("share_micro")
         - F.lag("share_micro").over(Window.partitionBy("segment").orderBy("month")),
     )
+
+
+@register(
+    "olap_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_cents,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cum_rev,
+             CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_rev
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def olap_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank descending,
+    A = parts inside the first 80% of cumulative revenue, B = the next
+    15%, C = the tail — the inventory-management classic behind every
+    'top 20% of SKUs drive 80% of revenue' analysis. Class boundaries
+    compare INTEGER cross-products (cum·100 vs total·80/95), so boundary
+    membership can't float-drift, and the rank order ties on partkey so
+    the cumulative sum itself is deterministic. The fact table collapses
+    to part cardinality first; the cumulative window runs on that rollup
+    (single-partition, but bounded by |parts|, not |lineitem| — at true
+    catalog scale range-partition the rollup by revenue bucket and
+    two-phase the running sum)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy(F.desc("rev_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev"),
+        F.sum("rev_cents").over(Window.partitionBy()).cast("bigint").alias("total_rev"),
+    )
+    abc = (
+        F.when(F.col("cum_rev") * 100 <= F.col("total_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("rev_cents", abc.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+        )
+    )

@@ -1186,3 +1186,119 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micro"),
         )
     )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, word, n FROM (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY doc_id, word
+      )
+    ), df AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM toks GROUP BY word
+      HAVING COUNT(*) BETWEEN 2 AND 20
+    ), n_total AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks
+    ), weighted AS (
+      SELECT t.doc_id, t.word,
+             t.n * CAST(FLOOR(LN(CAST(nt.n AS DOUBLE) / d.n_docs) * 1000.0
+                              + 0.5) AS BIGINT) AS w
+      FROM toks t JOIN df d ON d.word = t.word CROSS JOIN n_total nt
+    ), norms AS (
+      SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
+      FROM weighted GROUP BY doc_id
+    ), nums AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS num
+      FROM weighted a JOIN weighted b
+        ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT n.doc_a, n.doc_b,
+           CAST(FLOOR(CAST(n.num AS DOUBLE) * 1000000.0
+                      / (SQRT(CAST(na.norm2 AS DOUBLE))
+                         * SQRT(CAST(nb.norm2 AS DOUBLE))) + 0.5) AS BIGINT)
+             AS cosine_micro
+    FROM nums n
+    JOIN norms na ON na.doc_id = n.doc_a
+    JOIN norms nb ON nb.doc_id = n.doc_b
+    ORDER BY cosine_micro DESC, n.doc_a, n.doc_b
+    LIMIT 15
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector document similarity: TF-IDF cosine over the shared-
+    term join — the lexical near-dup/same-topic detector that complements
+    MinHash (set overlap) and embedding cosine (dense semantics): IDF
+    weighting makes two docs similar for sharing RARE words, not
+    stopwords. Top-15 pairs.
+
+    The pair enumeration joins doc-term weights on the term — and the
+    df BETWEEN 2 AND 20 band is simultaneously the relevance filter
+    (df=1 terms pair nothing; common terms carry no signal) and the skew
+    guard bounding the join to Σ df² per term (dedup's MAX_DOC_FREQ
+    discipline). Exactness: idf quantizes to integer milli-units ONCE,
+    so weights, norms² and dot products are all exact BIGINT sums inside
+    double's 2^53 (bounded by the df cap); the only float ops are two
+    IEEE-correctly-rounded SQRTs and one division in a fixed tree."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    df = (
+        toks.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs").between(2, 20))
+    )
+    n_total = toks.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("corpus_n")
+    )
+    idf_milli = F.floor(
+        F.log(F.col("corpus_n").cast("double") / F.col("n_docs")) * 1000.0 + 0.5
+    ).cast("bigint")
+    weighted = (
+        toks.join(df, "word")
+        .crossJoin(F.broadcast(n_total))
+        .select("doc_id", "word", (F.col("n") * idf_milli).alias("w"))
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("norm2")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    nums = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("norm2_b"))
+    cos = F.floor(
+        F.col("num").cast("double")
+        * 1_000_000.0
+        / (
+            F.sqrt(F.col("norm2_a").cast("double"))
+            * F.sqrt(F.col("norm2_b").cast("double"))
+        )
+        + 0.5
+    ).cast("bigint")
+    return (
+        nums.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine_micro"))
+        .orderBy(F.desc("cosine_micro"), "doc_a", "doc_b")
+        .limit(15)
+    )

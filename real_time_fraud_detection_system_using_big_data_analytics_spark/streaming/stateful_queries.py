@@ -42,28 +42,30 @@ def stream_velocity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tws_available() -> bool:
-    """transformWithStateInPandas runs its keyed-state protocol over a
-    protobuf channel between the JVM state server and the Python worker;
-    without the protobuf package the driver worker crashes at state-schema
-    validation. Gate registration on the dependency (this sandbox ships
-    without it; any real Spark 4 deployment has it)."""
-    try:
-        import google.protobuf  # noqa: F401
+@register(
+    "stream_account_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_account_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account lifetime (count, sum, max) kept in fixed-width keyed
+    state across micro-batches (applyInPandasWithState). The availableNow
+    replay's final state must equal the batch GROUP BY — which is the
+    oracle. Totals are BIGINT cents quantized per-row BEFORE summation
+    (account_state.py module docstring), so the comparison is exact integer
+    equality regardless of batch order vs DuckDB scan order.
 
-        return True
-    except ImportError:
-        return False
-
-
-def _stream_account_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transformWithStateInPandas (Spark 4 arbitrary-state API): per-account
-    lifetime (count, sum, max) kept in a ValueState across micro-batches.
-    The availableNow replay's final state must equal the batch GROUP BY —
-    which is the oracle. Totals are BIGINT cents quantized per-row BEFORE
-    summation (account_state.py module docstring), so the comparison is
-    exact integer equality regardless of batch order vs DuckDB scan order.
-    See streaming/account_state.py for the processor."""
+    This replaces the rounds-3-5 transformWithStateInPandas twin whose
+    protobuf state protocol could never execute in this sandbox; same
+    semantics, same state layout, but on the API whose replay is actually
+    hash-verified every round. See streaming/account_state.py."""
     from .account_state import run_account_profile_hermetic
 
     out = run_account_profile_hermetic(spark, sf_dir)
@@ -73,21 +75,6 @@ def _stream_account_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value_cents").cast("bigint").alias("total_value_cents"),
         F.col("max_value_cents").cast("bigint").alias("max_value_cents"),
     )
-
-
-if _tws_available():  # pragma: no cover - dependency absent in the sandbox
-    register(
-        "stream_account_profile_tws",
-        oracle="""
-        SELECT user_id,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS total_value_cents,
-               CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS max_value_cents
-        FROM events GROUP BY user_id
-        """,
-    )(_stream_account_profile_tws)
 
 
 @register(

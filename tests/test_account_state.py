@@ -1,31 +1,31 @@
-"""transformWithStateInPandas exhibit (streaming/account_state.py).
+"""Stateful account-profile operator (streaming/account_state.py).
 
-The operator needs the protobuf package for Spark's Python state-server
-protocol; this sandbox ships without it, so the functional test skips and
-a structural test pins the processor contract (state registered in init,
-cumulative output) that would silently rot otherwise.
+Round 6 replaced the protobuf-gated transformWithStateInPandas exhibit with
+an applyInPandasWithState implementation of the same semantics — these
+tests now EXECUTE the replay (no environment skip) and pin both the
+end-to-end stream==batch equality and the per-batch fold contract.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
-from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.stateful_queries import (
-    _stream_account_profile_tws,
-    _tws_available,
-)
 
-
-@pytest.mark.skipif(not _tws_available(), reason="protobuf not installed")
-def test_tws_profile_matches_batch_groupby(spark):
+def test_account_profile_matches_batch_groupby(spark):
+    """availableNow replay's final keyed state == batch GROUP BY, exact
+    integer equality on the cents-quantized totals."""
     from pyspark.sql import functions as F
 
     from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
         load_tables,
     )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.stateful_queries import (
+        stream_account_profile,
+    )
 
     sf = "/root/testdata/sf0.001"
-    got = {r["user_id"]: r for r in _stream_account_profile_tws(spark, sf).collect()}
+    got = {r["user_id"]: r for r in stream_account_profile(spark, sf).collect()}
     ev = load_tables(spark, sf, names=("events",))["events"]
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     want = {
@@ -46,51 +46,39 @@ def test_tws_profile_matches_batch_groupby(spark):
         assert got[uid]["max_value_cents"] == row["max_value_cents"]
 
 
-def test_tws_processor_contract():
-    """Processor shape: ValueState registered under the documented name,
-    handleInputRows yields one cumulative row per key. (Runs without a
-    streaming query — pure unit check of the class.)"""
-    import pandas as pd
-
+def test_profile_fold_contract():
+    """Per-batch fold: cumulative (count, sum cents, max cents) across
+    successive invocations with carried state. Pure unit check — no
+    streaming query."""
     from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.account_state import (
-        AccountProfileProcessor,
+        _profile_fn,
     )
 
     class FakeState:
         def __init__(self):
             self._v = None
 
+        @property
         def exists(self):
             return self._v is not None
 
+        @property
         def get(self):
             return self._v
 
         def update(self, v):
             self._v = v
 
-    class FakeHandle:
-        def __init__(self):
-            self.registered = {}
-
-        def getValueState(self, name, schema, ttlDurationMs=None):
-            st = FakeState()
-            self.registered[name] = st
-            return st
-
-    p = AccountProfileProcessor()
-    h = FakeHandle()
-    p.init(h)
-    assert "profile" in h.registered
-
+    st = FakeState()
     batch1 = pd.DataFrame({"value": [1.0, 2.0, 3.0]})
-    (out1,) = list(p.handleInputRows((7,), iter([batch1]), None))
+    (out1,) = list(_profile_fn((7,), iter([batch1]), st))
     assert out1["n_events"].iloc[0] == 3
     assert out1["total_value_cents"].iloc[0] == 600
     assert out1["max_value_cents"].iloc[0] == 300
+    assert st.get == (3, 600, 300)
 
     batch2 = pd.DataFrame({"value": [10.0]})
-    (out2,) = list(p.handleInputRows((7,), iter([batch2]), None))
+    (out2,) = list(_profile_fn((7,), iter([batch2]), st))
     assert out2["n_events"].iloc[0] == 4
     assert out2["total_value_cents"].iloc[0] == 1600
     assert out2["max_value_cents"].iloc[0] == 1000

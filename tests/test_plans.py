@@ -216,6 +216,11 @@ def test_bruteforce_topk_partial_limit_below_exchange(spark):
     assert 0 <= final_pos < exch_pos < partial_pos, plan
     # scoring stays a broadcast cross below the partial cut (no SMJ detour)
     assert "BroadcastNestedLoopJoin" in plan[partial_pos:], plan
+    # the broadcast query side is a BOUNDED relation (Q <= 64 at any corpus
+    # size): the vec_id < 6400 cap must be pushed to the queries-side scan,
+    # keeping the broadcast O(Q) and the post-cut shuffle O(k*Q)
+    full = plan_string(df)
+    assert "LessThan(vec_id,6400)" in full, full
 
 
 def test_int8_quantization_materialized_below_exchange(spark):

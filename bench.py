@@ -309,18 +309,23 @@ def streaming_bench(spark, sf_dir: str) -> dict:
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     spool = spool_event_chunks(spark, sf_dir, N_STREAM_CHUNKS)
+    spool1 = spool_event_chunks(spark, sf_dir, 1)
     out: dict = {}
     try:
-        for name, transform in (
-            ("stream_rule_alerts", rule_alerts),
-            ("stream_velocity_stateful", velocity_features_stream),
-            ("stream_cusum_drift_stateful", cusum_stream),
+        for name, transform, n_chunks, sp in (
+            ("stream_rule_alerts", rule_alerts, N_STREAM_CHUNKS, spool),
+            ("stream_velocity_stateful", velocity_features_stream, N_STREAM_CHUNKS, spool),
+            # same operator, one big batch: the per-micro-batch stateful
+            # machinery (~0.9 s/batch, BENCH_NOTES_r6.md) amortized away —
+            # read the 8-chunk line against this one, not in isolation
+            ("stream_velocity_stateful_1batch", velocity_features_stream, 1, spool1),
+            ("stream_cusum_drift_stateful", cusum_stream, N_STREAM_CHUNKS, spool),
         ):
             walls, batches, rows = [], 0, 0
             for _ in range(2):
                 t0 = time.perf_counter()
                 tbl, batches = chunked_replay(
-                    spark, sf_dir, transform, n_chunks=N_STREAM_CHUNKS, spool=spool
+                    spark, sf_dir, transform, n_chunks=n_chunks, spool=sp
                 )
                 rows = tbl.count()
                 walls.append(time.perf_counter() - t0)
@@ -333,6 +338,7 @@ def streaming_bench(spark, sf_dir: str) -> dict:
             }
     finally:
         shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(spool1, ignore_errors=True)
     return out
 
 

@@ -432,3 +432,82 @@ def eventflow_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "eventflow_cep_negation",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             MIN(CASE WHEN event_type = 'error' THEN ts END) OVER f AS next_error_ts,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER f AS next_signup_ts
+      FROM events
+      WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CAST(ts AS TIMESTAMP) AS purchase_ts,
+           CAST(next_error_ts AS TIMESTAMP) AS error_ts
+    FROM seq
+    WHERE event_type = 'purchase' AND value > 50.0
+      AND next_error_ts IS NOT NULL
+      AND next_error_ts <= ts + INTERVAL 60 MINUTE
+      AND (next_signup_ts IS NULL OR next_signup_ts > next_error_ts)
+    """,
+)
+def eventflow_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern with a NEGATION clause — the MATCH_RECOGNIZE shape
+    `A ... B within T, with no C between` that contiguous-LEAD matching
+    (eventflow_sequence_pattern) cannot express: a purchase over 50 followed
+    by an error within 60 minutes where no 'signup' event intervenes
+    (the negation genuinely rejects matches on this data)
+    (skip-irrelevant-events semantics — any number of other events may sit
+    between A and B).
+
+    Joinless formulation: two conditional MINs over the strictly-FOLLOWING
+    frame of the (ts, event_id)-ordered per-user stream give the next
+    error and next signup after each event; the negation is then a plain
+    comparison (no signup, or it lands after the matched error). This is
+    the standard unnesting of a [^C]*B regex into first-occurrence
+    algebra — no self-join, no state machine, no pair fan-out.
+
+    One user_id shuffle serves both window functions (same frame spec,
+    one Exchange + one sort); at 100 TB the cost is the per-user sort,
+    and the post-window filter prunes to purchase rows only. The
+    streaming twin would be the stream-stream interval join
+    (stream_stream_join) plus a signup-absence anti-condition — this is
+    the batch oracle such a rule would be verified against."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).over(f).alias(
+            "next_error_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(f).alias(
+            "next_signup_ts"
+        ),
+    )
+    return seq.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > 50.0)
+        & F.col("next_error_ts").isNotNull()
+        & (F.col("next_error_ts") <= F.col("ts") + F.expr("INTERVAL 60 MINUTES"))
+        & (
+            F.col("next_signup_ts").isNull()
+            | (F.col("next_signup_ts") > F.col("next_error_ts"))
+        )
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("next_error_ts").alias("error_ts"),
+    )

@@ -1356,3 +1356,98 @@ def timeseries_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFra
         "n",
         F.floor(num / den * 1_000_000.0 + 0.5).cast("bigint").alias("acf1_micro"),
     )
+
+
+@register(
+    "agg_hll_union_mergeable",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
+def agg_hll_union_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY proof, in-engine: the corpus is split into two
+    disjoint halves (user_id parity), each half aggregated into its own
+    HLL sketch, the two sketches merged with hll_union_agg, and the
+    merged estimate audited against the exact COUNT DISTINCT of the whole
+    — within the same 15% dense-mode bound as agg_hll_accuracy_audit.
+
+    Mergeability is THE property that makes sketches the 100 TB distinct-
+    count tool: partial sketches per partition/day/shard are unioned
+    without re-reading data, and this query pins that union(sketch(A),
+    sketch(B)) ~= ndv(A ∪ B) — a regression in merge semantics (or an
+    lgK mismatch between partials) becomes a value MISMATCH against the
+    oracle's exact count + TRUE flag.
+
+    Shape: two map-side-combinable sketch aggregations + a 2-row union
+    aggregate; the exact count shares the first scan. No driver-side
+    sketch handling — merge and estimate are both JVM expressions."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    halves = ev.groupBy((F.col("user_id") % 2).alias("half")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    merged = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("merged_ndv")
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_ndv"))
+    return (
+        merged.crossJoin(exact)
+        .select(
+            "exact_ndv",
+            (
+                F.abs(F.col("merged_ndv") - F.col("exact_ndv")) * 100
+                <= F.col("exact_ndv") * 15
+            ).alias("within_bound"),
+        )
+    )
+
+
+_APX_ACC = 1000  # percentile_approx accuracy: worst-case rank error n/_APX_ACC
+
+
+@register(
+    "agg_approx_percentile_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile-sketch audit: per event_type, the
+    percentile_approx(value, 0.5, accuracy=1000) median is re-ranked
+    EXACTLY in a second pass, and its true rank interval [cnt_lt+1,
+    cnt_le] must overlap the guaranteed band 0.5·n ± 2n/1000 (2× the
+    published worst-case rank error, so partition-merge-order
+    nondeterminism inside the sketch can never flip the flag — GK's
+    guarantee is deterministic worst-case, the audit band is looser
+    still). Integer cross-multiplication, no float boundary. The oracle
+    pins the exact per-group counts + TRUE; a sketch regression
+    hash-mismatches. Same ship-the-measurement conversion as
+    agg_hll_accuracy_audit / ann_mllib_brp_lsh.
+
+    Shape: sketch pass is one map-side-combinable aggregate; the audit
+    pass broadcasts the per-group approx medians (group-cardinality rows)
+    back over the fact scan — two scans total, no driver-side work."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    per = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _APX_ACC).alias("p50_approx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranked = (
+        ev.join(F.broadcast(per), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("p50_approx"), 1).otherwise(0)
+            ).alias("cnt_le"),
+            F.sum(
+                F.when(F.col("value") < F.col("p50_approx"), 1).otherwise(0)
+            ).alias("cnt_lt"),
+        )
+    )
+    lo_ok = F.col("cnt_le") * (2 * _APX_ACC) >= F.col("n") * (_APX_ACC - 4)
+    hi_ok = (F.col("cnt_lt") + 1) * (2 * _APX_ACC) <= F.col("n") * (_APX_ACC + 4)
+    return ranked.select("event_type", "n", (lo_ok & hi_ok).alias("rank_ok"))

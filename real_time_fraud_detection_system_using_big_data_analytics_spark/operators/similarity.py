@@ -432,17 +432,58 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_mllib_brp_lsh")  # MLlib LSH model: RNG hyperplanes, no SQL oracle
-def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BucketedRandomProjectionLSH (MLlib) near-neighbor pairs — the
-    library scale path beside our hand-rolled sign-bit LSH
-    (`ann_lsh_bucketed`). approxSimilarityJoin hashes both sides into
-    buckets and joins bucket-wise, never materializing the full cross;
-    seed pinned for determinism of the random hyperplanes.
+# MLlib-LSH audit constants. The truth side samples pairs with at least one
+# endpoint in the 1-in-20 id sample (the production recall-estimation
+# shape: the sketch is audited on a sample, never all pairs). Thresholds
+# picked where the truth set is selective on this data (all-pairs distances
+# cluster in [0.9, 2.05]); recall bounds sit well under the measured values
+# (BRP 0.953 @sf0.01 / 0.940 @sf0.1; MinHash 0.987 / 0.993).
+_BRP_DIST_T = 1.2          # MLlib threshold (Euclidean)
+_BRP_D2_T = _BRP_DIST_T ** 2
+_BRP_RECALL_PCT = 85
+_MH_JDIST_T = 0.35         # MLlib threshold (Jaccard distance)
+_MH_RECALL_PCT = 95
+_AUDIT_MOD = 20
 
-    Rows-only check: the hash family is RNG-derived (seed=42), so no
-    engine-independent SQL oracle exists — the deterministic variants in
-    this module carry the value-level correctness burden."""
+
+@register(
+    "ann_mllib_brp_lsh",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS lsh_subset_of_true, TRUE AS recall_ok
+    FROM embeddings s JOIN embeddings o ON o.vec_id <> s.vec_id
+    WHERE s.vec_id % {_AUDIT_MOD} = 0
+      AND list_dot_product(s.embedding, s.embedding)
+          - 2 * list_dot_product(s.embedding, o.embedding)
+          + list_dot_product(o.embedding, o.embedding) < {_BRP_D2_T}
+    """,
+)
+def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH (MLlib) — registered as its own ACCURACY
+    AUDIT so the RNG-derived hash family becomes oracle-checkable (same
+    conversion as ann_recall_at_k / agg_hll_accuracy_audit: ship the
+    MEASUREMENT, not the sketch). The raw pair list is seed-dependent and
+    has no SQL twin — every driver round before r6 surfaced it as an `err:
+    no_oracle` row; this form makes a sketch regression a value MISMATCH.
+
+    Audit: approxSimilarityJoin (seed 42, 3 hash tables, bucketLength 2.0,
+    threshold {_BRP_DIST_T}) vs the EXACT sampled truth — DIRECTED pairs
+    (s, o) with s in the 1-in-{_AUDIT_MOD} id sample, o any other vector,
+    squared Euclidean distance (dot-product form, the same left-to-right
+    fold DuckDB's list_dot_product runs) < {_BRP_D2_T}; boundary margin
+    on this data is >= 7.6e-6, far above double noise. The LSH pair set
+    is exploded into the same directed form, so a both-sampled pair
+    counts twice on both sides and recall is well-defined. Emits the
+    truth-pair count (oracle-recomputed), the subset flag (every LSH pair
+    is a true pair — approxSimilarityJoin filters on the actual
+    distance), and recall >= {_BRP_RECALL_PCT}% (measured {{0.953,
+    0.940}} at sf{{0.01, 0.1}}; deterministic under the fixed seed).
+
+    Scale: the LSH join is bucket-wise (never all-pairs); the exact side
+    is broadcast(sample) × corpus — the estimate-on-a-sample shape
+    production recall audits use (and the shape that lets the sample
+    predicate push to a scan, which an OR-over-both-endpoints filter
+    under a cross join cannot)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -454,26 +495,91 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 4.0, distCol="euclidean")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round("euclidean", 4).alias("euclidean"),
+    pairs = model.approxSimilarityJoin(vecs, vecs, _BRP_DIST_T, distCol="euclidean")
+    # undirected MLlib pairs -> directed (s sampled, o other): explode both
+    # orientations, keep those whose left end is in the sample
+    undirected = pairs.filter(
+        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("x"), F.col("datasetB.vec_id").alias("y")
+    )
+    lshp = (
+        undirected.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("s"), F.col("y").alias("o")),
+                    F.struct(F.col("y").alias("s"), F.col("x").alias("o")),
+                )
+            ).alias("p")
         )
-        .orderBy("vec_a", "vec_b")
+        .select("p.s", "p.o")
+        .filter(F.col("s") % _AUDIT_MOD == 0)
+    )
+    sample = e.filter(F.col("vec_id") % _AUDIT_MOD == 0).select(
+        F.col("vec_id").alias("s"), F.col("embedding").alias("emb_s")
+    )
+    corpus = e.select(F.col("vec_id").alias("o"), F.col("embedding").alias("emb_o"))
+    d2 = (
+        _dot("emb_s", "emb_s") - 2 * _dot("emb_s", "emb_o") + _dot("emb_o", "emb_o")
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(sample))
+        .filter(F.col("o") != F.col("s"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") < _BRP_D2_T)
+        .select("s", "o")
+    )
+    t_cnt = truth.count()
+    l_cnt = lshp.count()
+    hit_cnt = truth.join(lshp, ["s", "o"]).count()
+    return spark.createDataFrame(
+        [(t_cnt, hit_cnt == l_cnt, hit_cnt * 100 >= t_cnt * _BRP_RECALL_PCT)],
+        "n_true_pairs bigint, lsh_subset_of_true boolean, recall_ok boolean",
     )
 
 
-@register("ann_mllib_minhash_lsh")  # MLlib LSH model: RNG perm coefficients, no SQL oracle
+@register(
+    "ann_mllib_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE a.doc_id % {_AUDIT_MOD} = 0 OR b.doc_id % {_AUDIT_MOD} = 0
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    WHERE i * 100 > (sa.n + sb.n - i) * 65
+    """,
+)
 def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH (MLlib) near-dup pairs over token sets — the library
-    counterpart of `dedup_minhash_lsh_pairs`. Tokens are hashed into a
-    fixed binary vocabulary space with HashingTF (binary=True: set
-    semantics, as MinHash requires); approxSimilarityJoin returns pairs
-    under a Jaccard-distance threshold. Seeded; rows-only (RNG permutation
-    coefficients have no SQL-expressible twin)."""
+    """MinHashLSH (MLlib) — registered as its own ACCURACY AUDIT (see
+    ann_mllib_brp_lsh for the conversion rationale; this pair of rewrites
+    closes the r5 verdict's perennial-`err`-rows item). Tokens are hashed
+    into a 2^18 binary space with HashingTF (set semantics); the audit
+    measures approxSimilarityJoin (seed 42, 4 hash tables, Jaccard
+    distance < {_MH_JDIST_T}) against the EXACT token-set Jaccard truth
+    over sampled pairs: similarity > {1 - _MH_JDIST_T} with an endpoint
+    in the 1-in-{_AUDIT_MOD} id sample. Truth uses integer cross-
+    multiplication (i·100 > u·65) so both engines count the identical
+    pair set — no float boundary. Emits the truth-pair count (oracle-
+    recomputed) and recall >= {_MH_RECALL_PCT}% (measured {{0.987,
+    0.993}} at sf{{0.01, 0.1}}; deterministic under the fixed seed).
+    The vocabulary here is tiny, so the 2^18 hash space is collision-free
+    and hashed-set Jaccard equals token-set Jaccard; no subset flag —
+    at a realistic vocabulary, hash collisions can push a boundary pair
+    across the threshold in either direction, and a flag that depends on
+    collision luck would be a flaky pin.
+
+    Scale: shared-token truth join is df-bounded by the sample filter;
+    the LSH join is bucket-wise — the layout that replaces all-pairs at
+    corpus scale."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
@@ -482,15 +588,40 @@ def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(toks).filter(F.col("features").isNotNull())
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.35, distCol="jaccard_dist")
-    return (
+    pairs = model.approxSimilarityJoin(feats, feats, _MH_JDIST_T, distCol="jaccard_dist")
+    sampled = (F.col("da") % _AUDIT_MOD == 0) | (F.col("db") % _AUDIT_MOD == 0)
+    lshp = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+            F.col("datasetA.doc_id").alias("da"), F.col("datasetB.doc_id").alias("db")
         )
-        .orderBy("doc_a", "doc_b")
+        .filter(sampled)
+    )
+    tk = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tk.alias("a")
+        .join(
+            tk.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+        .filter(sampled)
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(F.col("i") * 100 > (F.col("na") + F.col("nb") - F.col("i")) * 65)
+        .select("da", "db")
+    )
+    t_cnt = truth.count()
+    hit_cnt = truth.join(lshp, ["da", "db"]).count()
+    return spark.createDataFrame(
+        [(t_cnt, hit_cnt * 100 >= t_cnt * _MH_RECALL_PCT)],
+        "n_true_pairs bigint, recall_ok boolean",
     )
 
 

@@ -20,6 +20,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -112,6 +113,96 @@ def velocity_features_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def velocity_features_join_stream(stream: DataFrame) -> DataFrame:
+    """The JVM-state formulation of the SAME trailing-10-minute velocity
+    semantics: a watermarked stream-stream self-join on a bounded
+    event-time interval (each event picks up its own user's events in
+    [ts - 10 min, ts]) chained into a windowed append-mode aggregation
+    keyed by the event — both stages keep their state in the JVM state
+    store, no Python worker in the loop.
+
+    Why this exists: r5 task 2 asked whether the applyInPandasWithState
+    velocity's ~12.7k events/s bench line is a Python-protocol floor. The
+    committed A/B profile (BENCH_NOTES_r6.md) says mostly no: the floor
+    is ~0.9 s/micro-batch of engine-side stateful machinery that a pure-
+    JVM windowed agg pays too (~0.75 s/batch), and that this THREE-
+    stateful-store chain pays three times over — so at the bench's 12.5k-
+    event micro-batches this form is ~4× SLOWER than the pandas form,
+    while a single-batch replay of the pandas form runs 65k events/s.
+    Throughput is batch-size-bound, not protocol-bound. This query stays
+    registered as the value-pinned JVM twin (same oracle) and as the
+    honest record of that trade: it wins only where Arrow transfer of
+    every event dominates — very large batches over narrow state — and
+    per-key Python state remains the right tool for genuine recurrences
+    (CUSUM, Holt-Winters) that relational streaming cannot express.
+
+    State bounds: join state is each side's 1-hour watermark horizon
+    (the interval condition lets Spark expire rows); agg state is one row
+    per in-flight event, evicted when the watermark passes its 10-minute
+    window. Both stores are keyed by user/event — fine-grained, RocksDB-
+    backed at scale. Fan-out equals sum of per-event trailing-window
+    sizes (~1.01× at sf0.1 — events per user are sparse).
+
+    Each event joins AT LEAST itself (r.ts <= l.ts includes the row
+    itself), so n_prior = count - 1 and sum_prior = sum - own value; an
+    event with an empty trailing window still emits exactly one row."""
+    base = stream.select("event_id", "ts", "user_id", "value")
+    left = base.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    ).withWatermark("l_ts", "1 hour")
+    right = base.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", "1 hour")
+    joined = left.join(
+        right,
+        (F.col("r_user") == F.col("user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    )
+    # group on unix_micros(l_ts), not l_ts itself: the raw column carries
+    # the event-time watermark tag, and an aggregation output may hold at
+    # most ONE event-time column (the window) — the bigint copy is inert
+    agg = joined.groupBy(
+        F.window("l_ts", "10 minutes"),
+        "event_id",
+        "user_id",
+        F.unix_micros("l_ts").alias("ts_us"),
+        "l_value",
+    ).agg(F.count(F.lit(1)).alias("n_incl"), F.sum("r_value").alias("sum_incl"))
+    return agg.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("n_incl") - 1).cast("long").alias("n_prior_10m"),
+        (F.col("sum_incl") - F.col("l_value")).alias("sum_prior_10m"),
+    )
+
+
+def run_velocity_join_hermetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the JVM join+window velocity to completion.
+    Two sentinel batches flush the append-mode tail (availableNow runs no
+    no-data batches; the sentinel idiom is documented at
+    pipeline.stream_stream_left_outer_join); sentinel rows (user_id = -1)
+    only ever join themselves and are dropped AFTER the replay — a filter
+    inside the stream would be pushed below withWatermark and freeze the
+    clock."""
+    import shutil
+
+    from .replay import chunked_replay, spool_event_chunks
+
+    spool = spool_event_chunks(spark, sf_dir, n_chunks=3, sentinel_chunks=2)
+    result, _ = chunked_replay(
+        spark, sf_dir, velocity_features_join_stream, spool=spool
+    )
+    shutil.rmtree(spool, ignore_errors=True)
+    return result.where(F.col("user_id") >= 0)
 
 
 def run_velocity_hermetic(spark: SparkSession, sf_dir: str) -> DataFrame:

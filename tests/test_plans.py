@@ -181,7 +181,12 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path_factory):
     assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
 
 
-_SWEEP_EXCLUDE_PREFIXES = ("stream_", "ml_", "dedup_cluster")  # construct = execute
+_SWEEP_EXCLUDE_PREFIXES = (
+    "stream_",
+    "ml_",
+    "dedup_cluster",
+    "ann_mllib",  # r6 audit form: construct = execute (bounded-count collects)
+)
 
 
 @pytest.mark.parametrize(

@@ -1023,3 +1023,120 @@ def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.col("n_hit"), F.col("n_truth")).alias("recall_micro"),
         ratio(F.col("n_hit"), F.col("n_candidates")).alias("precision_micro"),
     )
+
+
+_SENS_THRESHOLDS = (20, 35, 50, 65, 80)  # Jaccard percent cut points
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    common AS (
+      SELECT s.shingle FROM shingles s GROUP BY s.shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
+    ),
+    filtered AS (
+      SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM common)
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY doc_id
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b, p.n_common, sa.n + sb.n - p.n_common AS n_union
+      FROM pair_inter p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ),
+    thr AS (SELECT unnest([{", ".join(str(t) for t in _SENS_THRESHOLDS)}]) AS thr_pct),
+    matched AS (
+      SELECT t.thr_pct, s.doc_a, s.doc_b
+      FROM scored s CROSS JOIN thr t
+      WHERE s.n_common * 100 >= s.n_union * t.thr_pct
+    ),
+    pair_counts AS (
+      SELECT thr_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM matched GROUP BY thr_pct
+    ),
+    doc_counts AS (
+      SELECT thr_pct, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_affected
+      FROM (SELECT thr_pct, doc_a AS doc FROM matched
+            UNION ALL SELECT thr_pct, doc_b FROM matched)
+      GROUP BY thr_pct
+    )
+    SELECT CAST(p.thr_pct AS BIGINT) AS thr_pct, p.n_pairs, d.n_docs_affected
+    FROM pair_counts p JOIN doc_counts d USING (thr_pct)
+    """,
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness CURVE: near-dup pair count and affected-doc
+    count at five Jaccard thresholds ({", ".join(str(t) for t in _SENS_THRESHOLDS)}%),
+    from ONE shared shingle-join pass — the report a curation run consults
+    before committing to a threshold (how much of the corpus does 0.5
+    remove vs 0.8?). Integer cross-multiplication (100·∩ >= thr·∪) keeps
+    every threshold test exact on both engines.
+
+    Shape: the pair scoring is the SAME df-capped sparse shingle join as
+    dedup_ngram_jaccard (stop-shingle cap = skew guard, never the
+    quadratic cross); the 5-threshold expansion happens AFTER pairs
+    collapse to (doc_a, doc_b, counts) — a 5× fan-out of the small pair
+    relation, not of the shingle join. Two aggregates (pairs, distinct
+    docs) share the matched relation."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    common = (
+        sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
+    )
+    filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        pair_inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).alias("n_union"),
+        )
+    )
+    matched = (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            F.explode(
+                F.array(*[F.lit(t) for t in _SENS_THRESHOLDS])
+            ).alias("thr_pct"),
+        )
+        .filter(F.col("n_common") * 100 >= F.col("n_union") * F.col("thr_pct"))
+        .persist()
+    )
+    pair_counts = matched.groupBy("thr_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    doc_counts = (
+        matched.select("thr_pct", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("thr_pct")
+        .agg(F.count_distinct("doc").cast("bigint").alias("n_docs_affected"))
+    )
+    return pair_counts.join(doc_counts, "thr_pct").select(
+        F.col("thr_pct").cast("bigint").alias("thr_pct"), "n_pairs", "n_docs_affected"
+    )

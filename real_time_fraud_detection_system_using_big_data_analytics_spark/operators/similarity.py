@@ -952,3 +952,106 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall
+# ---------------------------------------------------------------------------
+
+_TRUNC_D = 16  # prefix dims scored by the cheap pass
+
+
+def _trunc_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_TRUNC_D}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _trunc_cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_trunc_dot_sql(a, b)} / "
+        f"(sqrt({_trunc_dot_sql(a, a)}) * sqrt({_trunc_dot_sql(b, b)})))"
+    )
+
+
+@register(
+    "ann_dim_truncation_recall",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % 100 = 0 AND vec_id < {100 * _BF_QMAX}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_cosine_sql('q.q_emb', 'e.embedding')} DESC,
+                                         e.vec_id) AS rn_full,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {_trunc_cos_sql('q.q_emb', 'e.embedding')} DESC,
+                                         e.vec_id) AS rn_trunc
+      FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rn_full <= 3 AND rn_trunc <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_at_3
+    FROM scored GROUP BY q_id
+    """,
+)
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation trade measured in-engine: recall@3 of
+    top-3 retrieval using only the FIRST {_TRUNC_D} of 64 dimensions
+    against the full-dimension exact top-3, per query — the number that
+    decides whether a truncated-prefix index (the MRL deployment pattern:
+    cheap low-dim scan, optional full-dim rerank) is safe for this
+    embedding space. Fully deterministic — both rankings are exact
+    arithmetic, no RNG, so the oracle recomputes BOTH sides value-exactly
+    (unlike the seeded-sketch audits, nothing here needs a bound flag).
+
+    Shape: one broadcast of the bounded query set (same O(64) cap as
+    ann_bruteforce_topk) over the corpus; both cosines computed in the
+    same pass over the same pair rows (the truncated dot is a slice fold,
+    ~{_TRUNC_D}/64 of the flops); two q_id windows rank them. At corpus
+    scale the truncated pass is the one you'd run over the whole
+    collection — this audit is how you justify that with a measured
+    recall, on a query sample, before committing to the index layout."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = fan_out(e).select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("e_norm"),
+        F.sqrt(_slice_dot("embedding", "embedding", _TRUNC_D)).alias("e_norm_t"),
+    )
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+        F.sqrt(_slice_dot("embedding", "embedding", _TRUNC_D)).alias("q_norm_t"),
+    )
+    cos_full = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    cos_trunc = _slice_dot("q_emb", "embedding", _TRUNC_D) / (
+        F.col("q_norm_t") * F.col("e_norm_t")
+    )
+    w_full = Window.partitionBy("q_id").orderBy(F.col("c_full").desc(), "vec_id")
+    w_trunc = Window.partitionBy("q_id").orderBy(F.col("c_trunc").desc(), "vec_id")
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cos_full.alias("c_full"),
+            cos_trunc.alias("c_trunc"),
+        )
+        .withColumn("rn_full", F.row_number().over(w_full))
+        .withColumn("rn_trunc", F.row_number().over(w_trunc))
+    )
+    return scored.groupBy("q_id").agg(
+        F.sum(
+            F.when((F.col("rn_full") <= 3) & (F.col("rn_trunc") <= 3), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hits_at_3")
+    )

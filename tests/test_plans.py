@@ -867,3 +867,49 @@ def test_hits_rounds_reuse_edges(spark):
     simple = plan_string(df, mode="simple")
     assert simple.count("BroadcastHashJoin") >= 3, simple
     assert "InMemoryTableScan" in simple, simple
+
+
+def test_no_private_jvm_api_in_operators():
+    """r5 verdict nit 3, kept closed: no operator reaches through the
+    private py4j gateway (spark._jvm) — it breaks under Spark Connect.
+    The CMS audit was rewritten relationally in r6; this pins the whole
+    operators/ package so the pattern cannot creep back."""
+    from pathlib import Path
+
+    import real_time_fraud_detection_system_using_big_data_analytics_spark.operators as ops
+
+    root = Path(ops.__file__).parent
+    offenders = [
+        p.name for p in root.glob("*.py") if "spark._jvm." in p.read_text()
+    ]
+    assert offenders == [], offenders
+
+
+def test_cms_audit_sketch_is_broadcast_relation(spark):
+    """The r6 relational CMS: the d x w counter table (bounded by
+    construction) must reach the probe via a broadcast hash join, and the
+    plan must contain no cartesian product and no Python eval node."""
+    df = registry.QUERIES["agg_cms_heavy_hitter_audit"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_dim_truncation_recall_bounded_query_side(spark):
+    """ann_dim_truncation_recall shares ann_bruteforce_topk's bounded-Q
+    discipline: the vec_id < 6400 cap must be pushed to the broadcast
+    query-side scan."""
+    df = registry.QUERIES["ann_dim_truncation_recall"](spark, SF)
+    full = plan_string(df)
+    assert "LessThan(vec_id,6400)" in full, full
+    assert "BroadcastNestedLoopJoin" in plan_string(df, mode="simple")
+
+
+def test_approx_percentile_audit_broadcasts_group_medians(spark):
+    """The audit's second pass joins group-cardinality approx medians back
+    over the fact scan — that side must broadcast, never shuffle the
+    fact table on event_type."""
+    df = registry.QUERIES["agg_approx_percentile_audit"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan

@@ -394,3 +394,122 @@ def corpus_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_s").alias("n_tokens"),
         F.sum("c_nano").cast("bigint").alias("js_nano"),
     )
+
+
+_BUDGET_PCT = 95  # global token budget as a share of the corpus
+
+
+@register(
+    "corpus_token_budget_allocation",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(SUM(avail) * {_BUDGET_PCT} / 100.0) AS BIGINT) AS budget,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM per_src
+    ),
+    ranked AS (
+      SELECT p.source, p.avail, t.budget, t.n_src,
+             CAST(ROW_NUMBER() OVER (ORDER BY p.avail, p.source) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(p.avail) OVER (ORDER BY p.avail, p.source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix
+      FROM per_src p CROSS JOIN tot t
+    ),
+    leveled AS (
+      SELECT *, CAST(FLOOR((budget - prefix) * 1.0 / (n_src - rn + 1)) AS BIGINT)
+               AS level_k
+      FROM ranked
+    ),
+    cut AS (
+      SELECT COALESCE(MIN(CASE WHEN avail > level_k THEN rn END), n_src + 1)
+               AS k_star
+      FROM leveled GROUP BY n_src
+    ),
+    lstar AS (
+      SELECT c.k_star, COALESCE(MAX(lv.level_k), 0) AS l_star
+      FROM cut c LEFT JOIN leveled lv ON lv.rn = c.k_star
+      GROUP BY c.k_star
+    )
+    SELECT l.source, l.avail,
+           CAST(CASE WHEN l.rn < c.k_star THEN l.avail ELSE c.l_star END AS BIGINT)
+             AS alloc_tokens,
+           l.rn >= c.k_star AS capped
+    FROM leveled l CROSS JOIN lstar c
+    """,
+)
+def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget WATER-FILLING across sources: given a global budget of
+    {_BUDGET_PCT}% of corpus tokens and an equal-share fairness target,
+    each source receives min(its availability, the water level L), where
+    L is the classic closed form — sort sources by availability ascending,
+    take the first rank k* whose availability exceeds the remaining-budget
+    fair share L_k = floor((B - prefix_k) / (n - k + 1)); everything below
+    k* is fully satisfied, everything at or above is capped at L_{{k*}}.
+    This is the mix-planning step a training-data pipeline runs BEFORE
+    sampling (curation_mix_weighted_sample executes a given mix; this
+    query DERIVES the mix under a budget) — no iteration, pure windows
+    over the source-cardinality relation, exact BIGINT throughout.
+
+    Shape: the fact scan collapses to one row per source map-side; the
+    water-level search is rank + prefix-sum + one conditional MIN on that
+    tiny relation (two 1-row/crossJoin scalars, the house pattern). At
+    100 TB the per-source rollup is the only thing that touches data."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("avail")
+    )
+    tot = per_src.agg(
+        F.floor(F.sum("avail") * _BUDGET_PCT / 100.0).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    w_rank = Window.orderBy("avail", "source")
+    w_prefix = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        per_src.crossJoin(tot)
+        .withColumn("rn", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn(
+            "prefix", F.coalesce(F.sum("avail").over(w_prefix), F.lit(0)).cast("bigint")
+        )
+    )
+    leveled = ranked.withColumn(
+        "level_k",
+        F.floor(
+            (F.col("budget") - F.col("prefix")) / (F.col("n_src") - F.col("rn") + 1)
+        ).cast("bigint"),
+    )
+    cut = leveled.groupBy("n_src").agg(
+        F.coalesce(
+            F.min(F.when(F.col("avail") > F.col("level_k"), F.col("rn"))),
+            F.first("n_src") + 1,
+        ).alias("k_star"),
+    )
+    # the water level is the level AT rank k_star: past the cut the levels
+    # DECREASE (each capped source's availability exceeds its fair share),
+    # so a MIN over all flagged rows would pick the last — and grossly
+    # under-allocate (caught by a budget-sum sanity check, not the oracle,
+    # which mirrors whatever formula is written here)
+    lstar = (
+        cut.join(
+            F.broadcast(leveled.select(F.col("rn").alias("k_star"), "level_k")),
+            "k_star",
+            "left",
+        )
+        .groupBy("k_star")
+        .agg(F.coalesce(F.max("level_k"), F.lit(0)).alias("l_star"))
+    )
+    return (
+        leveled.crossJoin(F.broadcast(lstar))
+        .select(
+            "source",
+            "avail",
+            F.when(F.col("rn") < F.col("k_star"), F.col("avail"))
+            .otherwise(F.col("l_star"))
+            .cast("bigint")
+            .alias("alloc_tokens"),
+            (F.col("rn") >= F.col("k_star")).alias("capped"),
+        )
+    )

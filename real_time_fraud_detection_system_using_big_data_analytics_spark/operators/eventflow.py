@@ -108,9 +108,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT cohort_week, week_offset, n_active,
-           ROUND(100.0 * n_active
+           FLOOR(100.0 * n_active
                  / MAX(CASE WHEN week_offset = 0 THEN n_active END)
-                     OVER (PARTITION BY cohort_week), 2) AS retention_pct
+                     OVER (PARTITION BY cohort_week) * 100.0 + 0.5) / 100.0
+             AS retention_pct
     FROM cells
     """,
 )
@@ -139,7 +140,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("cohort_week")
     )
     return cells.withColumn(
-        "retention_pct", F.round(100.0 * F.col("n_active") / size, 2)
+        "retention_pct",
+        F.floor(100.0 * F.col("n_active") / size * 100.0 + 0.5) / 100.0,
     )
 
 

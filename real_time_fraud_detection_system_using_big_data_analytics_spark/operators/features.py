@@ -113,9 +113,10 @@ def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           CAST(ROUND(AVG(CASE WHEN e.value < b.lo THEN b.lo
+           FLOOR(CAST(SUM(CAST(FLOOR((CASE WHEN e.value < b.lo THEN b.lo
                           WHEN e.value > b.hi THEN b.hi
-                          ELSE e.value END), 4) AS DOUBLE) AS avg_clipped,
+                          ELSE e.value END) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) + 0.5) / 10000.0 AS avg_clipped,
            CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN bounds b USING (event_type)
     GROUP BY e.event_type
@@ -141,7 +142,14 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.avg(clipped), 4).alias("avg_clipped"),
+            (
+                F.floor(
+                    F.sum(F.floor(clipped * 10000 + 0.5).cast("long")).cast("double")
+                    / F.count("*")
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("avg_clipped"),
             F.sum(out_of_range.cast("bigint")).alias("n_clipped"),
         )
     )

@@ -48,7 +48,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gid,
-           COUNT(*) AS n, ROUND(AVG(l_extendedprice), 2) AS avg_price
+           COUNT(*) AS n,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) + 0.5) / 100.0 AS avg_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -61,7 +63,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2).cast("int").alias("gid"),
             F.count("*").alias("n"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                    + 0.5
+                )
+                / 100.0
+            ).alias("avg_price"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "avg_price")
     )
@@ -558,7 +569,8 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('hour', ts) AS bucket,
            COUNT(*) AS n_events,
            FIRST(value ORDER BY ts DESC, event_id DESC) AS last_value,
-           ROUND(AVG(value), 2) AS avg_value
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) + 0.5) AS BIGINT) AS avg_cents
     FROM events
     WHERE user_id % 100 = 0
     GROUP BY user_id, bucket
@@ -573,7 +585,14 @@ def timeseries_downsample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a total order is the classic silent-nondeterminism bug this
     formulation closes. One shuffle on (user, bucket); max_by merges
     map-side like any other semigroup, so the shape survives arbitrary
-    scale (contrast: a window row_number==1 pays a per-key sort)."""
+    scale (contrast: a window row_number==1 pays a per-key sort).
+
+    avg is INTEGER CENTS (per-row quantize, exact-int division, half-up
+    floor): the original ROUND(AVG(value), 2) hash-mismatched at sf0.1 on
+    a .005 boundary (Spark rounds via Double.toString, DuckDB rounds the
+    raw double) — found by the r6 10x oracle run, fixed with the house
+    cents discipline. last_value stays the raw double: max_by carries one
+    untouched per-row value, no accumulation, no boundary."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     return (
         ev.filter(F.col("user_id") % 100 == 0)
@@ -587,7 +606,13 @@ def timeseries_downsample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value"),
                 F.struct(F.col("ts"), F.col("event_id")),
             ).alias("last_value"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.floor(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+                / F.count("*")
+                + 0.5
+            )
+            .cast("long")
+            .alias("avg_cents"),
         )
     )
 
@@ -1419,8 +1444,10 @@ def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna quantile-sketch audit: per event_type, the
     percentile_approx(value, 0.5, accuracy=1000) median is re-ranked
     EXACTLY in a second pass, and its true rank interval [cnt_lt+1,
-    cnt_le] must overlap the guaranteed band 0.5·n ± 2n/1000 (2× the
-    published worst-case rank error, so partition-merge-order
+    cnt_le] must overlap the guaranteed band 0.5·n ± (2n/1000 + 1) (2× the
+    published worst-case rank error plus one rank of discretization slack
+    — the exact median of an odd-count group sits at 0.5n + 0.5, so
+    partition-merge-order
     nondeterminism inside the sketch can never flip the flag — GK's
     guarantee is deterministic worst-case, the audit band is looser
     still). Integer cross-multiplication, no float boundary. The oracle
@@ -1448,6 +1475,10 @@ def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cnt_lt"),
         )
     )
-    lo_ok = F.col("cnt_le") * (2 * _APX_ACC) >= F.col("n") * (_APX_ACC - 4)
-    hi_ok = (F.col("cnt_lt") + 1) * (2 * _APX_ACC) <= F.col("n") * (_APX_ACC + 4)
+    # +-1 absolute slack on top of the relative band: the exact median of
+    # an odd-count group sits at rank (n+1)/2 = 0.5n + 0.5, so without it
+    # even a PERFECT sketch fails at small n (caught by the sf0.001 suite
+    # run: n=201, rank 101 vs band 100.5 +- 0.4)
+    lo_ok = (F.col("cnt_le") + 1) * (2 * _APX_ACC) >= F.col("n") * (_APX_ACC - 4)
+    hi_ok = F.col("cnt_lt") * (2 * _APX_ACC) <= F.col("n") * (_APX_ACC + 4)
     return ranked.select("event_type", "n", (lo_ok & hi_ok).alias("rank_ok"))

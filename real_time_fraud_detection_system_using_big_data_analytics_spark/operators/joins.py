@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import rev_e4
 from ..plans.registry import register
 from ..sources.tables import load_tables
 
@@ -60,7 +61,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -83,7 +84,7 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(rev_e4()).cast("double") / 10000.0).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import q
+from ..functions.scalars import q, rev_e4, rev_e4_sql
 from ..plans.registry import register
 from ..sources.tables import load_tables
 
@@ -29,37 +29,84 @@ from ..sources.tables import load_tables
 @register(
     "q1_pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)      AS disc_pct,
+             CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)           AS tax_pct
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT
       l_returnflag,
       l_linestatus,
-      ROUND(SUM(l_quantity), 2)                                           AS sum_qty,
-      ROUND(SUM(l_extendedprice), 2)                                      AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
-      ROUND(AVG(l_quantity), 2)                                           AS avg_qty,
-      ROUND(AVG(l_extendedprice), 2)                                      AS avg_price,
-      ROUND(AVG(l_discount), 2)                                           AS avg_disc,
+      CAST(SUM(l_quantity) AS DOUBLE)                                     AS sum_qty,
+      CAST(SUM(price_cents) AS DOUBLE) / 100.0                            AS sum_base_price,
+      CAST(SUM(price_cents * (100 - disc_pct)) AS DOUBLE) / 10000.0       AS sum_disc_price,
+      CAST(SUM(price_cents * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE)
+        / 1000000.0                                                       AS sum_charge,
+      FLOOR(SUM(l_quantity) * 100.0 / COUNT(*) + 0.5) / 100.0             AS avg_qty,
+      FLOOR(CAST(SUM(price_cents) AS DOUBLE) / COUNT(*) + 0.5) / 100.0    AS avg_price,
+      FLOOR(CAST(SUM(disc_pct) AS DOUBLE) / COUNT(*) + 0.5) / 100.0       AS avg_disc,
       COUNT(*)                                                            AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 in EXACT integer units: price/discount/tax quantized per
+    row to cents / integer percent, so every money sum is an order-free
+    BIGINT (disc price in 1e-4 units, charge in 1e-6) and each output is
+    one deterministic division of exact integers. Round 6 hardening: the
+    original ROUND(SUM(4-to-6-decimal products), 2) form is a knife edge
+    — a sum landing exactly on a half-cent makes Spark (rounds on
+    Double.toString) and DuckDB (rounds the raw double) disagree
+    DETERMINISTICALLY, with ~1%-per-group odds for 4-decimal data; the
+    r6 sf0.1 oracle run caught this class on agg_grouped_summary and the
+    whole revenue family was converted. Overflow horizon: charge units
+    are ~1e11 per row, so a single group overflows BIGINT near 1e7 rows
+    x 1e11 = 1e18 — at that scale widen to DECIMAL(38,0) partials; the
+    plan shape is unchanged."""
     li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_pct = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    tax_pct = F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
+    c = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        price_cents.alias("price_cents"),
+        disc_pct.alias("disc_pct"),
+        tax_pct.alias("tax_pct"),
+    )
+    n = F.count("*")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        c.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            (F.sum("price_cents").cast("double") / 100.0).alias("sum_base_price"),
+            (
+                F.sum(F.col("price_cents") * (100 - F.col("disc_pct"))).cast("double")
+                / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    F.col("price_cents")
+                    * (100 - F.col("disc_pct"))
+                    * (100 + F.col("tax_pct"))
+                ).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.floor(F.sum("l_quantity") * 100.0 / n + 0.5) / 100.0).alias("avg_qty"),
+            (F.floor(F.sum("price_cents").cast("double") / n + 0.5) / 100.0).alias(
+                "avg_price"
+            ),
+            (F.floor(F.sum("disc_pct").cast("double") / n + 0.5) / 100.0).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -156,21 +203,36 @@ def project_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*)                                                        AS total,
       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)    AS n_high,
       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-      ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 2) AS avg_purchase_value,
+      FLOOR(CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS DOUBLE)
+            / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) + 0.5) / 100.0
+                                                                      AS avg_purchase_value,
       ROUND(MIN(value), 2)                                            AS min_value,
       ROUND(MAX(value), 2)                                            AS max_value
     FROM events
     """,
 )
 def agg_conditional_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused conditional counts + conditional mean in ONE pass (reference
+    runs 4 jobs for 4 counts). The conditional mean is integer-cents
+    exact (per-row quantize, one deterministic division) — the r6 knife-
+    edge hardening; min/max stay ROUND (one untouched per-row double,
+    order-free, never on a boundary its own datum isn't)."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100 + 0.5).cast("long"),
+    )
     return ev.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
-        F.round(F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 2).alias(
-            "avg_purchase_value"
-        ),
+        (
+            F.floor(
+                F.sum(purchase_cents).cast("double") / F.count(purchase_cents) + 0.5
+            )
+            / 100.0
+        ).alias("avg_purchase_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
@@ -185,29 +247,52 @@ def agg_conditional_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_grouped_summary",
     oracle="""
+    WITH c AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
     SELECT
       event_type,
       COUNT(*)                                   AS n,
-      ROUND(SUM(value), 2)                       AS total_value,
-      ROUND(AVG(value), 2)                       AS avg_value,
-      ROUND(MIN(value), 2)                       AS min_value,
-      ROUND(MAX(value), 2)                       AS max_value,
+      CAST(SUM(cents) AS BIGINT)                 AS total_cents,
+      CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+                                                 AS avg_cents,
+      CAST(MIN(cents) AS BIGINT)                 AS min_cents,
+      CAST(MAX(cents) AS BIGINT)                 AS max_cents,
       COUNT(DISTINCT user_id)                    AS n_users,
-      ROUND(SUM(value) / COUNT(DISTINCT user_id), 2) AS value_per_user
-    FROM events
+      CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(DISTINCT user_id) + 0.5)
+           AS BIGINT)                            AS cents_per_user
+    FROM c
     GROUP BY event_type
     """,
 )
 def agg_grouped_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped min/max/avg/sum summary (reference A4) in INTEGER CENTS:
+    every money figure is quantized per row before aggregation, so sums
+    are order-free BIGINTs and the derived means are one exact-int
+    division + half-up floor. Round 6 rewrite: the original ROUND(SUM/
+    AVG(double), 2) form passed five rounds at sf0.01 and then hash-
+    mismatched at sf0.1 on a half-cent boundary (998497.5 summed in
+    different orders; Spark's round goes through Double.toString while
+    DuckDB rounds the raw double — the two disagree exactly ON the .005
+    knife edge). The 10x oracle run exists to catch precisely this class;
+    same cents discipline as every other money operator in the repo."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return ev.groupBy("event_type").agg(
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = ev.select("event_type", "user_id", cents.alias("cents"))
+    return c.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.floor(F.sum("cents").cast("double") / F.count("*") + 0.5)
+        .cast("long")
+        .alias("avg_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value") / F.countDistinct("user_id"), 2).alias("value_per_user"),
+        F.floor(F.sum("cents").cast("double") / F.countDistinct("user_id") + 0.5)
+        .cast("long")
+        .alias("cents_per_user"),
     )
 
 
@@ -304,7 +389,7 @@ def dq_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM({REV_E4}) AS DOUBLE) / 10000.0 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -313,19 +398,20 @@ def dq_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
       AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    ORDER BY SUM({REV_E4}) DESC, o.o_orderkey
     LIMIT 10
-    """,
+    """.format(REV_E4=rev_e4_sql("l.l_extendedprice", "l.l_discount")),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): unshipped high-revenue orders of
     one market segment. Both date filters push to the parquet scans; the
     customer-segment filter prunes the broadcast side BEFORE the fact join;
-    top-10 compiles to TakeOrderedAndProject ordered by the UNROUNDED
-    revenue with the order key breaking float ties."""
+    top-10 compiles to TakeOrderedAndProject ordered by the EXACT BIGINT
+    revenue (1e-4 units — r6 knife-edge hardening, see q1) with the order
+    key breaking ties, so the cut order can never drift between engines."""
     t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
     cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum(rev_e4())
     return (
         t["lineitem"].filter(F.col("l_shipdate") > cutoff)
         .join(t["orders"].filter(F.col("o_orderdate") < cutoff),
@@ -333,10 +419,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rev.alias("_rev"))
-        .orderBy(F.desc("_rev"), "o_orderkey")
+        .agg(rev.alias("_rev_e4"))
+        .orderBy(F.desc("_rev_e4"), "o_orderkey")
         .limit(10)
-        .select("o_orderkey", F.round("_rev", 2).alias("revenue"),
+        .select("o_orderkey",
+                (F.col("_rev_e4").cast("double") / 10000.0).alias("revenue"),
                 "o_orderdate", "o_orderpriority")
     )
 

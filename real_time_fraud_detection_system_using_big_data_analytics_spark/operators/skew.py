@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import rev_e4
 from ..plans.registry import register
 from ..sources.tables import load_tables
 
@@ -58,7 +59,7 @@ def salted_join(
     oracle="""
     SELECT p.p_brand AS brand,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -93,7 +94,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        (F.sum(rev_e4()).cast("double") / 10000.0).alias("revenue"),
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..functions.scalars import rev_e4, rev_e4_sql
 from ..sources.tables import load_tables
 
 def _rev():
@@ -43,7 +44,7 @@ def _ts(day: str):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey   = o.o_custkey
     JOIN lineitem l  ON o.o_orderkey  = l.l_orderkey
@@ -93,14 +94,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg((F.sum(rev_e4()).cast("double") / 10000.0).alias("revenue"))
     )
 
 
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(SUM((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -124,8 +125,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-            .alias("revenue"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    * F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -137,7 +143,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
            CAST(date_part('year', l.l_shipdate) AS INTEGER) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -195,7 +201,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg((F.sum(rev_e4()).cast("double") / 10000.0).alias("revenue"))
     )
 
 
@@ -204,7 +210,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH all_nations AS (
       SELECT CAST(date_part('year', o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             (CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) AS volume,
              sn.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON p.p_partkey  = l.l_partkey
@@ -220,8 +227,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE 0 END) / SUM(volume), 4) AS mkt_share,
+           FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS mkt_share,
            COUNT(*) AS n_lines
     FROM all_nations GROUP BY o_year
     """,
@@ -264,7 +273,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "supp_nation")
     )
     promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = rev_e4()
     lines = (
         t["lineitem"]
         .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
@@ -284,10 +293,12 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     share = F.sum(
-        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
-    ) / F.sum("volume")
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("long")
+        )
+    ).cast("double") / F.sum("volume").cast("double")
     return lines.groupBy("o_year").agg(
-        F.round(share, 4).alias("mkt_share"),
+        (F.floor(share * 10000.0 + 0.5) / 10000.0).alias("mkt_share"),
         F.count("*").alias("n_lines"),
     )
 
@@ -296,7 +307,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal,
            n.n_name AS nation
     FROM customer c
@@ -331,13 +342,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).alias("_rev"))
-        .orderBy(F.desc("_rev"), "c_custkey")
+        .agg(F.sum(rev_e4()).alias("_rev_e4"))
+        .orderBy(F.desc("_rev_e4"), "c_custkey")
         .limit(20)
         .select(
             "c_custkey",
             "c_name",
-            F.round("_rev", 2).alias("revenue"),
+            (F.col("_rev_e4").cast("double") / 10000.0).alias("revenue"),
             F.round("c_acctbal", 2).alias("acctbal"),
             F.col("n_name").alias("nation"),
         )
@@ -347,10 +358,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+    SELECT FLOOR(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN (CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+                                  ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) * 100.0 * 10000.0 + 0.5) / 10000.0
              AS promo_pct,
            COUNT(*) AS n_lines
     FROM lineitem l
@@ -367,7 +378,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate pandas scans (fraud_detection_model.py:36-44)."""
     t = load_tables(spark, sf_dir, names=("lineitem", "part"))
     promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
+        F.when(F.col("p_type") == "PROMO", rev_e4()).otherwise(F.lit(0).cast("long"))
     )
     return (
         t["lineitem"]
@@ -378,7 +389,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * promo / F.sum(_rev()), 4).alias("promo_pct"),
+            (
+                F.floor(
+                    promo.cast("double")
+                    / F.sum(rev_e4()).cast("double")
+                    * 100.0
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("promo_pct"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -389,7 +409,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(SUM((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))) AS DOUBLE) / 10000.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -418,22 +438,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(F.sum(rev_e4()).alias("_rev_e4"))
     )
     top = revenue.withColumn(
-        "_max", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max"))
+        "_max", F.max("_rev_e4").over(Window.partitionBy())
+    ).filter(F.col("_rev_e4") == F.col("_max"))
     return (
         t["supplier"]
         .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rev_e4").cast("double") / 10000.0).alias("total_revenue"),
+        )
     )
 
 
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 7.0 + 0.5) / 100.0 AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -468,7 +492,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    ).cast("double")
+                    / 7.0
+                    + 0.5
+                )
+                / 100.0
+            ).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )

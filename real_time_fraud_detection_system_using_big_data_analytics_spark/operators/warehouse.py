@@ -27,7 +27,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -43,8 +43,8 @@ _CUTOFF = "2000-01-01"
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS total_cents,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
-                 / COUNT(*), 2) AS avg_price
+           FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) + 0.5) / 100.0 AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -89,9 +89,10 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         "n_orders",
         "total_cents",
-        F.round(F.col("total_cents") / 100.0 / F.col("n_orders"), 2).alias(
-            "avg_price"
-        ),
+        (
+            F.floor(F.col("total_cents").cast("double") / F.col("n_orders") + 0.5)
+            / 100.0
+        ).alias("avg_price"),
     )
 
 
@@ -578,4 +579,64 @@ def etl_idempotent_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("total_cents"),
+    )
+
+
+@register(
+    "dq_volume_anomaly_dod",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    trail AS (
+      SELECT day, n,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_prior_days,
+             CAST(SUM(n) OVER w AS BIGINT) AS sum_prior
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n,
+           CAST(FLOOR(sum_prior * 1.0 / n_prior_days + 0.5) AS BIGINT)
+             AS trailing_avg,
+           (n * n_prior_days > 2 * sum_prior
+            OR 2 * n * n_prior_days < sum_prior) AS volume_anomaly
+    FROM trail WHERE n_prior_days > 0
+    """,
+)
+def dq_volume_anomaly_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly gate: per-day event counts screened against
+    the trailing-7-day average — a day is anomalous when it runs >2× or
+    <0.5× its own recent history (the pipeline-health check that catches
+    a dead producer or a double-delivery storm BEFORE the data ships
+    downstream; the reference has no ingest monitoring at all). The
+    comparisons are integer cross-multiplied (n·days vs 2·Σprior), so no
+    float boundary; the displayed trailing average is floor-rounded only
+    for the report column.
+
+    Shape: the fact table collapses to one row per day in a map-side-
+    combinable aggregate; the trailing frame runs on the ~30-row daily
+    relation — a single-partition window over date-collapsed data, the
+    standard telemetry pattern (window cost is days, not events)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prior_days"),
+        F.sum("n").over(w).cast("bigint").alias("sum_prior"),
+    ).filter(F.col("n_prior_days") > 0)
+    return trail.select(
+        "day",
+        "n",
+        F.floor(F.col("sum_prior") / F.col("n_prior_days") + 0.5)
+        .cast("bigint")
+        .alias("trailing_avg"),
+        (
+            (F.col("n") * F.col("n_prior_days") > 2 * F.col("sum_prior"))
+            | (2 * F.col("n") * F.col("n_prior_days") < F.col("sum_prior"))
+        ).alias("volume_anomaly"),
     )

@@ -155,6 +155,58 @@ def stream_cusum_drift_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_rate_limit_gcra",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             ((epoch_us(ts) - COALESCE(LAG(epoch_us(ts)) OVER w, epoch_us(ts)))
+              // 1000000) * 5 - 1000 AS delta_milli
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), prefix AS (
+      SELECT event_id, user_id, ts_us,
+             CAST(SUM(delta_milli) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS p
+      FROM d
+    ), runmax AS (
+      SELECT event_id, user_id, p,
+             CAST(MAX(p) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_max_p
+      FROM prefix
+    )
+    SELECT event_id, user_id,
+           CAST(3000 + p - GREATEST(run_max_p, 0) AS BIGINT) AS balance_milli,
+           (3000 + p - GREATEST(run_max_p, 0)) >= 0 AS accepted
+    FROM runmax
+    """,
+)
+def stream_rate_limit_gcra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GCRA / token-bucket conformance meter
+    (applyInPandasWithState): per-account credit balance with capacity 3
+    tokens, 1-token-per-200s event-time refill, 1-token-per-event charge;
+    an event is accepted when the post-charge balance is non-negative.
+    The one-sided clamp has the CUSUM-mirror closed form (running MAX of
+    the prefix), so the kernel is vectorized int64 and the keyed state is
+    three BIGINTs; the oracle is the batch two-window formulation —
+    bit-exact equality, like the CUSUM twin. See streaming/ratelimit.py
+    for the closed-form derivation and the strict-reject variant's
+    documented trade."""
+    from .ratelimit import run_ratelimit_hermetic
+
+    out = run_ratelimit_hermetic(spark, sf_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("balance_milli").cast("bigint"),
+        "accepted",
+    )
+
+
+@register(
     "stream_structuring_alerts",
     oracle="""
     WITH band AS (

@@ -163,3 +163,33 @@ def test_png_codec_roundtrip_property(w, h, noise):
     got_w, got_h, depth, ctype, plane = png_decode_rgb8(png_encode_rgb8(w, h, rgb))
     assert (got_w, got_h, depth, ctype) == (w, h, 8, 2)
     assert plane == rgb
+
+
+def test_water_fill_budget_tight_and_feasible(spark):
+    """corpus_token_budget_allocation invariants the oracle CANNOT check
+    (it mirrors the same formula, so a formula bug would match on both
+    sides — this is the independent gate):
+      - feasibility: sum(alloc) <= budget, and no source exceeds avail
+      - tightness:   budget - sum(alloc) < n_src (only floor remainders
+        may be left on the table; the original r6 draft took the MIN
+        level over all capped ranks instead of the level at the cut and
+        under-allocated by >50%, which this check catches)
+      - fairness:    every uncapped source gets exactly its avail; every
+        capped source gets the same water level"""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["corpus_token_budget_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["avail"] for r in df)
+    budget = total * 95 // 100
+    alloc = sum(r["alloc_tokens"] for r in df)
+    assert alloc <= budget
+    assert budget - alloc < len(df), (alloc, budget, len(df))
+    levels = {r["alloc_tokens"] for r in df if r["capped"]}
+    assert len(levels) <= 1, levels
+    for r in df:
+        assert r["alloc_tokens"] <= r["avail"]
+        if not r["capped"]:
+            assert r["alloc_tokens"] == r["avail"]

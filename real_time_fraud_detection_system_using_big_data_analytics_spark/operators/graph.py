@@ -1218,3 +1218,104 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked.where(F.col("rk") <= 10)
+
+
+_CYCLE_MAX_HOPS = 4
+_CYCLE_SEED_CAP = 20  # seeds = source accounts with custkey < cap (bounded)
+
+_CYCLE_ORACLE = f"""
+    WITH RECURSIVE raw AS (
+      SELECT DISTINCT o_custkey AS src, (o_orderkey * 7) %% 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT src, dst FROM raw WHERE src <> dst
+    ), walk AS (
+      SELECT e.src AS seed, e.dst AS node, 1 AS hops
+      FROM edges e WHERE e.src < {_CYCLE_SEED_CAP}
+      UNION ALL
+      SELECT w.seed, e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < {_CYCLE_MAX_HOPS}
+    )
+    SELECT seed,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes_reached,
+           CAST(MIN(CASE WHEN node = seed AND hops >= 2 THEN hops END) AS BIGINT)
+             AS min_cycle_len,
+           BOOL_OR(node = seed AND hops >= 2) AS has_cycle
+    FROM walk GROUP BY seed
+""".replace("%%", "%")
+
+
+@register("graph_cycle_detection_bounded", oracle=_CYCLE_ORACLE)
+def graph_cycle_detection_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AML round-tripping screen: from a BOUNDED seed set (accounts with
+    custkey < {cap}), does money flow RETURN to its origin within
+    {hops} directed hops — and how short is the shortest cycle? A
+    funds-return cycle through intermediaries is the layering signature
+    fraud_layering_chains checks at exactly 3 hops with pass-through
+    ratios; this operator is its topology-only generalization over any
+    cycle length 2..{hops}, plus the seed's {hops}-hop reach size (the
+    mule-network fan-out denominator).
+
+    Engine side is SET-semantics BFS — {hops} rounds of frontier ⋈ edges
+    with a min-hop groupBy per round, state bounded by seeds × nodes —
+    because walk-census recursion explodes combinatorially with degree
+    (avg-degree^hops walks per seed; at sf1's degrees that is already
+    millions per seed). The oracle IS the walk census (WITH RECURSIVE,
+    correct and affordable at oracle scale): both formulations agree on
+    reached-node sets and minimum cycle length by construction — min over
+    walks equals min over BFS levels — so the comparison also pins the
+    set-vs-walk equivalence. Edges are materialized once and reused every
+    round (the recursive.py lesson: an inline edge CTE re-scans the fact
+    table per hop).
+
+    Scale: per round one equi-join frontier⋈edges (frontier broadcasts
+    while seeds are few; co-partitioned fallback beyond) + one map-side
+    combinable MIN. Seeds are capped by DESIGN — ring screens run on a
+    suspect shortlist, not every account; the all-pairs variant is the
+    documented non-goal (it is transitive closure).""".format(
+        cap=_CYCLE_SEED_CAP, hops=_CYCLE_MAX_HOPS
+    )
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = raw.filter(F.col("src") != F.col("dst")).persist()
+
+    # level-synchronous walk BFS: frontier_k = nodes with SOME walk of
+    # length exactly k from the seed (per-level distinct bounds it by
+    # seeds x nodes; a min-hop fold here would collapse the seed row to
+    # hops=0 and hide its cycle arrival — the bug this structure avoids)
+    frontier = (
+        edges.filter(F.col("src") < _CYCLE_SEED_CAP)
+        .select(F.col("src").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"))
+    )
+    levels = []
+    for k in range(1, _CYCLE_MAX_HOPS + 1):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("seed", "node", F.lit(k).alias("hops")))
+    walks = levels[0]
+    for lv in levels[1:]:
+        walks = walks.unionByName(lv)
+    walks = walks.persist()
+    cycles = (
+        walks.filter((F.col("node") == F.col("seed")) & (F.col("hops") >= 2))
+        .groupBy("seed")
+        .agg(F.min("hops").cast("bigint").alias("min_cycle_len"))
+    )
+    per_seed = walks.groupBy("seed").agg(
+        F.count_distinct("node").cast("bigint").alias("n_nodes_reached")
+    )
+    return per_seed.join(cycles, "seed", "left").select(
+        "seed",
+        "n_nodes_reached",
+        "min_cycle_len",
+        F.col("min_cycle_len").isNotNull().alias("has_cycle"),
+    )

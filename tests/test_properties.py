@@ -193,3 +193,39 @@ def test_water_fill_budget_tight_and_feasible(spark):
         assert r["alloc_tokens"] <= r["avail"]
         if not r["capped"]:
             assert r["alloc_tokens"] == r["avail"]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=60)
+)
+@settings(max_examples=60, deadline=None)
+def test_gcra_closed_form_equals_sequential_fold(gaps):
+    """stream_rate_limit_gcra's vectorized reflection formula
+    (bal_i = CAP + P_i - max(0, running max P)) must equal the definitional
+    sequential fold bal_i = min(CAP, bal_{i-1} + d_i) for ANY gap pattern —
+    the independent pin for the closed-form derivation (the oracle mirrors
+    the same formula, so a derivation error would match on both sides)."""
+    import numpy as np
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.ratelimit import (
+        CAP_MILLI,
+        COST_MILLI,
+        REFILL_MILLI_PER_SEC,
+    )
+
+    d = np.array(
+        [g * REFILL_MILLI_PER_SEC - COST_MILLI for g in gaps], dtype=np.int64
+    )
+    # first event of a key's life has zero elapsed time
+    d[0] = -COST_MILLI
+    # sequential definition
+    seq = []
+    bal = CAP_MILLI
+    for di in d:
+        bal = min(CAP_MILLI, bal + int(di))
+        seq.append(bal)
+    # closed form (the streaming kernel's algebra)
+    p = np.cumsum(d, dtype=np.int64)
+    rm = np.maximum.accumulate(np.maximum(p, 0))
+    closed = CAP_MILLI + p - np.maximum(rm, 0)
+    assert closed.tolist() == seq

@@ -1119,3 +1119,157 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits_at_3"),
         )
     )
+
+
+IVFPQ_SHORTLIST = 20
+
+
+def _ivfpq_oracle() -> str:
+    """IVF + PQ composed: the k-means coarse-quantizer chain assigns every
+    vector (and every query) a cell; the PQ chain encodes the corpus; the
+    ADC scan runs ONLY within the query's own cell; exact L2 reranks the
+    in-cell shortlist. CTE plumbing: both chains open with the identical
+    `vecs` CTE, so the PQ chain is appended with its duplicate head
+    stripped and cut before its full-cross `queries`/`scored` CTEs, which
+    are replaced by cell-joined ones here."""
+    sql, cent = centroid_chain_sql()
+    sql += "," + _assign_sql(cent, "cells")
+    pq = _pq_chain_sql()
+    tail = pq[pq.index("\n    , vecs_0 AS"):]
+    tail = tail[: tail.index("\n    , queries AS")]
+    sql += tail
+    cent_joins = " ".join(
+        f"JOIN c{PQ_ITER}_{m} f{m} ON f{m}.cid = x.cid{m}" for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        _pq_dist_sql(_pq_slice_sql("q.e", m), f"f{m}.cvec") for m in range(PQ_M)
+    )
+    rerank_dist = _pq_dist_sql("q.e", "v.e")
+    return sql + f"""
+    , queries AS (
+        SELECT qc.vec_id AS q_id, qc.e, qc.cid AS qcell
+        FROM cells qc WHERE qc.vec_id % 100 = 0
+    )
+    , scored AS (
+        SELECT q.q_id, x.vec_id, {adc} AS adc,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {adc}, x.vec_id) AS rn
+        FROM queries q
+        JOIN cells cv ON cv.cid = q.qcell AND cv.vec_id <> q.q_id
+        JOIN codes x ON x.vec_id = cv.vec_id
+        {cent_joins}
+    )
+    , reranked AS (
+        SELECT q_id, vec_id, d,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rrn
+        FROM (
+          SELECT s.q_id, s.vec_id, {rerank_dist} AS d
+          FROM scored s
+          JOIN vecs v ON v.vec_id = s.vec_id
+          JOIN queries q ON q.q_id = s.q_id
+          WHERE s.rn <= {IVFPQ_SHORTLIST}
+        )
+    )
+    SELECT q_id, vec_id, {q_sql("d")} AS l2sq, rrn AS rn
+    FROM reranked WHERE rrn <= 3
+    """
+
+
+@register("ann_ivf_pq_shortlist_rerank", oracle=_ivfpq_oracle())
+def ann_ivf_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-scale ANN layout (FAISS's IVFPQ),
+    composed from this module's two fitted stages: the k-means coarse
+    quantizer prunes the search to the query's cell (partition pruning at
+    the storage layer, ~1/K of the corpus touched), the 4-byte PQ codes +
+    per-query lookup table score those candidates without reading any
+    full vector (ADC), and exact L2 reranks only the in-cell
+    top-{IVFPQ_SHORTLIST}. Returns the reranked top-3 per query.
+
+    Every stage is the already-oracle-verified deterministic form (fitted
+    centroids, per-subspace codebooks, dot-identity distances), so the
+    whole composition is value-checked end to end — train coarse + train
+    PQ + encode + route + ADC + rerank in ONE hash-compared query; the
+    oracle splices the two unrolled CTE chains and replaces the full
+    cross with the cell join.
+
+    Scale: the cell equi-join replaces _pq_ranked's corpus-wide cross —
+    candidate cost drops from N to N/K per query (and on the persisted
+    layout, ann_ivf_persisted_probe shows the same join as partition
+    pruning on disk); ADC keeps per-candidate cost at {PQ_M} array
+    lookups; the dim-wide exact math runs on {IVFPQ_SHORTLIST}xQ rows
+    only. The accuracy cost of the compound approximation is measured
+    next door (ann_pq_recall_at_k, ann_recall_at_k)."""
+    centroids = fitted_centroids(spark, sf_dir)
+    books = fitted_pq(spark, sf_dir)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    vecs = fan_out(base).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    assigned = with_assignment(vecs, centroids).select(
+        "vec_id", "e", F.col("best.cid").cast("bigint").alias("cell")
+    )
+    codes = F.array(
+        *[
+            F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
+            for m in range(PQ_M)
+        ]
+    )
+    corpus = assigned.select("vec_id", "cell", codes.alias("codes"))
+    q0 = assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cell").alias("qcell"),
+        F.col("e").alias("qe"),
+    )
+    lut = F.array(
+        *[
+            (
+                _fold_dot(_pq_sub(F.col("qe"), m), _pq_sub(F.col("qe"), m))
+                - 2
+                * _fold_dot(
+                    _pq_sub(F.col("qe"), m),
+                    F.lit(np.array(books[m][k], dtype=np.float64)),
+                )
+                + F.lit(_seq_dot(books[m][k], books[m][k]))
+            )
+            for m in range(PQ_M)
+            for k in range(PQ_KSUB)
+        ]
+    )
+    queries = q0.select("q_id", "qcell", lut.alias("lut"))
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"),
+            (F.lit(m * PQ_KSUB) + F.element_at("codes", m + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc_raw").asc(), F.col("vec_id"))
+    shortlist = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", adc.alias("adc_raw"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    dist = (
+        _fold_dot(F.col("qe"), F.col("qe"))
+        - 2 * _fold_dot(F.col("qe"), F.col("e"))
+        + _fold_dot(F.col("e"), F.col("e"))
+    )
+    w_rr = Window.partitionBy("q_id").orderBy(F.col("d_raw").asc(), F.col("vec_id"))
+    return (
+        shortlist.join(vecs, "vec_id")
+        .join(F.broadcast(q0.select("q_id", "qe")), "q_id")
+        .select("q_id", "vec_id", dist.alias("d_raw"))
+        .withColumn("rrn", F.row_number().over(w_rr))
+        .filter(F.col("rrn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            q(F.col("d_raw")).alias("l2sq"),
+            F.col("rrn").cast("bigint").alias("rn"),
+        )
+    )

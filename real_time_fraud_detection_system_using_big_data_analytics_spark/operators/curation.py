@@ -496,3 +496,98 @@ def curation_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 5)
     )
+
+
+_DBLOOM_BITS = 1 << 16   # 64 Kbit bitmap = 1024 longs, 4 KiB collected
+_DBLOOM_WORDS = _DBLOOM_BITS // 64
+_DBLOOM_SEEDS = (11, 23, 37)
+
+
+@register(
+    "curation_decontaminate_bloom",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hot AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
+    ),
+    filtered AS (
+      SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM filtered WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_hit_shingles
+    FROM filtered f JOIN bench b ON f.shingle = b.shingle
+    WHERE f.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY f.doc_id
+    """,
+)
+def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage benchmark decontamination — the shape the screen takes at
+    100 TB: stage 1 hashes the benchmark shingle set into a 64 Kbit Bloom
+    bitmap (built distributedly as 1024 OR-aggregated longs, collected as
+    a fixed 4 KiB literal regardless of corpus size) and drops every
+    corpus shingle that misses any of the 3 bits AT THE SCAN — no join,
+    no shuffle, just bitwise tests in whole-stage codegen; stage 2
+    exact-joins only the survivors against the benchmark set to eliminate
+    Bloom false positives. No false negatives (Bloom guarantee) means the
+    result — and the oracle, which is the single-stage exact logic of
+    curation_decontaminate — is IDENTICAL; the bitmap is semantics-
+    neutral, like join_skew_salted's salt. What changes at scale is the
+    join input: the shuffle carries only shingles that (probably) leak,
+    a tiny fraction of the corpus, instead of every (doc, shingle) pair.
+    Size the bitmap for the benchmark's shingle cardinality to hold the
+    FPR (the benchmark side is the small, bounded one by construction —
+    that is exactly why it blooms well)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _shingles_spark(d)
+    hot = (
+        sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
+    )
+    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    bench = (
+        filtered.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+
+    def positions(key: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_DBLOOM_BITS))
+            for seed in _DBLOOM_SEEDS
+        ]
+
+    words = (
+        bench.select(F.explode(F.array(*positions(F.col("shingle")))).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * _DBLOOM_WORDS
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    lit_bitmap = F.array(*[F.lit(b).cast("long") for b in bitmap])
+
+    train = filtered.filter(F.col("doc_id") % _BENCH_MOD != 0).withColumn(
+        "_bm", lit_bitmap
+    )
+    for i, p in enumerate(positions(F.col("shingle"))):
+        train = train.withColumn(f"_p{i}", p)
+    tests = [
+        f"(element_at(_bm, CAST(FLOOR(_p{i} / 64) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        for i in range(len(_DBLOOM_SEEDS))
+    ]
+    survivors = train.where(F.expr(" AND ".join(tests))).drop(
+        "_bm", *[f"_p{i}" for i in range(len(_DBLOOM_SEEDS))]
+    )
+    return (
+        survivors.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )

@@ -544,8 +544,9 @@ _BLOOM_SEEDS = (42, 43, 44)
     oracle="""
     SELECT l.l_returnflag,
            COUNT(*) AS n_items,
-           CAST(FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
-                AS BIGINT) AS revenue_cents
+           CAST((SUM((CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))))
+                 + 50) // 100 AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 150000.0
@@ -623,9 +624,15 @@ def join_bloom_filter_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5)
-            .cast("bigint")
-            .alias("revenue_cents"),
+            # exact BIGINT 1e-4 revenue units, half-up to cents by integer
+            # division (div, not '/': float division loses exactness past
+            # 2^53) — the FLOOR(float-sum*100+0.5) form was the same
+            # half-cent knife edge the r6 sweep removed elsewhere
+            F.expr(
+                "CAST((sum((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))) + 50)"
+                " div 100 AS BIGINT)"
+            ).alias("revenue_cents"),
         )
         .orderBy("l_returnflag")
     )

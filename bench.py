@@ -67,6 +67,17 @@ COMPACT_SET = [
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
+    # round-6 additions
+    "ann_ivf_pq_shortlist_rerank",
+    "ann_dim_truncation_recall",
+    "eventflow_cep_negation",
+    "dedup_threshold_sensitivity",
+    "graph_cycle_detection_bounded",
+    "curation_decontaminate_bloom",
+    "agg_hll_union_mergeable",
+    "agg_approx_percentile_audit",
+    "corpus_token_budget_allocation",
+    "dq_volume_anomaly_dod",
     "q1_pricing_summary",
     "agg_grouped_summary",
     "agg_conditional_single_pass",

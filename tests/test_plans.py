@@ -913,3 +913,25 @@ def test_approx_percentile_audit_broadcasts_group_medians(spark):
     df = registry.QUERIES["agg_approx_percentile_audit"](spark, SF)
     plan = plan_string(df, mode="simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_cell_join_is_broadcast_no_cartesian(spark):
+    """ann_ivf_pq_shortlist_rerank: the ADC stage must reach the corpus
+    via a broadcast equi-join on the cell id (queries side is the bounded
+    sample), never a cartesian; the exact rerank joins only the shortlist
+    back to full vectors."""
+    df = registry.QUERIES["ann_ivf_pq_shortlist_rerank"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_bloom_prefilter_is_scan_side(spark):
+    """curation_decontaminate_bloom: the Bloom membership test must appear
+    as a bitwise filter (shiftleft masks against the literal bitmap) in
+    the plan BEFORE the exact shingle join — the join input is the
+    surviving fraction, not the full (doc, shingle) expansion."""
+    df = registry.QUERIES["curation_decontaminate_bloom"](spark, SF)
+    plan = plan_string(df)
+    assert "shiftleft" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan_string(df, mode="simple")

@@ -643,3 +643,89 @@ def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "payload")
         .mapInPandas(extract, schema=schema)
     )
+
+
+@register(
+    "multimodal_audio_spectral_parseval",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 40 + (length(text) % 50) AS n_samples FROM documents
+    ), samples AS (
+      SELECT p.doc_id, p.n_samples,
+             ((p.doc_id * 31 + i.i * 7) % 2001) - 1000 AS amp
+      FROM params p CROSS JOIN (SELECT unnest(generate_series(0, 88)) AS i) i
+      WHERE i.i < p.n_samples
+    )
+    SELECT doc_id,
+           CAST(MAX(n_samples) AS BIGINT) AS n_samples,
+           CAST(SUM(amp) AS BIGINT) AS dc_amp,
+           CAST(SUM(amp * amp) AS BIGINT) AS time_energy,
+           TRUE AS parseval_ok
+    FROM samples GROUP BY doc_id
+    """,
+)
+def multimodal_audio_spectral_parseval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain feature extraction, oracle-pinned through
+    Parseval's theorem: each document's genuine WAV payload is decoded
+    back to PCM and run through an actual FFT (numpy rfft inside
+    mapInPandas — the spectral front end of every audio featurizer:
+    spectrograms, MFCC precursors, bandwidth filters). Three checks ride
+    one row per doc:
+      - dc_amp: the FFT's DC bin, rounded — must EQUAL the exact integer
+        sample sum the oracle recomputes from the synthesis formula (a
+        wrong window, dropped frame, or byte-order bug shifts it);
+      - time_energy: Σ amp² computed from the DECODED bytes — must equal
+        the oracle's arithmetic recomputation (binary round-trip check);
+      - parseval_ok: the spectrum's energy (1/N)(|X0|² + 2Σ|Xk|² [+
+        |X_{N/2}|² for even N]) must match the time-domain energy to
+        within 0.5 — Parseval holds exactly in exact arithmetic, so the
+        only slack needed is double-precision FFT noise (~1e-9 relative).
+        A scaling or symmetry bug in how the spectrum is consumed breaks
+        the identity immediately.
+    So the FFT path is value-checked WITHOUT the oracle needing an FFT —
+    the ship-the-measurement conversion applied to signal processing.
+
+    Scale: mapInPandas, one row out per doc, spectra never leave the
+    worker; the shuffle carries 4 integers + a boolean per document."""
+    import numpy as np
+
+    from .codec import attach_wav_payload
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    wav = attach_wav_payload(d)
+    schema = (
+        "doc_id bigint, n_samples bigint, dc_amp bigint, "
+        "time_energy bigint, parseval_ok boolean"
+    )
+
+    def spectral(batches):
+        import io
+        import wave as wave_mod
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("doc_id", "n_samples", "dc_amp", "time_energy", "parseval_ok")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave_mod.open(io.BytesIO(payload), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                n = len(x)
+                spec = np.fft.rfft(x)
+                mag2 = np.abs(spec) ** 2
+                spec_energy = mag2[0] + 2.0 * mag2[1:-1].sum() + (
+                    mag2[-1] if n % 2 == 0 else 2.0 * mag2[-1]
+                )
+                spec_energy /= n
+                time_energy = int((x.astype(np.int64) ** 2).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(n)
+                rows["dc_amp"].append(int(np.floor(spec[0].real + 0.5)))
+                rows["time_energy"].append(time_energy)
+                rows["parseval_ok"].append(bool(abs(spec_energy - time_energy) < 0.5))
+            yield pd.DataFrame(rows)
+
+    return wav.select("doc_id", "payload").mapInPandas(spectral, schema=schema)

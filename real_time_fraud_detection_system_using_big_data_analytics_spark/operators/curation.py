@@ -591,3 +591,63 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
     )
+
+
+@register(
+    "curation_template_skeletons",
+    oracle="""
+    WITH sk AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_transform(string_split(text, ' '),
+                                                t -> CAST(len(t) AS VARCHAR)),
+                                 ',')) AS skeleton
+      FROM documents
+    ),
+    per AS (
+      SELECT skeleton,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(MIN(doc_id) AS BIGINT) AS example_doc
+      FROM sk GROUP BY skeleton
+    )
+    SELECT skeleton, n_docs, n_sources, example_doc
+    FROM per
+    ORDER BY n_docs DESC, skeleton
+    LIMIT 10
+    """,
+)
+def curation_template_skeletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by STRUCTURAL fingerprint: each
+    document collapses to the md5 of its token-length sequence — a
+    shape-hash that is invariant to which words fill the slots but not to
+    the template's structure — and the report surfaces the 10 most
+    repeated skeletons with doc counts and source spread. Generated
+    boilerplate (cookie banners, scraper chrome, form letters) shares a
+    skeleton across thousands of pages while organic text almost never
+    collides; cross-source skeletons (n_sources high) are the strongest
+    boilerplate signal, feeding the removal pass exact-dedup cannot do
+    (the filled-in words differ) and MinHash handles poorly (lexical
+    overlap may be low while structure is identical).
+
+    One map-side skeleton hash per doc (no shuffle carries text — 32-byte
+    digests only), two stacked combinable aggregates, top-10 via
+    TakeOrderedAndProject. The length-sequence skeleton is the cheapest
+    member of the family; swapping in a rare-word-masked skeleton changes
+    one per-row expression, not the plan."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    skeleton = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(F.split(F.col("text"), " "), lambda t: F.length(t).cast("string")),
+        )
+    )
+    per = (
+        d.select("doc_id", "source", skeleton.alias("skeleton"))
+        .groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )
+    return per.orderBy(F.desc("n_docs"), "skeleton").limit(10)

@@ -513,3 +513,114 @@ def eventflow_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("next_error_ts").alias("error_ts"),
     )
+
+
+@register(
+    "eventflow_absorbing_conversion_prob",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ), m AS (
+      SELECT a, b,
+             CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY a)
+                  AS BIGINT) AS p_micro
+      FROM pairs WHERE b IS NOT NULL GROUP BY a, b
+    ), q1 AS (
+      SELECT a, CAST(SUM(CASE WHEN b = 'purchase' THEN p_micro ELSE 0 END)
+                 AS BIGINT) AS q
+      FROM m GROUP BY a
+    ), q2 AS (
+      SELECT m.a,
+             CAST(SUM(m.p_micro * (CASE WHEN m.b = 'purchase' THEN 1000000
+                                        ELSE COALESCE(q1.q, 0) END))
+                  // 1000000 AS BIGINT) AS q
+      FROM m LEFT JOIN q1 ON q1.a = m.b
+      GROUP BY m.a
+    ), q3 AS (
+      SELECT m.a,
+             CAST(SUM(m.p_micro * (CASE WHEN m.b = 'purchase' THEN 1000000
+                                        ELSE COALESCE(q2.q, 0) END))
+                  // 1000000 AS BIGINT) AS q
+      FROM m LEFT JOIN q2 ON q2.a = m.b
+      GROUP BY m.a
+    )
+    SELECT q1.a AS event_type,
+           q1.q AS p1_micro, q2.q AS p2_micro, q3.q AS p3_micro
+    FROM q1 JOIN q2 ON q2.a = q1.a JOIN q3 ON q3.a = q1.a
+    """,
+)
+def eventflow_absorbing_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain conversion probability: starting from each event
+    type, the probability of hitting 'purchase' within 1, 2 and 3
+    transitions under the empirical Markov matrix — the PREDICTIVE layer
+    on top of eventflow_markov_transitions (which only reports the
+    matrix). The recursion q_k(a) = Σ_b p(a,b)·[b = purchase ? 1 :
+    q_{k-1}(b)] runs as k bounded joins of the per-round vector against
+    the (state × state) matrix — matrix-vector products as relational
+    algebra, the same shape as graph_shortest_path_bounded's min-plus
+    rounds but on the probability semiring.
+
+    Integer-micro discipline end to end: transition probabilities are
+    exact integer division (cnt·1e6 // row-total), each round's vector is
+    floor-quantized back to micros after the Σ p·q product, so both
+    engines run identical integer recurrences — no float order anywhere.
+    Per round the join touches |states|² cells (the matrix is
+    group-cardinality, broadcastable at any corpus size; only the ONE
+    LEAD pass over events touches data)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    wa = Window.partitionBy("a")
+    m = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("row_total", F.sum("cnt").over(wa))
+        .select(
+            "a",
+            "b",
+            # integer div, matching the oracle's // — a float division
+            # here truncates in Spark but ROUNDS under DuckDB's
+            # CAST(double AS BIGINT), an off-by-one that compounds
+            # through the iteration (caught by the first compare)
+            F.expr("CAST((cnt * 1000000) div row_total AS BIGINT)").alias(
+                "p_micro"
+            ),
+        )
+    ).persist()
+
+    def step(prev: DataFrame | None) -> DataFrame:
+        if prev is None:
+            return m.groupBy("a").agg(
+                F.sum(F.when(F.col("b") == "purchase", F.col("p_micro")).otherwise(0))
+                .cast("bigint")
+                .alias("q")
+            )
+        pv = prev.select(F.col("a").alias("pb"), F.col("q").alias("pq"))
+        weighted = m.join(F.broadcast(pv), m["b"] == pv["pb"], "left").select(
+            "a",
+            (
+                F.col("p_micro")
+                * F.when(F.col("b") == "purchase", F.lit(1_000_000)).otherwise(
+                    F.coalesce(F.col("pq"), F.lit(0))
+                )
+            ).alias("term"),
+        )
+        return (
+            weighted.groupBy("a")
+            .agg(F.sum("term").alias("term_sum"))
+            .select("a", F.expr("CAST(term_sum div 1000000 AS BIGINT)").alias("q"))
+        )
+
+    q1 = step(None)
+    q2 = step(q1)
+    q3 = step(q2)
+    return (
+        q1.select(F.col("a").alias("event_type"), F.col("q").alias("p1_micro"))
+        .join(q2.select(F.col("a").alias("event_type"), F.col("q").alias("p2_micro")), "event_type")
+        .join(q3.select(F.col("a").alias("event_type"), F.col("q").alias("p3_micro")), "event_type")
+    )

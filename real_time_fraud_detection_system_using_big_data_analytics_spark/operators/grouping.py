@@ -1482,3 +1482,120 @@ def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_ok = (F.col("cnt_le") + 1) * (2 * _APX_ACC) >= F.col("n") * (_APX_ACC - 4)
     hi_ok = F.col("cnt_lt") * (2 * _APX_ACC) <= F.col("n") * (_APX_ACC + 4)
     return ranked.select("event_type", "n", (lo_ok & hi_ok).alias("rank_ok"))
+
+
+_HIST_W_CENTS = 1_000   # bucket width: 10.00 in cents
+_HIST_MAX_B = 99        # clamp bucket: values >= 990.00 pool in the top bucket
+
+
+@register(
+    "agg_histogram_quantile_mergeable",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), hist AS (
+      SELECT event_type,
+             LEAST(cents // {_HIST_W_CENTS}, {_HIST_MAX_B}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, b, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ), est AS (
+      SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN 2 * cn >= total THEN b END) AS BIGINT) AS med_b
+      FROM cum GROUP BY event_type
+    ), exact AS (
+      SELECT event_type,
+             CAST(sorted[CAST((len(sorted) + 1) // 2 AS INTEGER)] AS BIGINT)
+               AS exact_median_cents
+      FROM (
+        SELECT event_type, list(cents ORDER BY cents) AS sorted
+        FROM c GROUP BY event_type
+      )
+    )
+    SELECT e.event_type, e.n,
+           e.med_b * {_HIST_W_CENTS} AS est_lo_cents,
+           (e.med_b + 1) * {_HIST_W_CENTS} AS est_hi_cents,
+           x.exact_median_cents,
+           (x.exact_median_cents >= e.med_b * {_HIST_W_CENTS}
+            AND x.exact_median_cents < (e.med_b + 1) * {_HIST_W_CENTS})
+             AS bound_holds
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def agg_histogram_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from MERGEABLE fixed-bucket histograms — the production
+    percentile-partial pattern at 100 TB: per-(group, bucket) counts are
+    a semigroup (plain sums), so per-day/per-shard partials merge without
+    re-reading data — unlike GK/t-digest state, a histogram partial is
+    just rows, storable in any table and combinable in SQL. The median
+    estimate is the first bucket whose cumulative count crosses half the
+    total; its guarantee is STRUCTURAL — the true median provably lies
+    inside [bucket_lo, bucket_hi) — and because every step is exact
+    integer relational math (no sketch RNG), this query value-checks the
+    WHOLE claim: histogram, cumulative crossing, the exact lower median
+    (in-group sorted-array pick, the window_rolling_median discipline),
+    and the containment flag, all hash-compared.
+
+    Shape: one map-side-combinable (group, bucket) aggregate — at most
+    |groups| x {_HIST_MAX_B + 1} rows shuffle — plus windows on that tiny
+    relation; the exact-median audit side collects per-group sorted
+    arrays only at oracle/test scale (at production you keep the
+    histogram and drop the audit, or audit on a sample)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    hist = c.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("cents") / _HIST_W_CENTS), F.lit(_HIST_MAX_B))
+        .cast("long")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "b",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    est = cum.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n"),
+        F.min(F.when(2 * F.col("cn") >= F.col("total"), F.col("b")))
+        .cast("bigint")
+        .alias("med_b"),
+    )
+    exact = (
+        c.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("cents")).alias("sorted"))
+        .select(
+            "event_type",
+            F.element_at(
+                F.col("sorted"), ((F.size("sorted") + 1) / 2).cast("int")
+            )
+            .cast("bigint")
+            .alias("exact_median_cents"),
+        )
+    )
+    lo = F.col("med_b") * _HIST_W_CENTS
+    hi = (F.col("med_b") + 1) * _HIST_W_CENTS
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        lo.cast("bigint").alias("est_lo_cents"),
+        hi.cast("bigint").alias("est_hi_cents"),
+        "exact_median_cents",
+        (
+            (F.col("exact_median_cents") >= lo) & (F.col("exact_median_cents") < hi)
+        ).alias("bound_holds"),
+    )

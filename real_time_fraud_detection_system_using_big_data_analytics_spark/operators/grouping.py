@@ -158,16 +158,39 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # HLL sketch: engine-specific, no SQL oracle
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++, rsd=0.01). The scale path for
-    distinct counting: sketch merge instead of the exact expand+shuffle.
-    Oracle-exempt (sketch estimates are engine-specific); a unit test
-    asserts <5% relative error against the exact count."""
+    """approx_count_distinct (HyperLogLog++, rsd=0.01), registered as its
+    own accuracy AUDIT since r6 (the ship-the-measurement conversion that
+    retired every sketch `err: no_oracle` driver row): the estimate must
+    land within max(5% relative, +-3 absolute) of the exact per-group
+    NDV computed in the same pass — the absolute floor covers the
+    small-range path where the relative guarantee is asymptotic. A sketch
+    regression is now a value MISMATCH against the oracle's exact counts
+    + TRUE flags."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return ev.groupBy("event_type").agg(
+    per = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count("*").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    diff = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return per.select(
+        "event_type",
+        "n",
+        "exact_users",
+        ((diff * 100 <= F.col("exact_users") * 5) | (diff <= 3)).alias(
+            "within_bound"
+        ),
     )
 
 
@@ -193,12 +216,55 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_quantiles_approx")  # t-digest sketch: engine-specific, no SQL oracle
+@register(
+    "agg_quantiles_approx",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx at p50 and p95 (GK sketch, accuracy=10000),
+    registered as its own rank-band AUDIT since r6: each approximate
+    quantile is re-ranked EXACTLY in a second pass and its true rank
+    interval must overlap q·n +- (2n/10000 + 1) — twice the published
+    worst-case rank error plus one rank of discretization slack (see
+    agg_approx_percentile_audit for the band derivation). Integer
+    cross-multiplied, so the oracle's exact counts + TRUE flags turn any
+    sketch regression into a hash mismatch."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return ev.groupBy("event_type").agg(
+    per = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranked = (
+        ev.join(F.broadcast(per), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("p50_approx"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") < F.col("p50_approx"), 1).otherwise(0)).alias("lt50"),
+            F.sum(F.when(F.col("value") <= F.col("p95_approx"), 1).otherwise(0)).alias("le95"),
+            F.sum(F.when(F.col("value") < F.col("p95_approx"), 1).otherwise(0)).alias("lt95"),
+        )
+    )
+    acc = 10000
+
+    def band_ok(le, lt, q_num, q_den):
+        # true rank interval [lt+1, le] overlaps q*n +- (2n/acc + 1):
+        # le >= q*n - 2n/acc - 1 and lt <= q*n + 2n/acc, cross-multiplied
+        lo = (F.col(le) + 1) * (q_den * acc) >= F.col("n") * (q_num * acc - 2 * q_den)
+        hi = F.col(lt) * (q_den * acc) <= F.col("n") * (q_num * acc + 2 * q_den)
+        return lo & hi
+
+    return ranked.select(
+        "event_type",
+        "n",
+        band_ok("le50", "lt50", 1, 2).alias("p50_rank_ok"),
+        band_ok("le95", "lt95", 19, 20).alias("p95_rank_ok"),
     )
 
 
@@ -426,7 +492,20 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_mergeable")  # DataSketches HLL binary: no SQL oracle
+@register(
+    "agg_hll_sketch_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__ALL__',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           TRUE
+    FROM events
+    """,
+)
 def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Spark 4 DataSketches HLL): build a
     per-event_type sketch of user_id, then hll_union_agg the partial
@@ -435,10 +514,12 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts (store one sketch per partition/day, union at query
     time; exact count-distinct cannot pre-aggregate).
 
-    Rows-only: the sketch registers are DataSketches-binary-specific, so no
-    engine-independent SQL twin exists; tests/test_properties.py pins the
-    estimate within rel-error bounds of the exact count and pins
-    union-of-partials == single-pass-global."""
+    Registered as its own accuracy AUDIT since r6 (previously rows-only):
+    every row — the per-type estimates AND the union-of-partials __ALL__
+    row — must land within max(15% dense-mode bound, +-3 absolute) of the
+    exact NDV the oracle recomputes, so both the sketch accuracy and the
+    MERGE path are hash-checked; tests/test_properties.py additionally
+    pins union-of-partials == single-pass-global exactly."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 12).alias("sk"),
@@ -449,14 +530,44 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
         "exact_users",
     )
-    merged = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_users"),
-        F.lit(None).cast("bigint").alias("exact_users"),
-    ).select(F.lit("__ALL__").alias("event_type"), "approx_users", "exact_users")
-    return per_type.unionByName(merged)
+    corpus_exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    merged = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users")
+        )
+        .crossJoin(corpus_exact)
+        .select(F.lit("__ALL__").alias("event_type"), "approx_users", "exact_users")
+    )
+    both = per_type.unionByName(merged)
+    diff = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return both.select(
+        "event_type",
+        "exact_users",
+        ((diff * 100 <= F.col("exact_users") * 15) | (diff <= 3)).alias(
+            "within_bound"
+        ),
+    )
 
 
-@register("agg_approx_top_k")  # sketch tie-order is engine-private: no SQL oracle
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    WITH counts AS (
+      SELECT COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ), ranked AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             ROW_NUMBER() OVER (ORDER BY n DESC) AS rk
+      FROM counts
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, n FROM ranked WHERE rk <= 20
+    """,
+)  # term identities under count ties are engine-private; the COUNT multiset is not
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter sketch (Spark 4 approx_top_k): the top-20 corpus tokens
     by approximate frequency — the one-pass, mergeable alternative to the
@@ -464,24 +575,27 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded item set per partition, merge the summaries; exact counting
     would shuffle the full term distribution).
 
-    Rows-only: the sketch's ordering among equal counts is engine-private
-    (no DuckDB twin), so the driver records a rows-only check;
-    tests/test_properties.py pins every reported count against the exact
-    term count (with maxItemsTracked ≥ the live vocabulary the summary
-    degenerates to exact counting) and pins the admission boundary: every
-    reported count ≥ the exact 20th-highest count, i.e. the result is A
-    valid top-20 under ties. The output is re-sorted here by
-    (count DESC, item) so the frame itself is stable."""
+    Oracle-checked since r6 on the COUNT MULTISET: which term wins an
+    equal-count tie is engine-private, but the ranked list of top-20
+    COUNTS is fully deterministic — with maxItemsTracked >= the live
+    vocabulary the summary degenerates to exact counting, so the sketch's
+    counts must hash-match the exact frequency table's top-20 counts.
+    tests/test_properties.py additionally pins per-TERM count exactness
+    and the admission boundary (every reported count >= the exact
+    20th-highest), which the de-identified oracle cannot see."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     toks = d.select(F.explode(F.split("text", " ")).alias("term"))
     sketched = toks.agg(F.expr("approx_top_k(term, 20, 100000)").alias("tk")).select(
         F.explode("tk").alias("e")
     )
+    from pyspark.sql import Window as _W
+
     return (
-        sketched.select(
-            F.col("e.item").alias("term"), F.col("e.count").cast("bigint").alias("n")
+        sketched.select(F.col("e.count").cast("bigint").alias("n"))
+        .withColumn(
+            "rk", F.row_number().over(_W.orderBy(F.desc("n"))).cast("bigint")
         )
-        .orderBy(F.desc("n"), "term")
+        .select("rk", "n")
     )
 
 

@@ -95,42 +95,59 @@ def test_hll_sketch_estimate_bounds_and_mergeability(spark):
     """The HLL estimate must sit within the lgK=12 relative-error envelope
     of the exact distinct count, and the union of per-group partial
     sketches must estimate the same value as a single global sketch —
-    the pre-aggregation property agg_hll_sketch_mergeable relies on."""
-    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
-
-    registry.load_all()
+    the pre-aggregation property agg_hll_sketch_mergeable relies on.
+    (Since r6 that query is an oracle-checked audit exposing only exact
+    counts + flags, so this test rebuilds the sketches directly to pin
+    the raw-estimate properties the de-identified output cannot show.)"""
     sf = "/root/testdata/sf0.001"
-    rows = registry.QUERIES["agg_hll_sketch_mergeable"](spark, sf).collect()
-    per = [r for r in rows if r["event_type"] != "__ALL__"]
-    assert per, rows
-    for r in per:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    per = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", 12).alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+            "exact_users",
+            "sk",
+        )
+    )
+    rows = per.collect()
+    assert rows
+    for r in rows:
         # lgK=12 -> ~1.6% standard error; allow 3 sigma plus integer slack
         tol = max(3, 0.05 * r["exact_users"])
         assert abs(r["approx_users"] - r["exact_users"]) <= tol, r
-    merged = next(r for r in rows if r["event_type"] == "__ALL__")
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
     global_est = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")
     ).collect()[0]["e"]
-    assert merged["approx_users"] == global_est
+    assert merged == global_est
 
 
 def test_approx_top_k_counts_exact_and_boundary_valid(spark):
-    """agg_approx_top_k with maxItemsTracked >= vocabulary: every reported
+    """approx_top_k with maxItemsTracked >= vocabulary: every reported
     count must equal the exact term count, and every reported count must
-    be >= the exact 20th-highest count (a valid top-20 under ties)."""
-    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import (
-        registry,
-    )
-
-    registry.load_all()
+    be >= the exact 20th-highest count (a valid top-20 under ties).
+    (Since r6 the registered query exposes only the de-identified (rank,
+    count) pairs the oracle can check; this test calls the sketch
+    directly to pin the per-TERM properties.)"""
     sf = "/root/testdata/sf0.001"
-    rows = registry.QUERIES["agg_approx_top_k"](spark, sf).collect()
-    assert len(rows) == 20, rows
     toks = (
         spark.read.parquet(f"{sf}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("term"))
     )
+    rows = (
+        toks.agg(F.expr("approx_top_k(term, 20, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("term"), F.col("e.count").alias("n"))
+        .collect()
+    )
+    assert len(rows) == 20, rows
     exact = {
         r["term"]: r["n"]
         for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from .warehouse import _CUTOFF
 from ..sources.files import write_parquet_partitioned
 from ..sources.tables import load_tables
 
@@ -638,3 +639,83 @@ def etl_high_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "etl_snapshot_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '{{cutoff}}'
+      GROUP BY o_orderpriority
+    ), v2 AS (
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, * FROM v2
+    """.format(cutoff=_CUTOFF),
+)
+def etl_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + AS-OF reads on plain parquet — the time-travel
+    half of the lakehouse contract (etl_wap_publish is the commit half):
+    version 1 of the per-priority rollup (orders before {cutoff}) is
+    committed under v=1 with a manifest naming it latest; version 2 (the
+    restated full table) is then committed under v=2 and the manifest
+    advances. The query reads BOTH versions back FROM DISK after the
+    second commit — so the oracle (both versions recomputed straight from
+    the source) proves the v1 bytes were untouched by the v2 write:
+    immutable snapshots + a pointer manifest, which is exactly how
+    Iceberg/Delta implement time travel, expressed with directories and
+    one JSON file so it runs on any object store.
+
+    Scale: each snapshot is the aggregate (group-cardinality rows), never
+    a table copy; retention is directory deletion by version; AS-OF
+    resolution is one manifest read — no data scan decides the version.
+    """.format(cutoff=_CUTOFF)
+    import json as _json
+    import os
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+
+    root = _scratch("timetravel")
+    manifest = os.path.join(root, "manifest.json")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+
+    def commit(version: int, df: DataFrame) -> None:
+        path = os.path.join(root, f"v={version}")
+        df.write.mode("overwrite").parquet(path)
+        with open(manifest, "w") as fh:
+            _json.dump({"latest": version}, fh)
+
+    commit(1, rollup(orders.filter(F.col("o_orderdate") < cutoff)))
+    commit(2, rollup(orders))
+
+    with open(manifest) as fh:
+        latest = _json.load(fh)["latest"]
+    assert latest == 2
+
+    def as_of(version: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(root, f"v={version}")).select(
+            F.lit(version).cast("bigint").alias("version"),
+            "priority",
+            "n_orders",
+            "total_cents",
+        )
+
+    return as_of(1).unionByName(as_of(2))

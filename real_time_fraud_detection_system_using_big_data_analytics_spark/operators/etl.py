@@ -667,7 +667,8 @@ def etl_high_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 def etl_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot versioning + AS-OF reads on plain parquet — the time-travel
     half of the lakehouse contract (etl_wap_publish is the commit half):
-    version 1 of the per-priority rollup (orders before {cutoff}) is
+    version 1 of the per-priority rollup (orders before 2000-01-01, the
+    shared _CUTOFF) is
     committed under v=1 with a manifest naming it latest; version 2 (the
     restated full table) is then committed under v=2 and the manifest
     advances. The query reads BOTH versions back FROM DISK after the
@@ -680,7 +681,7 @@ def etl_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each snapshot is the aggregate (group-cardinality rows), never
     a table copy; retention is directory deletion by version; AS-OF
     resolution is one manifest read — no data scan decides the version.
-    """.format(cutoff=_CUTOFF)
+    """
     import json as _json
     import os
 

@@ -1249,15 +1249,15 @@ _CYCLE_ORACLE = f"""
 @register("graph_cycle_detection_bounded", oracle=_CYCLE_ORACLE)
 def graph_cycle_detection_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AML round-tripping screen: from a BOUNDED seed set (accounts with
-    custkey < {cap}), does money flow RETURN to its origin within
-    {hops} directed hops — and how short is the shortest cycle? A
-    funds-return cycle through intermediaries is the layering signature
-    fraud_layering_chains checks at exactly 3 hops with pass-through
-    ratios; this operator is its topology-only generalization over any
-    cycle length 2..{hops}, plus the seed's {hops}-hop reach size (the
+    custkey < 20 = _CYCLE_SEED_CAP), does money flow RETURN to its origin
+    within 4 (= _CYCLE_MAX_HOPS) directed hops — and how short is the
+    shortest cycle? A funds-return cycle through intermediaries is the
+    layering signature fraud_layering_chains checks at exactly 3 hops with
+    pass-through ratios; this operator is its topology-only generalization
+    over any cycle length 2..4, plus the seed's 4-hop reach size (the
     mule-network fan-out denominator).
 
-    Engine side is SET-semantics BFS — {hops} rounds of frontier ⋈ edges
+    Engine side is SET-semantics BFS — 4 rounds of frontier ⋈ edges
     with a min-hop groupBy per round, state bounded by seeds × nodes —
     because walk-census recursion explodes combinatorially with degree
     (avg-degree^hops walks per seed; at sf1's degrees that is already
@@ -1273,9 +1273,7 @@ def graph_cycle_detection_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     while seeds are few; co-partitioned fallback beyond) + one map-side
     combinable MIN. Seeds are capped by DESIGN — ring screens run on a
     suspect shortlist, not every account; the all-pairs variant is the
-    documented non-goal (it is transitive closure).""".format(
-        cap=_CYCLE_SEED_CAP, hops=_CYCLE_MAX_HOPS
-    )
+    documented non-goal (it is transitive closure)."""
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     raw = orders.select(
         F.col("o_custkey").alias("src"),

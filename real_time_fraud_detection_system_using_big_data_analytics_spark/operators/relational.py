@@ -127,6 +127,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: equality filter + projection (reference filter pattern,
+    fraud_detection_model.py:80). The predicate and the 4-column
+    projection both reach the parquet scan (PushedFilters/ReadSchema
+    pinned in tests/test_plans.py) — zero shuffle, embarrassingly
+    parallel at any scale."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     return (
         ev.filter(F.col("event_type") == "error")
@@ -149,6 +154,11 @@ def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: compound AND/OR predicate in one filter (the reference runs
+    four separate filter+count jobs for its confusion matrix,
+    fraud_detection_model.py:259-271; the engine expresses compound
+    logic in a single pushed-down scan predicate). Scan-only plan —
+    no shuffle."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     pred = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)) | (
         (F.col("event_type") == "error") & (F.col("value") < 50.0)
@@ -177,6 +187,13 @@ def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def project_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P6/P7: projection with computed, cast and renamed columns
+    (reference: prediction.cast("int"), probability[1] alias —
+    fraud_detection_model.py:395-399; classWeight arithmetic —
+    :206-209). All expressions are JVM whole-stage-codegen; the scan
+    reads only the three source columns. q() floor-quantizes the tax
+    column because price*0.1 lands on decimal ties where Spark and
+    DuckDB ROUND disagree."""
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     return orders.select(
         "o_orderkey",
@@ -317,6 +334,11 @@ def agg_grouped_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_string_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 scalar-function showcase: string (upper/substring/length),
+    date (date_trunc/hour) and JSON-field extraction in one projection —
+    the scalar surface the reference touches via from_json + cast
+    (spark_streaming_app.py:419-421). All built-in JVM expressions in a
+    single codegen stage over a pruned 4-column scan."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     return ev.select(
         "event_id",

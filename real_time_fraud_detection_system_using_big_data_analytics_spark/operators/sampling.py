@@ -117,6 +117,10 @@ def random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT over a 2-column projection: one hash shuffle on
+    the pair with map-side partial dedup (HashAggregate both sides of
+    the Exchange), so shuffled bytes scale with distinct cardinality,
+    not row count — the correct shape at 100 TB."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     return ev.select("event_type", "user_id").distinct()
 

@@ -31,6 +31,8 @@ def _high_value(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     """,
 )
 def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union): pure partition concatenation — zero
+    shuffle, both branch filters pushed to their scans."""
     purchases, signups = _high_value(spark, sf_dir)
     return purchases.unionAll(signups)
 
@@ -44,6 +46,9 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNION (set semantics): concatenate then one hash-distinct
+    shuffle with map-side partial dedup — shuffled bytes bounded by
+    distinct user_id cardinality."""
     purchases, signups = _high_value(spark, sf_dir)
     return purchases.union(signups).distinct()
 

@@ -47,7 +47,9 @@ def stream_velocity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_prior_10m,
-           ROUND(SUM(value) OVER w - value, 2) AS sum_prior_10m
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                - CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS BIGINT)
+             AS sum_prior_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
@@ -58,10 +60,16 @@ def stream_velocity_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
     state end to end: watermarked stream-stream self-join on the bounded
     [ts - 10 min, ts] interval chained into a windowed append-mode
     aggregation — no Python worker, no Arrow round trip, no per-batch
-    state protocol. Both queries share one oracle (the batch RANGE-frame
-    SQL), so the two formulations are pinned value-equal; the bench
-    carries both as an A/B of the Python-state toll (r5 verdict task 2).
-    See velocity.velocity_features_join_stream for state bounds."""
+    state protocol. The trailing sum is int64 CENTS quantized per row
+    BEFORE the join-side SUM (r6 advice): the join fan-out feeds a
+    shuffled float SUM whose summation order is nondeterministic, while
+    the oracle sums in frame order — integer cents make the equality
+    order-free instead of a ROUND(...,2) knife-edge. Both velocity
+    queries pin the same batch RANGE-frame semantics (count column is
+    shared verbatim; the sum column differs only in quantization), and
+    the bench carries both as an A/B of the Python-state toll (r5
+    verdict task 2). See velocity.velocity_features_join_stream for
+    state bounds."""
     from .velocity import run_velocity_join_hermetic
 
     out = run_velocity_join_hermetic(spark, sf_dir)
@@ -69,7 +77,7 @@ def stream_velocity_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         "event_id",
         F.col("n_prior_10m").cast("bigint"),
-        F.round("sum_prior_10m", 2).alias("sum_prior_10m"),
+        F.col("sum_prior_cents").cast("bigint"),
     )
 
 

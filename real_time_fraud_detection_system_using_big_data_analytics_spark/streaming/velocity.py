@@ -148,17 +148,22 @@ def velocity_features_join_stream(stream: DataFrame) -> DataFrame:
     Each event joins AT LEAST itself (r.ts <= l.ts includes the row
     itself), so n_prior = count - 1 and sum_prior = sum - own value; an
     event with an empty trailing window still emits exactly one row."""
-    base = stream.select("event_id", "ts", "user_id", "value")
+    # Quantize value to int64 cents per row BEFORE any aggregation: the
+    # join fan-out feeds a shuffled SUM whose float summation order is
+    # nondeterministic, while the oracle sums in frame order — integer
+    # cents make the two order-free-equal (same rule as account_state).
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = stream.select("event_id", "ts", "user_id", cents.alias("cents"))
     left = base.select(
         "event_id",
         "user_id",
         F.col("ts").alias("l_ts"),
-        F.col("value").alias("l_value"),
+        F.col("cents").alias("l_cents"),
     ).withWatermark("l_ts", "1 hour")
     right = base.select(
         F.col("user_id").alias("r_user"),
         F.col("ts").alias("r_ts"),
-        F.col("value").alias("r_value"),
+        F.col("cents").alias("r_cents"),
     ).withWatermark("r_ts", "1 hour")
     joined = left.join(
         right,
@@ -174,14 +179,14 @@ def velocity_features_join_stream(stream: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("l_ts").alias("ts_us"),
-        "l_value",
-    ).agg(F.count(F.lit(1)).alias("n_incl"), F.sum("r_value").alias("sum_incl"))
+        "l_cents",
+    ).agg(F.count(F.lit(1)).alias("n_incl"), F.sum("r_cents").alias("sum_incl"))
     return agg.select(
         "user_id",
         "event_id",
         "ts_us",
         (F.col("n_incl") - 1).cast("long").alias("n_prior_10m"),
-        (F.col("sum_incl") - F.col("l_value")).alias("sum_prior_10m"),
+        (F.col("sum_incl") - F.col("l_cents")).cast("long").alias("sum_prior_cents"),
     )
 
 

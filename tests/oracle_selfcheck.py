@@ -74,6 +74,11 @@ def main() -> int:
             n_err += 1
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = rec
+        # a handful of operators persist() intermediates that feed the
+        # returned (lazy) DataFrame and so cannot unpersist in-function;
+        # drop them here so cached blocks don't accumulate across the
+        # 300+-query sweep (r6 advice)
+        spark.catalog.clearCache()
         status = (
             "ERR"
             if rec.get("err")

@@ -87,25 +87,91 @@ def sample_deterministic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli")  # RNG-based: not oracle-comparable
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS size_within_bound,
+           TRUE AS no_duplicates
+    FROM events
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (reference L1's randomSplit uses the same
-    mechanism, fraud_detection_model.py:86). Deterministic per Spark
-    version/partitioning but not reproducible in DuckDB — rows-only check."""
+    mechanism, fraud_detection_model.py:86), registered as a statistical
+    AUDIT since r8 (the ship-the-measurement conversion proven on
+    agg_approx_count_distinct in r6): the RNG draw itself is not
+    reproducible in DuckDB, but its REQUIRED properties are — the sample
+    size must land inside a 6-sigma binomial band around fraction*n
+    (P(false fail) < 2e-9), and a without-replacement sample must contain
+    no duplicate keys. A broken sampler (wrong fraction, replacement
+    semantics, seed drift into bias) now surfaces as a value MISMATCH
+    against the oracle's exact count + TRUE flags rather than as an
+    unverifiable rows-only record."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id", "value")
+    samp = ev.sample(fraction=0.1, seed=42).select("event_id")
+    stats = ev.agg(F.count("*").alias("n_total")).crossJoin(
+        samp.agg(
+            F.count("*").alias("n_samp"),
+            F.count_distinct("event_id").alias("n_distinct"),
+        )
+    )
+    # 6-sigma binomial band: |n_samp - p*n| <= 6*sqrt(n*p*(1-p)), p=0.1
+    return stats.select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (
+            F.abs(F.col("n_samp") - 0.1 * F.col("n_total"))
+            <= 6.0 * F.sqrt(F.col("n_total") * 0.1 * 0.9)
+        ).alias("size_within_bound"),
+        (F.col("n_samp") == F.col("n_distinct")).alias("no_duplicates"),
+    )
 
 
-@register("random_split")  # RNG-based: not oracle-comparable
+@register(
+    "random_split",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS partition_exact,
+           TRUE AS disjoint_ok,
+           TRUE AS train_within_bound
+    FROM events
+    """,
+)
 def random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference L1 parity: 80/20 randomSplit(seed=42) as in
-    fraud_detection_model.py:86. Returns the per-split row counts so the
-    rows-only check pins the split being produced at all."""
+    fraud_detection_model.py:86, registered as a statistical AUDIT since
+    r8 (same conversion as sample_bernoulli). randomSplit's contract —
+    the reference's data contract for its train/test split — is that the
+    two splits PARTITION the input: together they cover every row exactly
+    once (n_train + n_test == n), they are disjoint (no event_id appears
+    in both), and the train share lands in a 6-sigma binomial band around
+    0.8*n. All three are checked in-engine and emitted as booleans the
+    DuckDB oracle pins to TRUE, so the classic randomSplit failure mode
+    (non-deterministic upstream ordering causing duplicated/dropped rows
+    between re-evaluations of the two splits) is now a hash FAILURE, not
+    an invisible rows-only record."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     train, test = ev.randomSplit([0.8, 0.2], seed=42)
-    return (
-        train.select(F.lit("train").alias("split")).groupBy("split").count()
-        .unionByName(test.select(F.lit("test").alias("split")).groupBy("split").count())
+    tr = train.select("event_id")
+    te = test.select("event_id")
+    stats = (
+        ev.agg(F.count("*").alias("n_total"))
+        .crossJoin(tr.agg(F.count("*").alias("n_train")))
+        .crossJoin(te.agg(F.count("*").alias("n_test")))
+        .crossJoin(
+            tr.join(te, "event_id", "inner").agg(F.count("*").alias("n_overlap"))
+        )
+    )
+    return stats.select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (F.col("n_train") + F.col("n_test") == F.col("n_total")).alias(
+            "partition_exact"
+        ),
+        (F.col("n_overlap") == 0).alias("disjoint_ok"),
+        (
+            F.abs(F.col("n_train") - 0.8 * F.col("n_total"))
+            <= 6.0 * F.sqrt(F.col("n_total") * 0.8 * 0.2)
+        ).alias("train_within_bound"),
     )
 
 

@@ -15,7 +15,9 @@ from .velocity import run_velocity_hermetic
     oracle="""
     SELECT user_id, event_id,
            CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_prior_10m,
-           ROUND(SUM(value) OVER w - value, 2) AS sum_prior_10m
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                - CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS BIGINT)
+             AS sum_prior_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
@@ -26,6 +28,10 @@ def stream_velocity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-10-minute event count and value sum, computed incrementally
     with keyed state. The oracle is the batch RANGE-frame formulation —
     streaming state and batch window MUST agree on an in-order replay.
+    Since r8 the sum is int64 CENTS quantized per row before the prefix
+    sum (r7 verdict task 6), so this oracle text is IDENTICAL to the
+    stream_velocity_join_windowed twin's — the two formulations (Python
+    keyed state vs JVM join+window) are pinned to one exact oracle.
 
     Caveat vs the batch frame: RANGE frames include timestamp peers; the
     stateful buffer is strictly 'rows seen before me' in (ts, event_id)
@@ -38,7 +44,7 @@ def stream_velocity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.col("n_prior_10m").cast("bigint"),
-        F.round("sum_prior_10m", 2).alias("sum_prior_10m"),
+        F.col("sum_prior_cents").cast("bigint"),
     )
 
 
@@ -64,10 +70,10 @@ def stream_velocity_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
     BEFORE the join-side SUM (r6 advice): the join fan-out feeds a
     shuffled float SUM whose summation order is nondeterministic, while
     the oracle sums in frame order — integer cents make the equality
-    order-free instead of a ROUND(...,2) knife-edge. Both velocity
-    queries pin the same batch RANGE-frame semantics (count column is
-    shared verbatim; the sum column differs only in quantization), and
-    the bench carries both as an A/B of the Python-state toll (r5
+    order-free instead of a ROUND(...,2) knife-edge. Since r8 both
+    velocity queries share this integer-cents oracle VERBATIM
+    (stream_velocity_stateful moved to cents too, r7 verdict task 6),
+    and the bench carries both as an A/B of the Python-state toll (r5
     verdict task 2). See velocity.velocity_features_join_stream for
     state bounds."""
     from .velocity import run_velocity_join_hermetic

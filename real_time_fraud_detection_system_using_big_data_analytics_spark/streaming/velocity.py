@@ -34,14 +34,14 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("event_id", T.LongType()),
         T.StructField("ts_us", T.LongType()),
         T.StructField("n_prior_10m", T.LongType()),
-        T.StructField("sum_prior_10m", T.DoubleType()),
+        T.StructField("sum_prior_cents", T.LongType()),
     ]
 )
 
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("ts_us", T.ArrayType(T.LongType())),
-        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -59,16 +59,17 @@ def _velocity_fn(
     Python loop with O(window) list pops (the loop form measured ~1.3k
     events/s; this form is bounded by Arrow transfer). The window
     semantics are unchanged: prior events with ts >= event_ts - 10min,
-    self excluded. The float sum is a cumsum difference rather than a
-    left-to-right re-sum of the live buffer — a different-but-equally-
-    valid IEEE summation order; the emitted sum is consumed through
-    ROUND(.., 2) on both engines, which already absorbs order noise."""
+    self excluded. Values are quantized to int64 CENTS per row before
+    the cumsum (same rule as the join-windowed twin and account_state),
+    so the prefix-sum difference is exact integer arithmetic — no IEEE
+    summation-order dependence at all, and both velocity twins share one
+    integer-cents oracle verbatim (r7 verdict task 6)."""
     import numpy as np
 
     if state.exists:
-        buf_ts, buf_val = state.get
+        buf_ts, buf_cents = state.get
     else:
-        buf_ts, buf_val = [], []
+        buf_ts, buf_cents = [], []
     user_id = key[0]
     for pdf in pdfs:
         if len(pdf) == 0:
@@ -77,25 +78,33 @@ def _velocity_fn(
         ts = np.concatenate(
             [np.asarray(buf_ts, dtype=np.int64), pdf["ts_us"].to_numpy(np.int64)]
         )
-        val = np.concatenate(
-            [np.asarray(buf_val, dtype=np.float64), pdf["value"].to_numpy(np.float64)]
+        # floor(x*100 + 0.5) = round-half-up toward +inf; assumes value
+        # is non-negative (it is: events.value is a transaction amount).
+        # See velocity_features_join_stream for the matching JVM-side form.
+        cents = np.concatenate(
+            [
+                np.asarray(buf_cents, dtype=np.int64),
+                np.floor(pdf["value"].to_numpy(np.float64) * 100 + 0.5).astype(
+                    np.int64
+                ),
+            ]
         )
         b = len(buf_ts)
         k = np.arange(b, len(ts))
         idx = np.searchsorted(ts, ts[k] - WINDOW_US, side="left")
-        cs = np.concatenate([[0.0], np.cumsum(val)])
+        cs = np.concatenate([[0], np.cumsum(cents)])
         yield pd.DataFrame(
             {
                 "user_id": np.full(len(k), user_id, dtype=np.int64),
                 "event_id": pdf["event_id"].to_numpy(np.int64),
                 "ts_us": ts[k],
                 "n_prior_10m": k - idx,
-                "sum_prior_10m": cs[k] - cs[idx],
+                "sum_prior_cents": cs[k] - cs[idx],
             }
         )
         keep = ts >= ts[-1] - WINDOW_US
-        buf_ts, buf_val = ts[keep].tolist(), val[keep].tolist()
-    state.update((buf_ts, buf_val))
+        buf_ts, buf_cents = ts[keep].tolist(), cents[keep].tolist()
+    state.update((buf_ts, buf_cents))
 
 
 def velocity_features_stream(events: DataFrame) -> DataFrame:
@@ -152,6 +161,10 @@ def velocity_features_join_stream(stream: DataFrame) -> DataFrame:
     # join fan-out feeds a shuffled SUM whose float summation order is
     # nondeterministic, while the oracle sums in frame order — integer
     # cents make the two order-free-equal (same rule as account_state).
+    # floor(x*100 + 0.5) is round-half-up toward +inf, which differs from
+    # ROUND for NEGATIVE inputs — safe only because events.value is a
+    # non-negative transaction amount; a sign-carrying column would need
+    # a sign-symmetric quantizer to stay consistent with ROUND elsewhere.
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     base = stream.select("event_id", "ts", "user_id", cents.alias("cents"))
     left = base.select(

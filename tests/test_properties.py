@@ -263,3 +263,23 @@ def test_every_registered_query_has_a_docstring():
     load_all()
     missing = [name for name, fn in QUERIES.items() if not (fn.__doc__ or "").strip()]
     assert not missing, f"registered queries without docstrings: {missing}"
+
+
+def test_docstring_constants_match_code_constants():
+    """ADVICE r7: docstrings that quote tuning constants in prose
+    ('custkey < 20', 'within 4 hops', 'before 2000-01-01') silently lie
+    if the constant changes. Tie each quoted value to the constant it
+    describes so a constant edit without a doc edit fails here."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators import (
+        etl,
+        graph,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.warehouse import (
+        _CUTOFF,
+    )
+
+    cyc_doc = graph.graph_cycle_detection_bounded.__doc__ or ""
+    assert f"custkey < {graph._CYCLE_SEED_CAP} = _CYCLE_SEED_CAP" in cyc_doc
+    assert f"within {graph._CYCLE_MAX_HOPS} (= _CYCLE_MAX_HOPS)" in cyc_doc
+    tt_doc = etl.etl_snapshot_time_travel.__doc__ or ""
+    assert f"orders before {_CUTOFF}" in tt_doc

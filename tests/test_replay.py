@@ -49,18 +49,19 @@ def test_velocity_state_survives_batch_boundaries(spark):
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-600_000_000, 0)
     )
-    batch = ev.select(
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    batch = ev.withColumn("cents", cents).select(
         "user_id",
         "event_id",
         (F.count("*").over(w) - 1).alias("n_prior_10m"),
-        F.round(F.sum("value").over(w) - F.col("value"), 2).alias("sum_prior_10m"),
+        (F.sum("cents").over(w) - F.col("cents")).cast("long").alias("sum_prior_cents"),
     )
     got = {
-        (r["user_id"], r["event_id"]): (r["n_prior_10m"], round(r["sum_prior_10m"], 2))
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_cents"])
         for r in out.collect()
     }
     want = {
-        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_10m"])
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_cents"])
         for r in batch.collect()
     }
     assert got == want

@@ -25,36 +25,61 @@ from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.v
 SF = "/root/testdata/sf0.001"
 
 
-def test_velocity_stateful_matches_batch_window(spark):
-    """applyInPandasWithState velocity == batch RANGE-frame velocity on an
-    in-order replay (the oracle relationship used by the registry)."""
-    out = run_velocity_hermetic(spark, SF)
-
+def _batch_velocity_cents(spark, sf_dir):
+    """Batch RANGE-frame velocity in integer cents — the shared oracle
+    formulation both streaming twins must reproduce exactly."""
     from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
         load_tables,
     )
 
-    ev = load_tables(spark, SF, names=("events",))["events"]
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-600 * 1_000_000, 0)
     )
-    batch = ev.select(
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.withColumn("cents", cents).select(
         "user_id",
         "event_id",
         (F.count("*").over(w) - 1).alias("n_prior_10m"),
-        F.round(F.sum("value").over(w) - F.col("value"), 2).alias("sum_prior_10m"),
+        (F.sum("cents").over(w) - F.col("cents")).cast("long").alias("sum_prior_cents"),
     )
+
+
+def test_velocity_stateful_matches_batch_window(spark):
+    """applyInPandasWithState velocity == batch RANGE-frame velocity on an
+    in-order replay (the oracle relationship used by the registry).
+    Integer-cents comparison — exact, no rounding tolerance."""
+    out = run_velocity_hermetic(spark, SF)
     got = {
-        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_10m"])
-        for r in out.select(
-            "user_id", "event_id", "n_prior_10m", F.round("sum_prior_10m", 2).alias("sum_prior_10m")
-        ).collect()
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_cents"])
+        for r in out.select("user_id", "event_id", "n_prior_10m", "sum_prior_cents").collect()
     }
     want = {
-        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_10m"])
-        for r in batch.collect()
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_cents"])
+        for r in _batch_velocity_cents(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_velocity_join_windowed_matches_batch_window(spark):
+    """The JVM join+window velocity formulation == the SAME batch
+    RANGE-frame cents oracle (r7 verdict task 6: pin
+    velocity_features_join_stream in tests, not just in the registry).
+    Both twins are now checked against one oracle formulation."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.velocity import (
+        run_velocity_join_hermetic,
+    )
+
+    out = run_velocity_join_hermetic(spark, SF)
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_cents"])
+        for r in out.select("user_id", "event_id", "n_prior_10m", "sum_prior_cents").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (r["n_prior_10m"], r["sum_prior_cents"])
+        for r in _batch_velocity_cents(spark, SF).collect()
     }
     assert got == want
 

@@ -3,11 +3,17 @@
 JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with a noop-sink write (full execution, no driver
-collect). Per-query time is the BEST of 3 runs: this host exhibits
-intermittent multi-second scheduler stalls (the same physical plan measured
-0.35s and 17.8s back-to-back), and min-of-N isolates engine cost from host
-noise. A warmup pass runs each query once first so numbers reflect steady
-state (JIT + codegen + parquet footer caches warm).
+collect). Per-query samples: one warmup pass (JIT + codegen + parquet
+footer caches warm), then 4 interleaved timed rounds (+3 solo retries for
+the worst stall victims). This host exhibits intermittent multi-second
+scheduler stalls (the same physical plan measured 0.35s and 17.8s
+back-to-back), so the headline per-query number stays MIN-of-N (isolates
+engine cost from host noise, and is what BENCH_r01's baseline used), but
+since r8 the full artifact also records the MEDIAN and the min/max spread
+per query (r7 verdict task 4) so a plan regression is distinguishable
+from a noise burst: a real regression moves min AND median together; a
+stall moves only max/median. The stdout line carries the shared-28
+totals under both statistics.
 """
 
 from __future__ import annotations
@@ -238,9 +244,24 @@ def main() -> None:
         for _ in range(3):
             samples[name].append(run_once(name))
 
+    import statistics
+
     times = {name: round(min(ts), 3) for name, ts in samples.items()}
+    medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    spread = {
+        name: {
+            "min": times[name],
+            "median": medians[name],
+            "max": round(max(ts), 3),
+            "n": len(ts),
+        }
+        for name, ts in samples.items()
+    }
 
     total = round(sum(times.values()), 3)
+    total_median = round(sum(medians.values()), 3)
+    shared28_min = round(sum(times[n] for n in COMPACT_SET if n in times), 3)
+    shared28_median = round(sum(medians[n] for n in COMPACT_SET if n in medians), 3)
 
     # Reference-defined metrics (BASELINE.md): the quantities the
     # reference's own instrumentation measures, re-measured on our engine
@@ -254,12 +275,21 @@ def main() -> None:
     # micro-batch stream's wall time is trigger-bound, not plan-bound.
     streaming = streaming_bench(spark, sf_dir)
 
+    # Sustained line: >=1M events replayed through the two headline
+    # streams (r7 verdict task 7) — skipped in subset/smoke mode.
+    if not subset:
+        streaming["sustained"] = sustained_streaming_bench(spark, sf_dir)
+
     # Full breakdown -> committed artifact (judge-diffable, any size).
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "queries": times,
+        "query_spread": spread,
+        "shared28_min": shared28_min,
+        "shared28_median": shared28_median,
         "sf": sf,
         "n_queries": len(times),
         "reference_metrics": ref_metrics,
@@ -281,8 +311,11 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_median": total_median,
                 "unit": "sec",
                 "queries": compact_times,
+                "shared28_min": shared28_min,
+                "shared28_median": shared28_median,
                 "sf": sf,
                 "n_queries": len(times),
                 "full_breakdown": "BENCH_SELF.json",
@@ -350,6 +383,91 @@ def streaming_bench(spark, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(spool1, ignore_errors=True)
+    return out
+
+
+def sustained_streaming_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
+    """Sustained-throughput line (r7 verdict task 7): replay REPLICAS
+    copies of the events table (>=1M events at sf0.1) as one micro-batch
+    per copy through the two streams closest to the reference's identity
+    — the stateless rule-alert filter and the stateful velocity operator
+    at production batch size (one ~100k-event batch per trigger, the
+    shape whose 100k single-batch line measured ~76k events/s). Each
+    replica is time-shifted past the previous one (gap > the 1 h
+    watermark horizon) and event_id-offset so the replay is an in-order,
+    duplicate-free 10x stream against ONE persistent state store — this
+    validates that the per-batch amortization claim holds when state
+    lives across 10 production-size batches, not just within one.
+    Single sample per stream (a 1M replay is long enough to average over
+    host noise bursts on its own; min-of-N would add minutes)."""
+    import glob
+    import shutil
+    import tempfile
+
+    # raw parquet ts may be TIMESTAMP_NTZ; normalize to TIMESTAMP under
+    # the UTC session (chunked_replay passes TIMESTAMP spool files through)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n = ev.count()
+    first = ev.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span"),
+        (F.max("event_id") + 1).alias("idbase"),
+    ).first()
+    shift_us = int(first["span"]) + 3_600_000_000  # replica gap > 1h watermark
+    idbase = int(first["idbase"])
+
+    spool = tempfile.mkdtemp(prefix="replay_1m_")
+    for i in range(replicas):
+        part_dir = os.path.join(spool, f"_stage_{i}")
+        (
+            ev.withColumn(
+                "ts", F.timestamp_micros(F.unix_micros("ts") + i * shift_us)
+            )
+            .withColumn("event_id", F.col("event_id") + F.lit(i * idbase))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(spool, f"chunk_{i:04d}.parquet")
+        shutil.move(part_file, dest)
+        shutil.rmtree(part_dir)
+        os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.replay import (
+        chunked_replay,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.velocity import (
+        velocity_features_stream,
+    )
+
+    def rule_alerts(stream):
+        return stream.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+        ).select("event_id", "user_id", F.round("value", 2).alias("amount"))
+
+    total_events = n * replicas
+    out: dict = {"n_events": total_events, "batches_requested": replicas}
+    try:
+        for name, transform in (
+            ("stream_rule_alerts_sustained", rule_alerts),
+            ("stream_velocity_stateful_sustained", velocity_features_stream),
+        ):
+            t0 = time.perf_counter()
+            tbl, batches = chunked_replay(
+                spark, sf_dir, transform, n_chunks=replicas, spool=spool
+            )
+            rows = tbl.count()
+            wall = time.perf_counter() - t0
+            out[name] = {
+                "wall_sec": round(wall, 3),
+                "batches": batches,
+                "out_rows": rows,
+                "events_per_sec": round(total_events / wall, 1),
+            }
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
     return out
 
 

@@ -178,3 +178,54 @@ def test_stream_scoring_equals_batch_scoring(spark):
     got = {tuple(r) for r in spark.table(name).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_lr_golden_coefficients_and_confusion(spark):
+    """Golden pin for the 5 rows-only ML queries (r7 verdict task 3):
+    DuckDB cannot express LR training, so the value check lives HERE —
+    the exact fitted intercept, coefficient vector, and held-out
+    confusion cells for the seed=42 split of the sf0.001 driver data.
+    The fit is deterministic (fixed data, fixed partitioning, seeded
+    split, LBFGS with deterministic treeAggregate order): two
+    back-to-back fits reproduced these values bit-identically. A
+    regression anywhere in the feature stages (indexer order, one-hot
+    layout, scaler stats, weight wiring) or in the optimizer surfaces as
+    a coefficient mutation and fails the 1e-6 band; a scoring/threshold
+    regression flips a confusion cell.
+
+    Reference anchor: fraud_detection_model.py:86 (seed=42 split is the
+    data contract), :160-169 (LR params), :249-299 (evaluation block).
+    """
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.ml.scoring import (
+        events_as_transactions,
+    )
+
+    df = events_as_transactions(spark, "/root/testdata/sf0.001")
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    model = FraudPipeline().fit(train)
+    lr = model.stages[-1]
+
+    golden_intercept = -0.6540171726426149
+    golden_coefs = [
+        0.0,
+        0.19629721550761772,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.3127589612138638,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+    ]
+    assert abs(float(lr.intercept) - golden_intercept) < 1e-6
+    coefs = [float(c) for c in lr.coefficients]
+    assert len(coefs) == len(golden_coefs)
+    for got, want in zip(coefs, golden_coefs):
+        assert abs(got - want) < 1e-6, (coefs, golden_coefs)
+
+    m = FraudPipeline.evaluate(model, test)
+    assert m["confusion_matrix"] == {"tp": 5, "fp": 8, "tn": 149, "fn": 0}
+    assert m["n"] == 162
+    assert abs(m["auc"] - 0.9961783439490446) < 1e-6

@@ -935,3 +935,45 @@ def test_decontaminate_bloom_prefilter_is_scan_side(spark):
     plan = plan_string(df)
     assert "shiftleft" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan_string(df, mode="simple")
+
+
+FORCED_SMJ_QUERIES = [
+    "join_multiway_revenue",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "cdc_snapshot_diff",
+]
+
+
+@pytest.mark.parametrize("name", FORCED_SMJ_QUERIES)
+def test_forced_smj_degradation_oracle_green(spark, name):
+    """r7 verdict task 5: SCALE.md promises the heaviest joins survive
+    the no-broadcast regime ('the unhinted sides are designed for exactly
+    that degradation') — at 100 TB the planner cannot auto-broadcast
+    anything, so with spark.sql.autoBroadcastJoinThreshold=-1 every
+    UNHINTED join must degrade to a sort-merge join and the answer must
+    not change. This pins both halves: the degraded plan contains a
+    SortMergeJoin (the fact-fact path really left the broadcast regime;
+    explicit F.broadcast() dim hints legitimately survive — a hint is a
+    promise of boundedness, not a statistics guess), and the result still
+    hash-matches the DuckDB oracle at sf0.01. Also run one-off at sf0.1
+    (BENCH_NOTES_r8.md)."""
+    from tests.oracle_harness import compare
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
+        plan = plan_string(df, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        rep = compare(
+            spark,
+            registry.QUERIES[name],
+            registry.ORACLE[name],
+            "/root/testdata/sf0.01",
+        )
+        assert rep["row_match"] and rep["col_match"] and rep["type_match"], rep
+        assert rep["value_match"], rep
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -283,3 +283,45 @@ def test_docstring_constants_match_code_constants():
     assert f"within {graph._CYCLE_MAX_HOPS} (= _CYCLE_MAX_HOPS)" in cyc_doc
     tt_doc = etl.etl_snapshot_time_travel.__doc__ or ""
     assert f"orders before {_CUTOFF}" in tt_doc
+
+
+def test_brp_lsh_boundary_margin(spark):
+    """r7 advice: ann_mllib_brp_lsh's oracle equality rests on no sampled
+    pair's squared distance sitting ON the 1.44 threshold — the measured
+    margin on current testdata is >= 7.6e-6, far above the ~1e-15 float
+    fold noise between Spark's and DuckDB's left-to-right dot products.
+    Assert the margin here so a testdata regeneration that lands a pair
+    near the boundary fails THIS test with a clear message instead of
+    surfacing as an opaque driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.similarity import (
+        _AUDIT_MOD,
+        _BRP_D2_T,
+        _dot,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    e = load_tables(spark, "/root/testdata/sf0.01", names=("embeddings",))[
+        "embeddings"
+    ]
+    sample = e.filter(F.col("vec_id") % _AUDIT_MOD == 0).select(
+        F.col("vec_id").alias("s"), F.col("embedding").alias("emb_s")
+    )
+    corpus = e.select(F.col("vec_id").alias("o"), F.col("embedding").alias("emb_o"))
+    d2 = _dot("emb_s", "emb_s") - 2 * _dot("emb_s", "emb_o") + _dot("emb_o", "emb_o")
+    margin = (
+        corpus.crossJoin(F.broadcast(sample))
+        .filter(F.col("o") != F.col("s"))
+        .select(F.abs(d2 - F.lit(_BRP_D2_T)).alias("m"))
+        .agg(F.min("m").alias("margin"))
+        .first()["margin"]
+    )
+    assert margin >= 1e-6, (
+        f"BRP-LSH boundary margin eroded to {margin!r} (< 1e-6): a sampled "
+        f"pair sits too close to the {_BRP_D2_T} threshold and the "
+        "Spark-vs-DuckDB float fold can now disagree on pair membership. "
+        "Regenerate/perturb the embeddings testdata or adjust _BRP_DIST_T."
+    )

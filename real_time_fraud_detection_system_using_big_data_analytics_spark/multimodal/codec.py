@@ -9,14 +9,17 @@ header fields, frame counts, and PCM sample statistics all come from the
 actual byte format, and the synthesis formula is SQL-expressible so the
 whole encode->decode loop is DuckDB-oracle-checked.
 
-IMAGE decode is REAL twice over: ``decode_ppm_features`` parses binary
-netpbm P6, and ``decode_png_features`` implements a genuine PNG decoder
-(CRC-verified chunk walk, zlib inflate, all five scanline filters) with
-nothing beyond the stdlib — so the compressed-format path is exercised
-end-to-end. Only JPEG (DCT) stays STUBBED (``decode_image_features``,
-documented below): it is not stdlib-implementable. Everything around the
-stub — schema, batch iteration, partition behavior, metadata extraction —
-is real and tested; swapping it for Pillow/cv2 is a one-function change.
+IMAGE decode is REAL three times over: ``decode_ppm_features`` parses
+binary netpbm P6, ``decode_png_features`` implements a genuine PNG
+decoder (CRC-verified chunk walk, zlib inflate, all five scanline
+filters), and since r8 ``decode_jpeg_features`` implements a genuine
+baseline-JPEG codec (DCT + Annex-K quantization + Huffman, see
+multimodal/jpeg.py) — lossless AND lossy compressed formats both
+exercised end-to-end with nothing beyond stdlib + numpy. The generic
+``decode_image_features`` seam below remains as the documented adapter
+shape for external codec libraries (Pillow/cv2 for formats outside the
+implemented baselines); its stand-in feature extractor is clearly
+labeled and no registry query depends on it for pixel correctness.
 
 Scale posture: binary payloads dominate row size, so these operators
 (a) select only the columns they need (no payload dragging through later
@@ -398,8 +401,8 @@ def decode_ppm_features(multimodal: DataFrame) -> DataFrame:
 # so the decoder's filter-reconstruction path is exercised on every image —
 # a decoder that skipped unfiltering would produce wrong pixel statistics
 # and fail the DuckDB oracle, which recomputes the statistics from the
-# synthesis formula. JPEG (DCT) remains behind the decode_image_features
-# stub seam: it is not implementable with the stdlib.
+# synthesis formula. JPEG (the lossy DCT path) is implemented for real
+# too since r8 — see multimodal/jpeg.py and the section at the bottom.
 
 PNG_DECODER_AVAILABLE = True  # stdlib zlib + struct — no libraries required
 
@@ -627,4 +630,123 @@ def decode_png_features(multimodal: DataFrame) -> DataFrame:
 
     return multimodal.select("doc_id", "payload").mapInPandas(
         extract, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+# --- JPEG (baseline DCT, grayscale) — real lossy-codec path ------------
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("max_abs_err_le_10", T.BooleanType()),
+        T.StructField("mse_le_8", T.BooleanType()),
+    ]
+)
+
+
+def _jpeg_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """Deterministic dims (distinct from the PPM/PNG formulas): width
+    9..20, height 8..16 — never multiples of 8 simultaneously, so block
+    padding is exercised on almost every image."""
+    return 9 + doc_id % 12, 8 + n_chars % 9
+
+
+def _jpeg_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic grayscale plane: g(k) = (doc_id % 97) + 3·(k % w)
+    + 5·(k // w) — a smooth two-axis gradient with max value 228 (no
+    mod-256 wraparound), so DCT energy concentrates in low frequencies
+    and the Annex-K quantizer reconstructs within a few grey levels
+    (measured max |err| = 5 over the id range; the audit flags allow 10).
+    SQL-recomputable, which is how the oracle pins width/height/n_pixels
+    without being able to express the lossy transform itself."""
+    import numpy as np
+
+    k = np.arange(width * height, dtype=np.int64)
+    return bytes(
+        ((doc_id % 97) + (k % width) * 3 + (k // width) * 5).astype(np.uint8)
+    )
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL baseline JPEG payload per document: forward DCT,
+    Annex-K quantization, canonical Huffman entropy coding, full marker
+    stream — the emitted bytes are a complete, viewer-openable .jpg.
+    Same mapInPandas batch shape as the WAV/PPM/PNG encoders."""
+    from .jpeg import jpeg_encode_gray8
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = _jpeg_dims(int(doc_id), int(n_chars))
+                payloads.append(
+                    jpeg_encode_gray8(w, h, _jpeg_pixels(int(doc_id), w, h))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).mapInPandas(encode, schema=out_schema)
+
+
+def decode_jpeg_features(multimodal: DataFrame) -> DataFrame:
+    """REAL lossy-image decode: full baseline-JPEG parse (marker walk,
+    Huffman tables from BITS/HUFFVAL, entropy decode with byte
+    unstuffing, dequantize, inverse zigzag, IDCT) — replaces the
+    rounds-1..7 sha-stub seam. JPEG being lossy, the decoded plane has
+    no SQL twin; the audit therefore emits header fields the oracle
+    recomputes from the synthesis formula plus reconstruction-error
+    bounds as flags (max |decoded - source| <= 10 grey levels and
+    MSE <= 8 — measured 5 / <4 on this data; see multimodal/jpeg.py).
+    A bug anywhere in either direction of the codec (tables, zigzag,
+    DCT scaling, bit packing, stuffing) blows one of the bounds or
+    raises in the parser."""
+    import numpy as np
+
+    from .jpeg import jpeg_decode_gray8
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, gray = jpeg_decode_gray8(bytes(payload))
+                dec = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+                src = np.frombuffer(
+                    _jpeg_pixels(int(doc_id), w, h), dtype=np.uint8
+                ).astype(np.int64)
+                err = np.abs(dec - src)
+                n = w * h
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        n,
+                        bool(err.max() <= 10),
+                        bool(int((err * err).sum()) <= 8 * n),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_FEATURE_SCHEMA])
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        extract, schema=JPEG_FEATURE_SCHEMA
     )

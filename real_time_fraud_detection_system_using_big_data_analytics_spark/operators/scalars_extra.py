@@ -400,3 +400,40 @@ def scalar_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.when(allow, 1).otherwise(0)).cast("bigint").alias("n_in_allowlist"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators, r8): the same filtered
+    rollup written as a linear FROM ... |> WHERE ... |> AGGREGATE ...
+    |> WHERE pipeline — the composition-ordered SQL dialect. Pipe stages
+    are pure surface syntax: Catalyst plans the identical pushed-filter
+    partial aggregate as the nested-SELECT form, so this query pins that
+    the dialect introduces no plan or semantics drift (the DuckDB oracle
+    runs the classic GROUP BY/HAVING spelling). Cents quantized per row
+    before the sum — exact BIGINT group totals."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |> EXTEND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(cents) AS BIGINT) AS revenue_cents
+           GROUP BY o_orderpriority AS priority
+        |> WHERE n_orders > 10
+        |> SELECT priority, n_orders, revenue_cents
+        """
+    )

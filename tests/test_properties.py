@@ -347,3 +347,43 @@ def test_survey_index_matches_registry():
     stale = {n for n in listed - registered if "_" in n}
     assert not missing, f"registered but absent from SURVEY §2.12: {sorted(missing)}"
     assert not stale, f"in SURVEY §2.12 but not registered: {sorted(stale)}"
+
+
+def test_jpeg_codec_hypothesis_roundtrip():
+    """Property test (hypothesis): for ANY smooth gradient plane within
+    the synthesis family's envelope — arbitrary base 0..127, slopes 0..4
+    / 0..6, dims that exercise 8x8 padding on either axis — the JPEG
+    round-trip stays inside the audit bounds. Guards the codec against
+    edge dims and coefficient patterns the fixed unit cases miss."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        jpeg_decode_gray8,
+        jpeg_encode_gray8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(8, 33),
+        h=st.integers(8, 25),
+        base=st.integers(0, 127),
+        sx=st.integers(0, 4),
+        sy=st.integers(0, 6),
+    )
+    def prop(w, h, base, sx, sy):
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        img = base + sx * x[None, :] + sy * y[:, None]
+        if img.max() > 255:  # keep in the no-wraparound envelope
+            img = np.clip(img, 0, 255)
+        img = img.astype(np.uint8)
+        raw = jpeg_encode_gray8(w, h, img.tobytes())
+        w2, h2, gray = jpeg_decode_gray8(raw)
+        assert (w2, h2) == (w, h)
+        dec = np.frombuffer(gray, dtype=np.uint8).reshape(h, w).astype(np.int64)
+        err = np.abs(dec - img.astype(np.int64))
+        assert err.max() <= 16, (w, h, base, sx, sy, int(err.max()))
+
+    prop()

@@ -172,6 +172,72 @@ def cmd_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tail(args: argparse.Namespace) -> int:
+    """Debug consumer tail (reference parity: transaction_consumer.py:13-37
+    — a plain KafkaConsumer loop that deserializes each message and prints
+    it). Engine form: the SAME readStream sources every query uses, drained
+    hermetically with availableNow into a bounded memory sink, first N rows
+    printed as JSON lines. With --kafka it tails the real topic; without,
+    it replays the events table — so the debug tool exercises the exact
+    ingest path production runs, unlike the reference's separate consumer
+    client with its own deserializer (a classic source of parse drift
+    between the debug tool and the app)."""
+    import tempfile
+    import uuid
+
+    spark = get_session("cli-tail")
+    if args.kafka:
+        from .ml.fraud_pipeline import PAYSIM_SCHEMA
+        from .streaming.sources import kafka_json_stream
+
+        stream = kafka_json_stream(spark, args.kafka, args.topic, PAYSIM_SCHEMA)
+    else:
+        from .streaming.sources import events_file_stream
+
+        stream = events_file_stream(spark, args.events_dir)
+    name = "tail_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_tail_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).limit(args.n).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_topics(args: argparse.Namespace) -> int:
+    """Topic admin (reference parity: create_topics.py:10-81). With
+    --bootstrap, drives a real broker through the gated kafka-python
+    backend; otherwise administers the hermetic file-twin topics under
+    --dir (the layout the streaming tests replay through). ``reset``
+    reproduces the reference script's delete-then-recreate of the two
+    app topics as one synchronous call."""
+    from .streaming.topics import FileTopicAdmin, KafkaTopicAdmin, reset_topics
+
+    admin = (
+        KafkaTopicAdmin(args.bootstrap)
+        if args.bootstrap
+        else FileTopicAdmin(args.dir)
+    )
+    if args.action == "create":
+        admin.create_topic(args.topic, partitions=args.partitions, exist_ok=args.exist_ok)
+        print(json.dumps({"created": args.topic, "partitions": args.partitions}))
+    elif args.action == "delete":
+        admin.delete_topic(args.topic)
+        print(json.dumps({"deleted": args.topic}))
+    elif args.action == "list":
+        print(json.dumps({"topics": admin.list_topics()}))
+    elif args.action == "reset":
+        print(json.dumps({"reset": reset_topics(admin, partitions=args.partitions)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fraud-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -212,6 +278,22 @@ def main(argv: list[str] | None = None) -> int:
         "1 = single availableNow batch",
     )
     st.set_defaults(fn=cmd_stream)
+
+    tl = sub.add_parser("tail", help="print the first N rows flowing through the ingest stream (reference: transaction_consumer.py)")
+    tl.add_argument("--events-dir", default="/root/testdata/sf0.001")
+    tl.add_argument("--kafka", default=None, help="bootstrap servers; hermetic file replay if omitted")
+    tl.add_argument("--topic", default="transaction_data_topic")
+    tl.add_argument("-n", type=int, default=10, help="rows to print")
+    tl.set_defaults(fn=cmd_tail)
+
+    tp = sub.add_parser("topics", help="topic admin: create/delete/list/reset (reference: create_topics.py)")
+    tp.add_argument("action", choices=["create", "delete", "list", "reset"])
+    tp.add_argument("--topic", default="transaction_data_topic")
+    tp.add_argument("--partitions", type=int, default=3)
+    tp.add_argument("--exist-ok", action="store_true")
+    tp.add_argument("--bootstrap", default=None, help="real broker; file-twin admin if omitted")
+    tp.add_argument("--dir", default="/tmp/spark_graft_topics", help="file-twin topic root")
+    tp.set_defaults(fn=cmd_topics)
 
     ls = sub.add_parser("list", help="list registered queries (* = oracle-checked)")
     ls.set_defaults(fn=cmd_list)

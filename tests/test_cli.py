@@ -89,3 +89,64 @@ def test_cli_list_run_explain(spark, tmp_path, capsys):
     assert "HashAggregate" in plan
 
     assert cli.main(["run", "no_such_query"]) == 2
+
+
+def test_cli_tail_prints_rows(capsys):
+    """`tail` (S11 parity, r8): prints the first N ingest rows as JSON
+    lines through the same readStream path the app uses."""
+    import json as _json
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.cli import main
+
+    rc = main(["tail", "-n", "3", "--events-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    first = _json.loads(lines[0])
+    assert {"event_id", "ts", "user_id", "event_type", "value"} <= set(first)
+
+
+def test_topic_admin_file_twin(tmp_path, capsys):
+    """S12 parity (r8): create/describe/list/delete/reset over the
+    hermetic file-twin topics, with Kafka-like error semantics."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.cli import main
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.topics import (
+        FileTopicAdmin,
+        reset_topics,
+    )
+
+    root = str(tmp_path / "topics")
+    assert main(["topics", "create", "--topic", "t1", "--dir", root]) == 0
+    assert main(["topics", "list", "--dir", root]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(out[-1]) == {"topics": ["t1"]}
+
+    admin = FileTopicAdmin(root)
+    with _pytest.raises(FileExistsError):
+        admin.create_topic("t1")
+    admin.create_topic("t1", exist_ok=True)  # idempotent form
+    assert admin.describe_topic("t1")["partitions"] == 3
+    with _pytest.raises(FileNotFoundError):
+        admin.delete_topic("missing")
+
+    # the reference script's delete-then-recreate, as one call
+    created = reset_topics(admin)
+    assert created == ["transaction_data_topic", "fraud_alerts_topic"]
+    assert set(admin.list_topics()) == {"t1", *created}
+
+
+def test_topic_admin_kafka_backend_gated():
+    """The real-broker backend must raise loudly when kafka-python is
+    absent — never silently no-op (same seam rule as the codecs)."""
+    import pytest as _pytest
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.topics import (
+        KafkaTopicAdmin,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        KafkaTopicAdmin("localhost:9092")

@@ -977,3 +977,24 @@ def test_forced_smj_degradation_oracle_green(spark, name):
         assert rep["value_match"], rep
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pipe_syntax_plans_like_classic_sql(spark):
+    """The |> dialect is surface syntax only: the orderdate filter must
+    reach the parquet scan as a pushed filter and the aggregate must be
+    partial (map-side combine) — the same physical shape as the classic
+    GROUP BY spelling."""
+    df = registry.QUERIES["sql_pipe_syntax"](spark, "/root/testdata/sf0.001")
+    plan = assert_in_plan(df, "PushedFilters", "HashAggregate")
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:300], plan
+
+
+def test_map_in_arrow_scan_is_pruned(spark):
+    """udf_map_in_arrow: the Python eval node must sit on a 2-column
+    pruned scan (vec_id, embedding) — binary payload discipline: nothing
+    downstream of the Arrow transform re-reads or shuffles raw vectors."""
+    df = registry.QUERIES["udf_map_in_arrow"](spark, "/root/testdata/sf0.001")
+    plan = plan_string(df)
+    assert "MapInArrow" in plan or "mapInArrow" in plan.lower(), plan[:1500]
+    read = plan.split("ReadSchema")[1][:300]
+    assert "vec_id" in read and "embedding" in read, read

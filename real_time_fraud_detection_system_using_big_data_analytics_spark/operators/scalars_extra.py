@@ -437,3 +437,76 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT priority, n_orders, revenue_cents
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE value >= 150.0 AND event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, r8): the injection-safe
+    form of templated queries — values bind as LITERALS through the
+    parser, never string-spliced, so a hostile threshold like
+    "0 OR 1=1" cannot change the plan shape. At scale this also keeps
+    the plan cache warm: one parse per TEMPLATE rather than per value.
+    The oracle runs the same statement with the values inlined; equality
+    proves binding is semantically identical to inlining."""
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        WHERE value >= :min_value AND event_type IN (:t1, :t2)
+        GROUP BY event_type
+        """,
+        args={"min_value": 150.0, "t1": "purchase", "t2": "click"},
+    )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             // NULLIF(CAST(user_id % 5 AS BIGINT), 0) AS cents_per_bucket,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     % NULLIF(CAST(user_id % 5 AS BIGINT), 0) END AS cents_mod,
+           TRY_CAST(event_type AS BIGINT) AS type_as_int
+    FROM events
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI semantics (r8): try_divide /
+    try_mod / try_cast return NULL where strict ANSI would abort the
+    job (divide-by-zero, overflow, bad cast). On a 100 TB run this is
+    the difference between one poisoned row killing a 6-hour job and a
+    NULL you can audit afterwards — the engine's sanctioned alternative
+    to disabling ANSI mode globally. The oracle expresses the same
+    semantics with NULLIF guards; try_cast on a non-numeric string is
+    pinned to NULL (not an error) by the type_as_int column."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bucket = (F.col("user_id") % 5).cast("long")
+    # bucket is passed RAW: try_divide/try_mod themselves absorb the /0
+    # rows into NULL — that absorption is the behavior under test (the
+    # oracle reproduces it with explicit NULLIF guards)
+    return ev.select(
+        "event_id",
+        F.try_divide(cents, bucket).cast("bigint").alias("cents_per_bucket"),
+        F.try_mod(cents, bucket).cast("bigint").alias("cents_mod"),
+        F.try_to_number(F.col("event_type"), F.lit("999999")).cast("bigint").alias(
+            "type_as_int"
+        ),
+    )

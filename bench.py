@@ -73,6 +73,11 @@ COMPACT_SET = [
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
+    # round-8 additions
+    "multimodal_image_decode_jpeg",
+    "udf_map_in_arrow",
+    "source_python_datasource",
+    "sql_pipe_syntax",
     # round-6 additions
     "ann_ivf_pq_shortlist_rerank",
     "ann_dim_truncation_recall",

@@ -387,3 +387,176 @@ def test_jpeg_codec_hypothesis_roundtrip():
         assert err.max() <= 16, (w, h, base, sx, sy, int(err.max()))
 
     prop()
+
+
+def test_png_codec_hypothesis_exact_roundtrip():
+    """PNG is LOSSLESS: any random RGB plane must round-trip
+    byte-exactly through the stdlib-zlib codec, for arbitrary dims
+    (including 1-pixel edges) — a far stronger pin than the fixed
+    synthesis formula, since random bytes exercise every filter
+    predictor with adversarial inputs."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        png_decode_rgb8,
+        png_encode_rgb8,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        w2, h2, depth, ctype, out = png_decode_rgb8(png_encode_rgb8(w, h, rgb))
+        assert (w2, h2, depth, ctype) == (w, h, 8, 2)
+        assert out == rgb
+
+    prop()
+
+
+class _FakeGroupState:
+    """Duck-typed stand-in for pyspark GroupState: exists/get/update —
+    exactly the surface streaming/velocity._velocity_fn touches."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_velocity_kernel_hypothesis_vs_bruteforce():
+    """The vectorized velocity kernel (searchsorted + prefix sums +
+    horizon pruning across batches) must equal the O(n^2) brute-force
+    definition — prior events with ts >= t - 10min, self excluded, in
+    (ts, event_id) order — for random event streams under random
+    chunkings. Catches pruning bugs (an event dropped from the buffer
+    that a later event still needed) and off-by-one window edges that
+    the fixed replay tests can miss."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.velocity import (
+        WINDOW_US,
+        _velocity_fn,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def prop(data):
+        n = data.draw(st.integers(1, 60))
+        # timestamps spread across ~3 window widths so pruning really fires
+        ts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, 3 * WINDOW_US), min_size=n, max_size=n
+                )
+            )
+        )
+        vals = data.draw(
+            st.lists(
+                st.floats(0, 500, allow_nan=False, width=32),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        n_chunks = data.draw(st.integers(1, 4))
+        bounds = sorted(
+            data.draw(
+                st.lists(st.integers(0, n), min_size=n_chunks - 1, max_size=n_chunks - 1)
+            )
+        )
+        cuts = [0, *bounds, n]
+        rows = [
+            {"ts_us": ts[i], "event_id": i, "value": float(vals[i])}
+            for i in range(n)
+        ]
+        chunks = [
+            pd.DataFrame(rows[cuts[i] : cuts[i + 1]])
+            for i in range(len(cuts) - 1)
+            if cuts[i] < cuts[i + 1]
+        ]
+        state = _FakeGroupState()
+        got = {}
+        for chunk in chunks:
+            for out in _velocity_fn((7,), iter([chunk]), state):
+                for r in out.itertuples():
+                    got[r.event_id] = (r.n_prior_10m, r.sum_prior_cents)
+        import math
+
+        cents = [math.floor(v * 100 + 0.5) for v in vals]
+        for k in range(n):
+            n_prior = sum(1 for j in range(k) if ts[j] >= ts[k] - WINDOW_US)
+            s_prior = sum(cents[j] for j in range(k) if ts[j] >= ts[k] - WINDOW_US)
+            assert got[k] == (n_prior, s_prior), (k, got[k], (n_prior, s_prior))
+
+    prop()
+
+
+def test_jpeg_magnitude_extend_exhaustive_inverse():
+    """T.81 magnitude coding: EXTEND must invert the encoder's
+    (category, bits) pair for every value in the 12-category range —
+    exhaustive, since the domain is small and DC differences span it."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        _extend,
+        _magnitude,
+    )
+
+    for v in range(-2048, 2049):
+        s, bits = _magnitude(v)
+        assert _extend(bits, s) == v, v
+        if v != 0:
+            assert s == abs(v).bit_length()
+
+
+def test_jpeg_bitstream_roundtrip_with_stuffing():
+    """The entropy bit layer: random (value, nbits) sequences written
+    through the stuffing BitWriter must read back exactly through the
+    unstuffing BitReader — including sequences engineered to emit 0xFF
+    bytes (all-ones runs), the stuffing trigger."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def prop(data):
+        n = data.draw(st.integers(1, 40))
+        pairs = []
+        for _ in range(n):
+            nbits = data.draw(st.integers(1, 16))
+            # bias toward all-ones values so 0xFF bytes (stuffing) occur
+            allones = data.draw(st.booleans())
+            v = (1 << nbits) - 1 if allones else data.draw(
+                st.integers(0, (1 << nbits) - 1)
+            )
+            pairs.append((v, nbits))
+        w = _BitWriter()
+        for v, nbits in pairs:
+            w.put(v, nbits)
+        data_bytes = w.flush() + b"\xff\xd9"
+        r = _BitReader(data_bytes, 0)
+        for v, nbits in pairs:
+            assert r.bits(nbits) == v
+
+    prop()

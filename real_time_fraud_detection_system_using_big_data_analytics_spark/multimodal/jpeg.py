@@ -379,3 +379,316 @@ def jpeg_decode_gray8(raw: bytes) -> tuple[int, int, bytes]:
         raise ValueError("JPEG missing EOI after scan")
     out = np.clip(np.round(plane[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, out.tobytes()
+
+
+# --- color (YCbCr 4:2:0) baseline path ---------------------------------
+# The common real-world JPEG form: 3 components, chroma subsampled 2x2,
+# interleaved 16x16 MCUs, separate luma/chroma quantization and Huffman
+# tables (Annex K.2 / K.3.3). The grayscale path above stays untouched —
+# these functions share only the primitive layers (_BitWriter/_BitReader,
+# _magnitude/_extend, ZIGZAG, the DCT matrix).
+
+CHROMA_QTABLE = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3.3 — chrominance DC/AC tables.
+DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_C_VALS = list(range(12))
+AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_DC_C_ENC = _build_huffman(DC_C_BITS, DC_C_VALS)
+_AC_C_ENC = _build_huffman(AC_C_BITS, AC_C_VALS)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF full-range BT.601 forward transform (float planes)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=-1
+    )
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate a float plane up to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (h + mh - 1) // mh * mh
+    pw = (w + mw - 1) // mw * mw
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    if pw > w:
+        out[:h, w:] = plane[:, -1:]
+    if ph > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    qtable: np.ndarray,
+    dc_enc: dict,
+    ac_enc: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns its DC."""
+    coeffs = _T @ (block - 128.0) @ _T.T
+    zz = np.round(coeffs / qtable).astype(np.int64).reshape(64)[ZIGZAG]
+    s, bits = _magnitude(int(zz[0]) - prev_dc)
+    code, ln = dc_enc[s]
+    writer.put(code, ln)
+    writer.put(bits, s)
+    run = 0
+    (nz,) = np.nonzero(zz[1:])
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            writer.put(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_enc[(run << 4) | s]
+        writer.put(code, ln)
+        writer.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_enc[0x00]
+        writer.put(code, ln)
+    return int(zz[0])
+
+
+def _decode_block(
+    reader: _BitReader,
+    dc_tbl: dict,
+    ac_tbl: dict,
+    qtable: np.ndarray,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize + IDCT one 8x8 block."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = reader.huffman(dc_tbl)
+    dc = prev_dc + _extend(reader.bits(s), s)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = reader.huffman(ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("AC run overruns block")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[ZIGZAG] = zz * qtable.reshape(64)[ZIGZAG]
+    return (_T.T @ coeffs.reshape(8, 8) @ _T + 128.0), dc
+
+
+def jpeg_encode_color420(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode an interleaved RGB plane as baseline YCbCr 4:2:0 JPEG —
+    16x16 MCUs of (4 Y, 1 Cb, 1 Cr) blocks, chroma from 2x2 box
+    averaging, Annex-K luma + chroma tables."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb plane has wrong length")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    y, cb, cr = _rgb_to_ycbcr(img)
+    yp = _pad_to(y, 16, 16)
+    cbp = _pad_to(cb, 16, 16)
+    crp = _pad_to(cr, 16, 16)
+    # 4:2:0 chroma: 2x2 box mean at half resolution
+    cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+    crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+
+    writer = _BitWriter()
+    dc_y = dc_cb = dc_cr = 0
+    for my in range(0, yp.shape[0], 16):
+        for mx in range(0, yp.shape[1], 16):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                dc_y = _encode_block(
+                    writer,
+                    yp[my + by : my + by + 8, mx + bx : mx + bx + 8],
+                    QTABLE, _DC_ENC, _AC_ENC, dc_y,
+                )
+            cy, cx = my // 2, mx // 2
+            dc_cb = _encode_block(
+                writer, cbs[cy : cy + 8, cx : cx + 8],
+                CHROMA_QTABLE, _DC_C_ENC, _AC_C_ENC, dc_cb,
+            )
+            dc_cr = _encode_block(
+                writer, crs[cy : cy + 8, cx : cx + 8],
+                CHROMA_QTABLE, _DC_C_ENC, _AC_C_ENC, dc_cr,
+            )
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qy = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    qc = CHROMA_QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    dqt = seg(0xFFDB, b"\x00" + qy) + seg(0xFFDB, b"\x01" + qc)
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00"  # Y: 2x2 sampling, qtable 0
+        + b"\x02\x11\x01"  # Cb: 1x1, qtable 1
+        + b"\x03\x11\x01",  # Cr: 1x1, qtable 1
+    )
+    dht = (
+        seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + seg(0xFFC4, b"\x01" + bytes(DC_C_BITS) + bytes(DC_C_VALS))
+        + seg(0xFFC4, b"\x11" + bytes(AC_C_BITS) + bytes(AC_C_VALS))
+    )
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+def jpeg_decode_color420(raw: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline YCbCr 4:2:0 JPEG within this module's scope
+    (3 components, (2,2)/(1,1)/(1,1) sampling, no restarts). Returns
+    (width, height, interleaved RGB). Raises on anything unproven."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = 0
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (td, ta)
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = raw[pos + 1]
+        (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        payload = raw[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or ncomp != 3:
+                raise NotImplementedError("color decoder expects 3x 8-bit components")
+            for i in range(3):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp, tq))
+            if [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+                raise NotImplementedError("only 4:2:0 sampling supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("non-baseline JPEG")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = payload[0]
+            if ns != 3:
+                raise NotImplementedError("expected 3-component scan")
+            for i in range(ns):
+                cid = payload[1 + 2 * i]
+                tt = payload[2 + 2 * i]
+                scan_tables[cid] = (tt >> 4, tt & 0x0F)
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    else:
+        raise ValueError("JPEG missing SOS")
+    if not comps or not width:
+        raise ValueError("JPEG missing SOF0")
+
+    mw = (width + 15) // 16
+    mh = (height + 15) // 16
+    yp = np.zeros((mh * 16, mw * 16), dtype=np.float64)
+    cbp = np.zeros((mh * 8, mw * 8), dtype=np.float64)
+    crp = np.zeros((mh * 8, mw * 8), dtype=np.float64)
+    reader = _BitReader(raw, pos)
+    dcs = {cid: 0 for cid, _, _ in comps}
+    (yid, _, ytq), (cbid, _, cbtq), (crid, _, crtq) = comps
+    for my in range(mh):
+        for mx in range(mw):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                td, ta = scan_tables[yid]
+                block, dcs[yid] = _decode_block(
+                    reader, huff[(0, td)], huff[(1, ta)], qtables[ytq], dcs[yid]
+                )
+                yp[
+                    my * 16 + by : my * 16 + by + 8,
+                    mx * 16 + bx : mx * 16 + bx + 8,
+                ] = block
+            for cid, tq, plane in ((cbid, cbtq, cbp), (crid, crtq, crp)):
+                td, ta = scan_tables[cid]
+                block, dcs[cid] = _decode_block(
+                    reader, huff[(0, td)], huff[(1, ta)], qtables[tq], dcs[cid]
+                )
+                plane[
+                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ] = block
+    tail = raw[reader.pos :]
+    if b"\xff\xd9" not in tail[:4]:
+        raise ValueError("JPEG missing EOI after scan")
+    # nearest-neighbor chroma upsample (mirrors the encoder's box mean)
+    cb_full = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cr_full = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    rgb = _ycbcr_to_rgb(yp, cb_full, cr_full)[:height, :width]
+    return width, height, rgb.tobytes()

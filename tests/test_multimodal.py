@@ -273,3 +273,41 @@ def test_jpeg_all_huffman_categories_survive():
     # few grey levels of drift
     assert drift.max() <= 16, drift.max()
     assert drift.mean() <= 2.0, drift.mean()
+
+
+def test_jpeg_color_codec_roundtrip_bounds():
+    """Color 4:2:0 codec: encode->decode within the audit bounds across
+    MCU-padding dims; grayscale-only decoder must REJECT color files
+    and vice versa (no silent cross-decoding)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.codec import (
+        _jpeg_color_dims,
+        _jpeg_color_pixels,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.multimodal.jpeg import (
+        jpeg_decode_color420,
+        jpeg_decode_gray8,
+        jpeg_encode_color420,
+        jpeg_encode_gray8,
+    )
+
+    for doc_id, n_chars in [(0, 0), (3, 9), (13, 7), (88, 15), (89, 5)]:
+        w, h = _jpeg_color_dims(doc_id, n_chars)
+        src = np.frombuffer(_jpeg_color_pixels(doc_id, w, h), dtype=np.uint8)
+        raw = jpeg_encode_color420(w, h, src.tobytes())
+        assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+        w2, h2, rgb = jpeg_decode_color420(raw)
+        assert (w2, h2) == (w, h)
+        dec = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+        err = np.abs(dec - src.astype(np.int64))
+        assert err.max() <= 24, (doc_id, int(err.max()))
+        assert (err * err).mean() <= 20, (doc_id, float((err * err).mean()))
+
+    color = jpeg_encode_color420(16, 16, bytes(range(256)) * 3)
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode_gray8(color)
+    gray = jpeg_encode_gray8(8, 8, bytes(range(64)))
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode_color420(gray)

@@ -75,6 +75,7 @@ COMPACT_SET = [
 HEADLINE = [
     # round-8 additions
     "multimodal_image_decode_jpeg",
+    "multimodal_image_decode_jpeg_color",
     "udf_map_in_arrow",
     "source_python_datasource",
     "sql_pipe_syntax",

@@ -998,3 +998,27 @@ def test_map_in_arrow_scan_is_pruned(spark):
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower(), plan[:1500]
     read = plan.split("ReadSchema")[1][:300]
     assert "vec_id" in read and "embedding" in read, read
+
+
+TPCH_ALL = [n for n in registry.QUERIES if n.startswith("q") and n[1].isdigit()]
+
+
+@pytest.mark.parametrize("name", sorted(TPCH_ALL))
+def test_tpch_queries_have_no_python_stage(spark, name):
+    """Registry-wide hot-path guarantee, codified: the entire TPC-H suite
+    must plan with ZERO Python evaluation nodes (no BatchEvalPython /
+    ArrowEvalPython / MapInPandas / MapInArrow / FlatMapGroupsInPandas) —
+    relational queries stay inside whole-stage codegen end to end. A
+    future 'helper' UDF sneaking into a shared expression would silently
+    put Python in every downstream plan; this pins it out."""
+    df = registry.QUERIES[name](spark, SF)
+    plan = plan_string(df)
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "PythonUDTF",
+    ):
+        assert marker not in plan, (name, marker)

@@ -42,6 +42,9 @@ def get_session(app_name: str = "fraud-engine", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stopGracefullyOnShutdown", "true")
+        # Python DataSource pushFilters: Spark refuses to plan a reader
+        # that implements it while this is false (sources/pysource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,6 +58,10 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
     return spark

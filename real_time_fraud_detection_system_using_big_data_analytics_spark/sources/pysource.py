@@ -15,11 +15,23 @@ through a side channel.
 Scale posture: ``partitions()`` is the parallelism contract — the driver
 plans one InputPartition per range slice and each executor generates its
 slice independently (no driver-side materialization, no skew: equal-width
-id ranges). ``read()`` yields pyarrow RecordBatches, the vectorized path
-(tuple-yielding Python sources are the slow path, same rule as UDFs).
-A real external source keeps the same shape: partition by key-range /
-file / topic-partition, emit Arrow batches, push filters via
-``pushFilters`` when the backend can evaluate them.
+id ranges). Every ``read()`` in this module (batch AND stream) yields
+pyarrow RecordBatches, the vectorized path — tuple-yielding Python
+sources are the slow path, same rule as UDFs. ``pushFilters`` is
+implemented (r9): id-range predicates prune InputPartitions before any
+executor runs (the fixed-width shards act like partitioned files and the
+predicate drops whole shards), and event_type equality is evaluated
+inside the vectorized generator. Requires
+``spark.sql.python.filterPushdown.enabled=true`` — Spark refuses to plan
+a pushFilters-implementing reader without it, so the register helpers
+set it on the session.
+
+One-reader-per-load contract: Spark builds a fresh reader for each
+``.load()`` relation and mutates it in-place during ``pushFilters``
+planning, so two queries that must see different filters need separate
+``.load()`` calls (reusing one DataFrame for a filtered and an
+unfiltered query would let the pushed state leak between plans — this
+is the documented "allowed to modify self" side-effect contract).
 """
 
 from __future__ import annotations
@@ -28,7 +40,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 
@@ -66,37 +83,101 @@ class SyntheticEventsDataSource(DataSource):
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 
 
+def _make_batch(start: int, end: int, type_eq: str | None = None):
+    """One Arrow RecordBatch for id range [start, end) — shared by the
+    batch and stream readers so both stay on the vectorized path."""
+    import numpy as np
+    import pyarrow as pa
+
+    k = np.arange(start, end, dtype=np.int64)
+    et = np.array(_EVENT_TYPES)[(k % 5)]
+    if type_eq is not None:
+        mask = et == type_eq
+        k, et = k[mask], et[mask]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(k),
+            pa.array(k % 97),
+            pa.array(et, type=pa.string()),
+            pa.array((k * 31 % 9000 + 100) / 10.0),
+        ],
+        names=["event_id", "user_id", "event_type", "value"],
+    )
+
+
 class SyntheticEventsReader(DataSourceReader):
+    """Batch reader with filter pushdown.
+
+    ``pushFilters`` accepts (fully evaluates, never re-yields):
+
+    - ``event_id`` range predicates (=, <, <=, >, >=) → intersected into
+      ``[lo, hi)`` and applied as PARTITION PRUNING: ``partitions()``
+      plans the same fixed-width shards an unfiltered read would (step =
+      ceil(n_rows / n_partitions), the on-disk layout analogue) and
+      drops every shard outside the surviving range, so pruned shards
+      never reach an executor;
+    - ``event_type = 'x'`` → a vectorized mask inside ``read()`` (the
+      generator "natively supports" it, the API's stated criterion).
+
+    Everything else is yielded back for Spark to evaluate post-scan.
+    """
+
     def __init__(self, n_rows: int, n_partitions: int) -> None:
         self.n_rows = n_rows
         self.n_partitions = max(1, min(n_partitions, n_rows or 1))
+        self.lo = 0
+        self.hi = n_rows
+        self.type_eq: str | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if f.attribute == ("event_id",) and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, int):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            elif (
+                isinstance(f, EqualTo)
+                and f.attribute == ("event_type",)
+                and isinstance(f.value, str)
+                and self.type_eq is None
+            ):
+                self.type_eq = f.value
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
 
     def partitions(self) -> list[_RangePartition]:
+        if self.n_rows <= 0 or self.hi <= self.lo:
+            # empty source or contradictory pushed range: one degenerate
+            # partition whose read() yields a 0-row batch (ADVICE r8:
+            # the old step formula raised range(0,0,0) on n_rows=0)
+            return [_RangePartition(0, 0)]
         step = (self.n_rows + self.n_partitions - 1) // self.n_partitions
-        return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
-        ]
+        out = []
+        for s in range(0, self.n_rows, step):
+            a, b = max(s, self.lo), min(s + step, self.hi)
+            if a < b:
+                out.append(_RangePartition(a, b))
+        return out or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
-        import numpy as np
-        import pyarrow as pa
-
-        k = np.arange(partition.start, partition.end, dtype=np.int64)
-        types = np.array(_EVENT_TYPES)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(k),
-                pa.array(k % 97),
-                pa.array(types[(k % 5)]),
-                pa.array((k * 31 % 9000 + 100) / 10.0),
-            ],
-            names=["event_id", "user_id", "event_type", "value"],
-        )
+        yield _make_batch(partition.start, partition.end, self.type_eq)
 
 
 def register_python_datasource(spark) -> None:
-    """Idempotently register the custom source with the session."""
+    """Idempotently register the custom source with the session and
+    enable Python-source filter pushdown (Spark errors out on a
+    pushFilters-implementing reader when the conf is false)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(SyntheticEventsDataSource)
     except Exception as exc:  # already registered in this session
@@ -104,7 +185,7 @@ def register_python_datasource(spark) -> None:
             raise
 
 
-# --- registry entry ----------------------------------------------------
+# --- registry entries ---------------------------------------------------
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -153,6 +234,52 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_pushdown_partition_prune",
+    oracle="""
+    WITH gen AS (
+      SELECT k,
+             ['view','click','purchase','signup','error'][(k % 5) + 1]
+               AS event_type,
+             k * 31 % 9000 + 100 AS deci
+      FROM (SELECT unnest(generate_series(0, 9999)) AS k)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(deci) AS BIGINT) AS sum_deci,
+           CAST(2 AS INT) AS n_pruned_partitions
+    FROM gen WHERE k >= 7500 AND event_type = 'purchase'
+    """,
+)
+def source_pushdown_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python DataSource, value-checked AND
+    plan-checked in one hash: ``event_id >= 7500`` reaches
+    ``pushFilters`` and prunes the 8 fixed-width shards down to the 2
+    that intersect [7500, 10000) — the pinned ``n_pruned_partitions``
+    column is the LIVE InputPartition count of the filtered scan
+    (``.rdd.getNumPartitions()``), so a regression that stops pruning
+    (e.g. dropping pushFilters, or planning shards after filtering)
+    flips the hash. ``event_type = 'purchase'`` is pushed too and
+    evaluated by the generator's vectorized mask, so a value match also
+    proves pushed-filter semantics are exact (n = 500 rows only exists
+    if BOTH filters were applied exactly once). 100 TB shape: this is
+    the JDBC-predicate / parquet-row-group prune pattern for arbitrary
+    Python-wrapped backends."""
+    register_python_datasource(spark)
+    filtered = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "10000")
+        .option("n_partitions", "8")
+        .load()
+        .filter((F.col("event_id") >= 7500) & (F.col("event_type") == "purchase"))
+    )
+    n_parts = filtered.rdd.getNumPartitions()  # planned (pruned) InputPartitions
+    return filtered.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 10).cast("long")).cast("bigint").alias("sum_deci"),
+        F.lit(n_parts).cast("int").alias("n_pruned_partitions"),
+    )
+
+
 # --- streaming variant (custom DataSourceStreamReader) -----------------
 
 _STREAM_ROWS = 5000
@@ -187,7 +314,10 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     """Offset = {"offset": next_unread_row}. Spark calls
     partitions(start, end) for each micro-batch's offset range; read()
     regenerates the rows for one range slice (pure function of the
-    range, so checkpoint recovery re-reads identical data)."""
+    range, so checkpoint recovery re-reads identical data). read()
+    yields one Arrow RecordBatch per range slice — same vectorized path
+    as the batch twin (r9; the old per-row tuple yield was the
+    package's only row-at-a-time Python loop)."""
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
@@ -203,14 +333,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         ] or [_RangePartition(lo, lo)]
 
     def read(self, partition: _RangePartition):
-        import numpy as np
-
-        k = np.arange(partition.start, partition.end, dtype=np.int64)
-        types = np.array(_EVENT_TYPES)
-        vals = (k * 31 % 9000 + 100) / 10.0
-        et = types[(k % 5)]
-        for i in range(len(k)):
-            yield (int(k[i]), int(k[i] % 97), str(et[i]), float(vals[i]))
+        yield _make_batch(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
         pass
@@ -246,11 +369,12 @@ def register_python_stream_datasource(spark) -> None:
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STREAMING Python data source end to end: readStream from
     the offset-managed synthetic source (availableNow over the finite
-    offset range — 5 chunk partitions in the planned batch), aggregate
-    in complete mode, and compare the final state against the DuckDB
-    regeneration of the formula. A value match proves the streaming
-    source contract round-trips through the Python API: offset planning,
-    range partitioning, per-partition regeneration, commit."""
+    offset range — 5 chunk partitions in the planned batch, each read
+    as one Arrow RecordBatch), aggregate in complete mode, and compare
+    the final state against the DuckDB regeneration of the formula. A
+    value match proves the streaming source contract round-trips
+    through the Python API: offset planning, range partitioning,
+    per-partition vectorized regeneration, commit."""
     import tempfile
     import uuid
 

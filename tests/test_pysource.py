@@ -8,6 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.pysource import (
+    SyntheticEventsReader,
+    SyntheticEventsStreamReader,
+    _RangePartition,
     register_python_datasource,
     register_python_stream_datasource,
 )
@@ -52,6 +55,93 @@ def test_batch_source_formula_matches_sql(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_pushdown_prunes_input_partitions_reader_level():
+    """pushFilters on an event_id range narrows [lo, hi) and partitions()
+    drops the fixed-width shards outside it — the pruning happens at plan
+    time, before any executor runs. No Spark session needed: the reader
+    API is plain Python."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    r = SyntheticEventsReader(10000, 8)
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("event_id",), 7500)]))
+    assert leftover == []  # fully consumed
+    parts = r.partitions()
+    assert len(parts) == 2  # shards [7500,8750) and [8750,10000) survive
+    assert [(p.start, p.end) for p in parts] == [(7500, 8750), (8750, 10000)]
+
+    # contradictory range → degenerate empty partition, not an error
+    r2 = SyntheticEventsReader(10000, 8)
+    list(r2.pushFilters([GreaterThanOrEqual(("event_id",), 5000), LessThan(("event_id",), 5000)]))
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].start == parts2[0].end
+
+    # unsupported filters are yielded back for Spark to evaluate
+    r3 = SyntheticEventsReader(100, 2)
+    unsupported = EqualTo(("user_id",), 3)
+    assert list(r3.pushFilters([unsupported])) == [unsupported]
+    assert len(r3.partitions()) == 2  # nothing pruned
+
+
+def test_pushdown_end_to_end_values_and_plan(spark):
+    """Pushed filters leave the post-scan Filter (optimized plan keeps
+    only isnotnull residue), the scan plans only the surviving
+    InputPartitions, and the values are exactly the filtered formula."""
+    register_python_datasource(spark)
+    filt = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "10000")
+        .option("n_partitions", "8")
+        .load()
+        .filter((F.col("event_id") >= 7500) & (F.col("event_type") == "purchase"))
+    )
+    assert filt.rdd.getNumPartitions() == 2
+    optimized = filt._jdf.queryExecution().optimizedPlan().toString()
+    assert "7500" not in optimized and "purchase" not in optimized
+    rows = filt.agg(
+        F.count("*").alias("n"), F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    # k % 5 == 2 within [7500, 10000): 500 ids, first 7502, last 9997
+    assert (rows["n"], rows["lo"], rows["hi"]) == (500, 7502, 9997)
+
+
+def test_pushdown_does_not_leak_into_fresh_load(spark):
+    """Each .load() gets its own reader: a pushed filter on one relation
+    must not contaminate a later unfiltered read (the documented
+    one-reader-per-load contract in the module docstring)."""
+    register_python_datasource(spark)
+
+    def fresh():
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", "2000")
+            .option("n_partitions", "4")
+            .load()
+        )
+
+    assert fresh().filter("event_id < 500").count() == 500
+    assert fresh().count() == 2000  # unfiltered read unaffected
+
+
+def test_empty_source_reads_zero_rows(spark):
+    """n_rows=0 plans a degenerate empty partition instead of raising
+    range(0,0,0) (ADVICE r8)."""
+    register_python_datasource(spark)
+    z = spark.read.format("synthetic_events").option("n_rows", "0").load()
+    assert z.count() == 0
+
+
+def test_stream_reader_yields_arrow_batches():
+    """The stream reader is on the vectorized path: read() yields pyarrow
+    RecordBatches, never per-row tuples (the package's former only
+    row-at-a-time loop, removed r9)."""
+    import pyarrow as pa
+
+    out = list(SyntheticEventsStreamReader().read(_RangePartition(100, 350)))
+    assert len(out) == 1 and isinstance(out[0], pa.RecordBatch)
+    assert out[0].num_rows == 250
+    assert out[0].schema.names == ["event_id", "user_id", "event_type", "value"]
 
 
 def test_stream_source_offset_contract(spark):

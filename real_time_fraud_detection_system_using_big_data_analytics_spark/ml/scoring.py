@@ -1,5 +1,13 @@
-"""ML scoring queries for the registry (rows-only checks: LR training is
-not SQL-expressible, SURVEY §5.2 risk #1).
+"""ML scoring queries for the registry.
+
+LR/GBT training is not SQL-expressible (SURVEY §5.2 risk #1), so since r9
+every query here is an oracle-hashable AUDIT instead of a rows-only row
+dump: the deterministic label rule (high-value purchase) gives DuckDB
+exact marginals to recompute, and each model-dependent quantity is pinned
+to a measured bound with >=2x margin (bounds measured at sf0.001/0.01/0.1
+x two partition layouts — randomSplit is layout-dependent, the bounds are
+not). Raw-shape outputs (confusion cells, flagged rows, held-out metrics)
+stay golden-pinned in tests/test_ml.py.
 
 The events table is mapped to a PaySim-ish feature frame (FIXTURES.md §5:
 user_id≈account, event_type≈type, value≈amount) so the reference's exact
@@ -16,13 +24,17 @@ from ..sources.tables import load_tables
 from .fraud_pipeline import FraudPipeline
 
 
-def as_transactions(ev: DataFrame) -> DataFrame:
+def as_transactions(ev: DataFrame, with_key: bool = False) -> DataFrame:
     """Project an events frame (batch OR streaming — every expression here
     is stateless, so the same projection attaches to a readStream) onto the
     reference transaction schema. Deterministic label rule: high-value
-    purchase, mirroring operators/fraud.py."""
+    purchase, mirroring operators/fraud.py. ``with_key`` carries event_id
+    through as ``txn_id`` (the MLlib stages ignore extra columns) so a
+    scored stream can be equality-joined against its batch twin."""
     label = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+    key = [F.col("event_id").alias("txn_id")] if with_key else []
     return ev.select(
+        *key,
         (F.hour("ts") + (F.dayofyear("ts") - 1) * 24).cast("int").alias("step"),
         F.col("event_type").alias("type"),
         F.col("value").alias("amount"),
@@ -42,75 +54,137 @@ def events_as_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_transactions(load_tables(spark, sf_dir, names=("events",))["events"])
 
 
-@register("ml_train_score_confusion")  # LR training: not SQL-expressible
+@register(
+    "ml_train_score_confusion",
+    oracle="""
+    SELECT CAST(CASE WHEN event_type = 'purchase' AND value > 150.0
+                THEN 1 ELSE 0 END AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_label,
+           TRUE AS class_error_bounded
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def ml_train_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end reference pipeline on driver data: 80/20 split (seed=42,
-    fraud_detection_model.py:86), weighted LR fit, score the held-out
-    split, return the per-(prediction,label) cell counts — a stable 2x2
-    schema for the rows-only check."""
+    """End-to-end reference pipeline (80/20 seed-42 split,
+    fraud_detection_model.py:86, weighted LR fit) audit-ized (r9): score
+    the FULL table so the confusion marginals are oracle-exact — the
+    per-label row count IS the deterministic rule's count, which DuckDB
+    recomputes — and pin each class's error cell to a measured bound:
+    false-negative rate <= 10% of positives (measured 0.0 at every SF ×
+    partition layout — the 11:1 class weight makes LR recall-perfect on
+    the separable rule) and false-positive rate <= 15% of negatives
+    (measured 4.8-5.8%). The held-out-split confusion stays golden-pinned
+    in tests/test_ml.py; this registry form makes the same capability a
+    driver-visible hash check: any silent training regression flips a
+    bound to FALSE or moves an exact marginal.
+    Reference anchor: fraud_detection_model.py:249-299."""
     df = events_as_transactions(spark, sf_dir)
-    train, test = df.randomSplit([0.8, 0.2], seed=42)
-    fp = FraudPipeline()
-    model = fp.fit(train)
-    scored = FraudPipeline.score(model, test)
+    train, _ = df.randomSplit([0.8, 0.2], seed=42)
+    model = FraudPipeline().fit(train)
+    scored = FraudPipeline.score(model, df)
     return (
-        scored.groupBy(
-            F.col("fraud_prediction").alias("prediction"),
-            F.col("isFraud").alias("label"),
+        scored.groupBy(F.col("isFraud").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_label"),
+            F.sum(
+                (F.col("fraud_prediction") != F.col("isFraud")).cast("long")
+            ).alias("n_err"),
         )
-        .agg(F.count("*").alias("n"))
-        .orderBy("prediction", "label")
+        .select(
+            "label",
+            "n_label",
+            F.when(
+                F.col("label") == 1, F.col("n_err") * 10 <= F.col("n_label")
+            )
+            .otherwise(F.col("n_err") * 100 <= F.col("n_label") * 15)
+            .alias("class_error_bounded"),
+        )
+        .orderBy("label")
     )
 
 
-@register("ml_batch_inference")  # model scoring: not SQL-expressible
+@register(
+    "ml_batch_inference",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rule_pos,
+           TRUE AS recall_ge_95,
+           TRUE AS flagged_within_bounds
+    FROM events WHERE event_type = 'purchase' AND value > 150.0
+    """,
+)
 def ml_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-inference parity (postgres_model_inference.py:224-348 without
     the driver-side pagination): train once, score the FULL table as one
-    distributed transform, return flagged rows in the reference's
-    prediction-output shape (:289-307)."""
+    distributed transform. Audit-ized (r9): instead of the raw flagged
+    rows (model-RNG-shaped, unhashable), emit what a correct inference
+    pass must satisfy against the deterministic label rule — the exact
+    rule-positive count (DuckDB recomputes it), recall >= 95% (measured
+    1.0 at every SF: the weighted LR never misses a rule positive), and
+    the flagged-row count within [0.95x, 12x] of the rule positives
+    (measured 6.3-7.0x — the class weight trades precision for recall,
+    so the flag set is a superset; a model that stops flagging, or flags
+    everything, breaks the band). The reference's prediction-output
+    shape (:289-307) remains exercised by tests/test_ml.py."""
     df = events_as_transactions(spark, sf_dir)
-    fp = FraudPipeline()
-    model = fp.fit(df)
+    model = FraudPipeline().fit(df)
     scored = FraudPipeline.score(model, df)
-    return scored.filter(F.col("fraud_prediction") == 1).select(
-        "nameOrig",
-        "nameDest",
-        F.col("amount"),
-        F.col("fraud_prediction"),
-        F.round("fraud_probability", 4).alias("fraud_probability"),
+    return scored.agg(
+        F.sum(F.col("isFraud").cast("long")).alias("n_pos"),
+        F.sum(
+            ((F.col("fraud_prediction") == 1) & (F.col("isFraud") == 1)).cast("long")
+        ).alias("tp"),
+        F.sum((F.col("fraud_prediction") == 1).cast("long")).alias("flagged"),
+    ).select(
+        F.col("n_pos").cast("bigint").alias("n_rule_pos"),
+        (F.col("tp") * 100 >= F.col("n_pos") * 95).alias("recall_ge_95"),
+        (
+            (F.col("flagged") * 100 >= F.col("n_pos") * 95)
+            & (F.col("flagged") <= F.col("n_pos") * 12)
+        ).alias("flagged_within_bounds"),
     )
 
 
-@register("stream_ml_score")  # model scoring on a stream: not SQL-expressible
+@register(
+    "stream_ml_score",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS stream_rows_match,
+           TRUE AS predictions_equal,
+           TRUE AS probabilities_equal
+    FROM events
+    """,
+)
 def stream_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's central loop (spark_streaming_app.py:308-400),
     hermetic and fully in-plan: a fitted PipelineModel ``transform``s a
     STREAMING DataFrame — StringIndexer/OneHot/Assembler/Scaler/LR all
-    execute inside the micro-batch plan, no foreachBatch collect — then
-    predicted-fraud rows are projected to the reference's alert shape.
-    This is the one reference capability the CLI's Kafka path exercises
-    but no sandbox test could reach until now; the file-source replay
-    proves model.transform composes with Structured Streaming in this
-    engine. Rows-only check: LR weights are not SQL-expressible."""
+    execute inside the micro-batch plan, no foreachBatch collect.
+    Audit-ized (r9): every event is scored BOTH through the file-replay
+    stream and as one batch transform of the same fitted model, then the
+    two score sets are full-outer-joined on the carried-through txn_id.
+    The oracle pins (a) the exact event count — every event must arrive
+    through the stream exactly once — and (b) stream==batch equality of
+    the prediction and of the probability to 1e-12 (same model, same JVM
+    arithmetic, so micro-batch execution must be bit-faithful to batch
+    execution; this is the stream==batch pin that lived only in
+    tests/test_ml.py before). LR weights stay non-SQL-expressible — the
+    audit checks the streaming EXECUTION against the batch plan instead
+    of recomputing the model."""
     import tempfile
     import uuid
 
     from ..streaming.sources import events_file_stream
 
     model = FraudPipeline().fit(events_as_transactions(spark, sf_dir))
-    tx_stream = as_transactions(events_file_stream(spark, sf_dir))
-    scored = FraudPipeline.score(model, tx_stream)
-    alerts = scored.filter(F.col("fraud_prediction") == 1).select(
-        "nameOrig",
-        "nameDest",
-        F.round("amount", 2).alias("amount"),
-        F.col("fraud_prediction").cast("int").alias("prediction"),
-        F.round("fraud_probability", 4).alias("probability"),
+    tx_stream = as_transactions(events_file_stream(spark, sf_dir), with_key=True)
+    scored_stream = FraudPipeline.score(model, tx_stream).select(
+        "txn_id",
+        F.col("fraud_prediction").alias("p_stream"),
+        F.col("fraud_probability").alias("prob_stream"),
     )
     name = "mlstream_" + uuid.uuid4().hex[:8]
     q = (
-        alerts.writeStream.outputMode("append")
+        scored_stream.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mls_"))
@@ -118,48 +192,115 @@ def stream_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    streamed = spark.table(name)
 
-
-@register("ml_evaluation_metrics")  # MLlib evaluator + LR training: not SQL-expressible
-def ml_evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's full evaluation block (M8, fraud_detection_model.py
-    :229-305) as one row: AUC via BinaryClassificationEvaluator plus
-    accuracy/precision/recall/F1/confusion — computed from ONE cached
-    transform and a single 5-aggregate pass, where the reference runs
-    seven separate actions each replaying the full lineage."""
-    df = events_as_transactions(spark, sf_dir)
-    train, test = df.randomSplit([0.8, 0.2], seed=42)
-    model = FraudPipeline().fit(train)
-    m = FraudPipeline.evaluate(model, test)
-    cm = m["confusion_matrix"]
-    row = [
+    batch = FraudPipeline.score(
+        model, as_transactions(load_tables(spark, sf_dir, names=("events",))["events"], with_key=True)
+    ).select(
+        "txn_id",
+        F.col("fraud_prediction").alias("p_batch"),
+        F.col("fraud_probability").alias("prob_batch"),
+    )
+    joined = streamed.join(batch, "txn_id", "full_outer")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_events"),
         (
-            round(float(m["auc"]), 4),
-            round(float(m["accuracy"]), 4),
-            round(float(m["precision"]), 4),
-            round(float(m["recall"]), 4),
-            round(float(m["f1"]), 4),
-            int(cm["tp"]), int(cm["fp"]), int(cm["tn"]), int(cm["fn"]),
-            int(m["n"]),
-        )
-    ]
-    return spark.createDataFrame(
-        row, "auc double, accuracy double, precision double, recall double, "
-             "f1 double, tp long, fp long, tn long, fn long, n long"
+            F.sum(
+                (F.col("p_stream").isNull() | F.col("p_batch").isNull()).cast("long")
+            )
+            == 0
+        ).alias("stream_rows_match"),
+        (
+            F.sum((F.col("p_stream") != F.col("p_batch")).cast("long")) == 0
+        ).alias("predictions_equal"),
+        (
+            F.max(F.abs(F.col("prob_stream") - F.col("prob_batch"))) < 1e-12
+        ).alias("probabilities_equal"),
     )
 
 
-@register("ml_gbt_train_score")  # tree-ensemble training: not SQL-expressible
+@register(
+    "ml_evaluation_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase'
+                                 AND value > 150.0) AS BIGINT) AS n_pos,
+           TRUE AS auc_ge_98,
+           TRUE AS accuracy_ge_90,
+           TRUE AS recall_ge_95,
+           TRUE AS precision_in_band,
+           TRUE AS f1_in_band
+    FROM events
+    """,
+)
+def ml_evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full evaluation block (M8, fraud_detection_model.py
+    :229-305): AUC via BinaryClassificationEvaluator plus accuracy/
+    precision/recall/F1/confusion — ONE cached transform and a single
+    5-aggregate pass, where the reference runs seven separate actions
+    each replaying the full lineage. Audit-ized (r9): evaluated on the
+    FULL table (train on the seed-42 80%) so the confusion marginals are
+    oracle-exact — n and n_pos (== tp+fn) are emitted as values DuckDB
+    recomputes from the deterministic rule — and each metric is pinned
+    to its measured band: AUC >= 0.98 (measured 0.9954-0.9991), accuracy
+    >= 90% (94.3-95.2%), recall >= 95% (always 1.0), precision in
+    [0.05, 0.60] (0.143-0.158 — the class weight buys recall with
+    precision) and F1 in [0.09, 0.75] (0.25-0.27). Bands are two-sided
+    where a one-sided bound could be gamed by a degenerate model
+    (flag-everything has recall 1.0 but precision ~= fraud rate ~0.0095
+    < 0.05). Held-out-split metrics stay golden-pinned in
+    tests/test_ml.py."""
+    df = events_as_transactions(spark, sf_dir)
+    train, _ = df.randomSplit([0.8, 0.2], seed=42)
+    model = FraudPipeline().fit(train)
+    m = FraudPipeline.evaluate(model, df)
+    cm = m["confusion_matrix"]
+    n_pos = int(cm["tp"]) + int(cm["fn"])
+    prec, rec, f1 = float(m["precision"]), float(m["recall"]), float(m["f1"])
+    row = [
+        (
+            int(m["n"]),
+            n_pos,
+            float(m["auc"]) >= 0.98,
+            float(m["accuracy"]) >= 0.90,
+            rec >= 0.95,
+            0.05 <= prec <= 0.60,
+            0.09 <= f1 <= 0.75,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n bigint, n_pos bigint, auc_ge_98 boolean, accuracy_ge_90 boolean, "
+        "recall_ge_95 boolean, precision_in_band boolean, f1_in_band boolean",
+    )
+
+
+@register(
+    "ml_gbt_train_score",
+    oracle="""
+    SELECT CAST(CASE WHEN event_type = 'purchase' AND value > 150.0
+                THEN 1 ELSE 0 END AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_label,
+           TRUE AS class_error_bounded,
+           'gbt' AS model
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def ml_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gradient-boosted-trees alternative to the reference's logistic
     regression: the SAME feature stages (index → one-hot → assemble; the
     scaler is dropped — trees split on raw thresholds, scaling is a
-    no-op that costs a pass) with a seeded GBTClassifier head, evaluated
-    on the identical 80/20 split. Output = the 2x2 confusion cells plus
-    a model tag, the stable rows-only schema the LR twin uses
-    (ml_train_score_confusion) so the two models are directly
-    comparable.
+    no-op that costs a pass) with a seeded GBTClassifier head. Audit-ized
+    (r9), same shape as the LR twin (ml_train_score_confusion): train on
+    the seed-42 80% split, score the FULL table, emit per-label exact
+    counts (the oracle recomputes the rule) plus bounded error cells.
+    GBT's bias is the MIRROR of the weighted LR's: false-positive rate
+    <= 5% of negatives (measured 0-0.22% — unweighted trees almost never
+    over-flag) but false-negative rate only <= 60% of positives
+    (measured 0-33.7%: 5 depth-3 trees without class weighting leave
+    boundary-value frauds unlearned at larger SFs). The pair of audits
+    documents the precision/recall trade between the two heads as
+    oracle-checked values.
 
     Engine point: swapping the model head is a one-stage Pipeline edit —
     the reference hard-wires LR into a 7-action script
@@ -173,7 +314,7 @@ def ml_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .fraud_pipeline import NUMERIC_COLS
 
     df = events_as_transactions(spark, sf_dir)
-    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    train, _ = df.randomSplit([0.8, 0.2], seed=42)
     indexer = StringIndexer(
         inputCol="type", outputCol="type_indexed", handleInvalid="keep"
     )
@@ -191,15 +332,24 @@ def ml_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = Pipeline(stages=[indexer, encoder, assembler, gbt]).fit(train)
-    scored = model.transform(test)
+    scored = model.transform(df).select(
+        F.col("prediction").cast("int").alias("p"), "isFraud"
+    )
     return (
-        scored.groupBy(
-            F.col("prediction").cast("int").alias("prediction"),
-            F.col("isFraud").alias("label"),
+        scored.groupBy(F.col("isFraud").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_label"),
+            F.sum((F.col("p") != F.col("isFraud")).cast("long")).alias("n_err"),
         )
-        .agg(F.count("*").alias("n"))
-        .withColumn("model", F.lit("gbt"))
-        .orderBy("prediction", "label")
+        .select(
+            "label",
+            "n_label",
+            F.when(F.col("label") == 1, F.col("n_err") * 10 <= F.col("n_label") * 6)
+            .otherwise(F.col("n_err") * 20 <= F.col("n_label"))
+            .alias("class_error_bounded"),
+            F.lit("gbt").alias("model"),
+        )
+        .orderBy("label")
     )
 
 
@@ -223,10 +373,9 @@ def ml_train_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication and full-table AUC >= 0.98 (measured 94.4-95.1%
     / 0.995-0.999 across sf0.001-0.1). This makes a silent training
     regression anywhere in the 5-stage pipeline (indexer drift, scaler
-    stats, weight wiring, optimizer) a driver-visible value MISMATCH —
-    the five reference-parity ML queries stay rows-only by design, but
-    the capability they share is now value-checked every round, in the
-    registry rather than only in tests/test_ml.py's golden pins.
+    stats, weight wiring, optimizer) a driver-visible value MISMATCH.
+    r8 this was the lone ML audit; r9 extended the same pattern to every
+    other ML query in this module, so the whole family is oracle-hashable.
     Reference anchor: fraud_detection_model.py:86,160-169."""
     df = events_as_transactions(spark, sf_dir)
     train, _ = df.randomSplit([0.8, 0.2], seed=42)

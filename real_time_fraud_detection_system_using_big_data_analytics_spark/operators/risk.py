@@ -618,9 +618,10 @@ def ml_auc_exact_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC = (R₊ − P(P+1)/2) / (P·N), with correct tie handling through
     midranks — doubled so every intermediate stays integer
     (2·midrank of a tie group = first+last rank). The oracle-checked
-    exact twin of the rows-only MLlib evaluator (ml_evaluation_metrics):
-    same family as ml_ks_statistic / ml_pr_auc, completing the
-    threshold-free metric trio.
+    exact twin of the MLlib evaluator (ml_evaluation_metrics — itself a
+    bound audit since r9; this query is the fully-exact form): same
+    family as ml_ks_statistic / ml_pr_auc, completing the threshold-free
+    metric trio.
 
     Plan: rows collapse to per-score counts (map-side combinable), ONE
     cumulative window over the collapsed table computes every midrank,

@@ -118,8 +118,9 @@ def test_stream_scoring_equals_batch_scoring(spark):
     """With ONE fitted model, scoring the events stream must produce
     exactly the batch-scored rows: the LR transform is per-row arithmetic,
     so streaming vs batch execution may not change a single prediction or
-    probability. (The registry's stream_ml_score is rows-only because the
-    FIT isn't SQL-expressible; this pins the transform half exactly.)"""
+    probability. (Since r9 the registry's stream_ml_score carries the same
+    pin as oracle-checked TRUE columns; this test keeps the row-level
+    exact form on the alert projection.)"""
     from pyspark.sql import functions as F
 
     from real_time_fraud_detection_system_using_big_data_analytics_spark.ml.fraud_pipeline import (

@@ -73,6 +73,10 @@ COMPACT_SET = [
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
+    # round-9 additions
+    "source_pushdown_partition_prune",
+    "ml_train_rule_agreement",
+    "stream_ml_score",
     # round-8 additions
     "multimodal_image_decode_jpeg",
     "multimodal_image_decode_jpeg_color",
@@ -269,6 +273,28 @@ def main() -> None:
     shared28_min = round(sum(times[n] for n in COMPACT_SET if n in times), 3)
     shared28_median = round(sum(medians[n] for n in COMPACT_SET if n in medians), 3)
 
+    # Run-to-run spread (r8 verdict task 5): one bench invocation's totals
+    # sit somewhere in a ~10% host-noise band, so a single committed run is
+    # not acceptance-readable on its own. Every full run appends its
+    # shared-28 totals to BENCH_RUNS.jsonl (committed), and the artifact
+    # carries the recent runs' totals so the judge reads the BAND, not one
+    # draw. Subset/smoke runs don't pollute the history.
+    runs_history: list[dict] = []
+    if not subset:
+        hist_path = Path(__file__).resolve().parent / "BENCH_RUNS.jsonl"
+        entry = {
+            "unix_ts": round(time.time(), 1),
+            "sf": sf,
+            "shared28_min": shared28_min,
+            "shared28_median": shared28_median,
+            "n_queries": len(times),
+        }
+        with hist_path.open("a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        with hist_path.open() as fh:
+            all_runs = [json.loads(line) for line in fh if line.strip()]
+        runs_history = [r for r in all_runs if r.get("sf") == sf][-5:]
+
     # Reference-defined metrics (BASELINE.md): the quantities the
     # reference's own instrumentation measures, re-measured on our engine
     # at the same sf so the bench report stays comparable.
@@ -296,6 +322,8 @@ def main() -> None:
         "query_spread": spread,
         "shared28_min": shared28_min,
         "shared28_median": shared28_median,
+        "shared28_median_runs": [r["shared28_median"] for r in runs_history],
+        "shared28_min_runs": [r["shared28_min"] for r in runs_history],
         "sf": sf,
         "n_queries": len(times),
         "reference_metrics": ref_metrics,
@@ -322,6 +350,8 @@ def main() -> None:
                 "queries": compact_times,
                 "shared28_min": shared28_min,
                 "shared28_median": shared28_median,
+                "shared28_median_runs": [r["shared28_median"] for r in runs_history],
+                "shared28_min_runs": [r["shared28_min"] for r in runs_history],
                 "sf": sf,
                 "n_queries": len(times),
                 "full_breakdown": "BENCH_SELF.json",
@@ -453,24 +483,70 @@ def sustained_streaming_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
             (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
         ).select("event_id", "user_id", F.round("value", 2).alias("amount"))
 
+    def windowed_agg(stream):
+        # built-in streaming windowed aggregation: JVM state rows (one per
+        # (window, type)), the other state-store client class next to the
+        # pandas-state velocity operator
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+
+    ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
     total_events = n * replicas
     out: dict = {"n_events": total_events, "batches_requested": replicas}
     try:
-        for name, transform in (
-            ("stream_rule_alerts_sustained", rule_alerts),
-            ("stream_velocity_stateful_sustained", velocity_features_stream),
+        # provider A/B (r8 verdict task 4): the same sustained replays under
+        # the default HDFS-backed provider and under RocksDB — the 100 TB
+        # state posture (keyed state on local disk, not executor heap)
+        # measured, not asserted. Stateless rule alerts carry no state, so
+        # only the stateful lines get a RocksDB twin.
+        for name, transform, provider in (
+            ("stream_rule_alerts_sustained", rule_alerts, None),
+            ("stream_velocity_stateful_sustained", velocity_features_stream, None),
+            (
+                "stream_velocity_stateful_sustained_rocksdb",
+                velocity_features_stream,
+                ROCKSDB,
+            ),
+            ("stream_windowed_agg_sustained", windowed_agg, None),
+            ("stream_windowed_agg_sustained_rocksdb", windowed_agg, ROCKSDB),
         ):
-            t0 = time.perf_counter()
-            tbl, batches = chunked_replay(
-                spark, sf_dir, transform, n_chunks=replicas, spool=spool
-            )
-            rows = tbl.count()
-            wall = time.perf_counter() - t0
+            mode = "complete" if transform is windowed_agg else "append"
+            if provider:
+                spark.conf.set(PROVIDER_CONF, provider)
+            try:
+                t0 = time.perf_counter()
+                tbl, batches = chunked_replay(
+                    spark,
+                    sf_dir,
+                    transform,
+                    n_chunks=replicas,
+                    spool=spool,
+                    output_mode=mode,
+                )
+                rows = tbl.count()
+                wall = time.perf_counter() - t0
+            finally:
+                if provider:
+                    spark.conf.unset(PROVIDER_CONF)
             out[name] = {
                 "wall_sec": round(wall, 3),
                 "batches": batches,
                 "out_rows": rows,
                 "events_per_sec": round(total_events / wall, 1),
+                "state_provider": "rocksdb" if provider else "hdfs-default",
             }
     finally:
         shutil.rmtree(spool, ignore_errors=True)

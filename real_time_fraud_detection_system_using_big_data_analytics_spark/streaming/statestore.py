@@ -6,6 +6,15 @@ size/skew, validate a migration) without touching the running query.
 The reference's only observability is psutil logging
 (spark_streaming_app.py:64-131); this is the engine-native upgrade: the
 state itself is a queryable table.
+
+State-schema evolution (ops note, r9): a checkpoint PINS its operator's
+state schema. Restarting with a widened/changed stateStructType fails
+loudly at query start (Spark's state schema check — pinned by
+tests/test_account_state.py::test_state_schema_widening_fails_loud; do
+NOT disable spark.sql.streaming.stateStore.stateSchemaCheck). The
+supported migration path is: stop the old query, read its final state
+with this module's statestore reader, transform to the new layout, seed
+a NEW checkpoint via a backfill replay, then cut the stream over.
 """
 
 from __future__ import annotations

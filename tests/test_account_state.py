@@ -82,3 +82,78 @@ def test_profile_fold_contract():
     assert out2["n_events"].iloc[0] == 4
     assert out2["total_value_cents"].iloc[0] == 1600
     assert out2["max_value_cents"].iloc[0] == 1000
+
+
+def test_state_schema_widening_fails_loud(spark, tmp_path):
+    """Ops footgun guard (r9, invited by the statestore read-back surface):
+    restarting a stateful query from an existing checkpoint with a WIDENED
+    state schema must fail LOUDLY at query start — Spark's state schema
+    check must reject the checkpoint, not silently decode old state rows
+    into the new layout. If this ever starts passing silently, the
+    documented migration path (new checkpoint + backfill replay,
+    streaming/statestore.py docstring) is being bypassed."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.account_state import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _profile_fn,
+    )
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, value double"
+    spark.createDataFrame([(1, 10.0), (2, 5.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+
+    def run(state_schema, fn):
+        stream = spark.readStream.schema(schema).parquet(indir)
+        profiles = stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            profiles.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(STATE_SCHEMA, _profile_fn)  # seed the checkpoint with 3-field state
+
+    widened = T.StructType(
+        list(STATE_SCHEMA.fields) + [T.StructField("extra", T.LongType())]
+    )
+
+    def widened_fn(key, pdfs, state):
+        n, total, mx, extra = (
+            state.get if state.exists else (0, 0, -(1 << 62), 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n, total, mx, extra))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [total],
+                "max_value_cents": [mx],
+            }
+        )
+
+    spark.createDataFrame([(1, 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    with pytest.raises(Exception) as exc_info:
+        run(widened, widened_fn)
+    msg = str(exc_info.value)
+    assert "state" in msg.lower() and "schema" in msg.lower(), msg

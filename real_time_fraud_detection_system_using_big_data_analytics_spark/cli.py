@@ -197,7 +197,11 @@ def cmd_tail(args: argparse.Namespace) -> int:
         stream = events_file_stream(spark, args.events_dir)
     name = "tail_" + uuid.uuid4().hex[:8]
     q = (
-        stream.writeStream.outputMode("append")
+        # streaming LIMIT: the memory sink materializes at most n rows —
+        # without it an availableNow drain of a large topic/dir would pull
+        # EVERY row into driver memory for a 10-row debug tail (ADVICE r8)
+        stream.limit(args.n)
+        .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_tail_"))

@@ -290,6 +290,19 @@ def jpeg_decode_gray8(raw: bytes) -> tuple[int, int, bytes]:
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {raw[pos]:#x}")
         marker = raw[pos + 1]
+        if marker == 0xFF:  # 0xFF fill bytes before a marker are legal padding
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM/RSTn are STANDALONE (no length field); legal in baseline
+            # streams but outside this decoder's scope — parsing them as
+            # length-prefixed would desync the walk, so refuse explicitly
+            # (mirrors the DRI rejection below)
+            raise NotImplementedError(
+                f"standalone marker 0xFF{marker:02X} (TEM/RSTn) unsupported"
+            )
+        if marker in (0xD8, 0xD9):
+            raise ValueError(f"unexpected SOI/EOI marker before SOS at {pos}")
         (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         payload = raw[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -606,6 +619,15 @@ def jpeg_decode_color420(raw: bytes) -> tuple[int, int, bytes]:
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = raw[pos + 1]
+        if marker == 0xFF:  # fill bytes: legal padding before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            raise NotImplementedError(
+                f"standalone marker 0xFF{marker:02X} (TEM/RSTn) unsupported"
+            )
+        if marker in (0xD8, 0xD9):
+            raise ValueError(f"unexpected SOI/EOI marker before SOS at {pos}")
         (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         payload = raw[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:

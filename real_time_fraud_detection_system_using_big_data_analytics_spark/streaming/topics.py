@@ -20,8 +20,12 @@ pattern the Kafka sources use (streaming/sources.py):
   count (the file-twin analog of partition end offsets).
 
 The reference shells out to kafka-topics.sh and sleeps 2 s hoping the
-deletion propagated (create_topics.py:30-46); both backends here are
-synchronous-by-construction instead.
+deletion propagated (create_topics.py:30-46). The FILE twin is
+synchronous-by-construction (rmtree returns only when the directory is
+gone); a REAL broker's delete_topics is asynchronous, so
+:func:`reset_topics` handles the propagation window by retrying the
+recreate on TopicAlreadyExists until a deadline instead of sleeping a
+hoped-for constant.
 """
 
 from __future__ import annotations
@@ -119,10 +123,24 @@ class FileTopicAdmin:
         return {"name": name, **meta, "n_chunks": len(chunks)}
 
 
-def reset_topics(admin, topics: tuple[str, ...] = DEFAULT_TOPICS,
-                 partitions: int = 3) -> list[str]:
+def reset_topics(
+    admin,
+    topics: tuple[str, ...] = DEFAULT_TOPICS,
+    partitions: int = 3,
+    propagation_timeout_sec: float = 15.0,
+) -> list[str]:
     """The reference's whole script as one call (create_topics.py:49-81):
-    delete-if-exists then recreate each app topic."""
+    delete-if-exists then recreate each app topic.
+
+    On a real broker ``delete_topics`` is ASYNCHRONOUS — the deletion may
+    still be propagating when the recreate lands (the reference sleeps a
+    blind 2 s for exactly this, create_topics.py:30-46). The recreate
+    therefore retries on TopicAlreadyExists until
+    ``propagation_timeout_sec`` elapses; anything else (auth,
+    connectivity, a FileExistsError from the synchronous file twin —
+    which IS a real conflict) surfaces immediately."""
+    import time
+
     out = []
     for t in topics:
         try:
@@ -134,6 +152,17 @@ def reset_topics(admin, topics: tuple[str, ...] = DEFAULT_TOPICS,
             # else (auth, connectivity) must surface
             if "UnknownTopic" not in type(exc).__name__:
                 raise
-        admin.create_topic(t, partitions=partitions, exist_ok=False)
+        deadline = time.monotonic() + propagation_timeout_sec
+        while True:
+            try:
+                admin.create_topic(t, partitions=partitions, exist_ok=False)
+                break
+            except FileExistsError:
+                raise  # file twin deletes synchronously: a genuine conflict
+            except Exception as exc:
+                still_deleting = "AlreadyExists" in type(exc).__name__
+                if not still_deleting or time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.5)
         out.append(t)
     return out

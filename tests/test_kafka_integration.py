@@ -93,3 +93,32 @@ def test_kafka_alert_sink_roundtrip(spark, topic):
     payloads = [json.loads(r["v"]) for r in back]
     assert len(payloads) == 5
     assert all(p["value"] >= 5 for p in payloads)
+
+
+def test_kafka_topic_admin_create_reset(spark):
+    """Topic admin against a REAL broker (r9, env-gated like the rest of
+    this module): create via reset_topics (delete-if-exists → recreate
+    with the async-deletion retry), verify listing, reset AGAIN so the
+    delete-then-recreate propagation path actually executes, then clean
+    up. Keeps the non-sandbox KafkaTopicAdmin backend from rotting."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.topics import (
+        KafkaTopicAdmin,
+        reset_topics,
+    )
+
+    admin = KafkaTopicAdmin(BOOTSTRAP)
+    base = "sg_admin_" + uuid.uuid4().hex[:8]
+    names = (base + "_a", base + "_b")
+    try:
+        assert reset_topics(admin, topics=names, partitions=1) == list(names)
+        listed = admin.list_topics()
+        assert all(n in listed for n in names)
+        # second reset exercises delete→recreate against live topics,
+        # including the TopicAlreadyExists retry window
+        assert reset_topics(admin, topics=names, partitions=1) == list(names)
+    finally:
+        for n in names:
+            try:
+                admin.delete_topic(n)
+            except Exception:
+                pass

@@ -313,6 +313,8 @@ def main() -> None:
         streaming["sustained"] = sustained_streaming_bench(spark, sf_dir)
 
     # Full breakdown -> committed artifact (judge-diffable, any size).
+    # Subset/smoke runs keep their hands off the committed artifact: a
+    # 2-query smoke must not clobber the full 125-query breakdown.
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -329,8 +331,9 @@ def main() -> None:
         "reference_metrics": ref_metrics,
         "streaming": streaming,
     }
-    self_path = Path(__file__).resolve().parent / "BENCH_SELF.json"
-    self_path.write_text(json.dumps(full, indent=1) + "\n")
+    if not subset:
+        self_path = Path(__file__).resolve().parent / "BENCH_SELF.json"
+        self_path.write_text(json.dumps(full, indent=1) + "\n")
 
     spark.stop()
 

@@ -123,6 +123,54 @@ def stream_account_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_account_profile_rocksdb",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_account_profile_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_account_profile with keyed state on the RocksDB provider —
+    the 100 TB state posture (state on executor-local disk, not heap;
+    SCALE.md phase 6) hash-checked by the driver, not just pytest: the
+    SAME oracle as the default-provider twin, so any provider-dependent
+    state corruption (encoding drift, lost upserts across commits) is a
+    value mismatch. The provider conf is read at query start; it is set
+    for this query and restored after (shared session). Bench carries the
+    throughput A/B (BENCH_SELF streaming.sustained, r9); this carries
+    correctness."""
+    from .account_state import run_account_profile_hermetic
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocksdb)
+    try:
+        out = run_account_profile_hermetic(spark, sf_dir)
+        # force the stream to completion under RocksDB before restoring
+        out = out.select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_value_cents").cast("bigint").alias("total_value_cents"),
+            F.col("max_value_cents").cast("bigint").alias("max_value_cents"),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    return out
+
+
+@register(
     "stream_cusum_drift_stateful",
     oracle="""
     WITH d AS (

@@ -1,0 +1,254 @@
+"""Scale-slope harness (r8 verdict task 6): measured wall-time vs data
+size for the most expensive headline queries, so the "linear in
+partitions" docstring claims (similarity.py, curation.py, graph.py) carry
+a measured slope instead of prose.
+
+Scaled datasets are SYNTHETIC TWINS of sf0.1 built at x1/x2/x5 row
+multipliers — generated, not copy-replicated, so per-row properties stay
+constant while cardinality scales (verbatim replication would fabricate
+exact-dup pairs and quadratic LSH buckets that the real distribution does
+not have):
+
+- documents: new text drawn from sf0.1's empirical word-frequency and
+  doc-length distributions; exact-duplicate docs injected at sf0.1's
+  measured dup rate (8 per 5000) so dedup queries see the same dup
+  density at every scale;
+- embeddings: per-label Gaussian fit to sf0.1 (mean/std per dim), label
+  mix empirical — cluster structure is preserved so IVF/PQ cell routing
+  stays realistic;
+- orders/lineitem: replicated with per-replica key offsets on orderkey,
+  custkey, partkey AND suppkey, so join fan-outs and graph degree
+  distributions are scale-invariant (offsetting only orderkey would
+  densify the part/supp co-purchase graph and fake a super-linear slope).
+
+The x1 twin also calibrates twin-vs-real comparability: its runtimes
+should sit in the same band as the committed BENCH_SELF sf0.1 numbers.
+
+Usage:  python tests/scale_slope.py [out_md] [runs_per_point]
+Writes SCALING.md (judge-facing table) + SCALING.json at the repo root.
+Data dirs under /tmp/scale_slope_x{mult}/ are reused if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+MULTS = (1, 2, 5)
+QUERIES = [
+    "multimodal_image_decode_jpeg_color",
+    "curation_leakage_safe_split",
+    "graph_adamic_adar",
+    "graph_jaccard_neighbors",
+    "ann_range_search_radius",
+    "curation_decontaminate_bloom",
+    "ann_ivf_pq_shortlist_rerank",
+    "ann_pq_shortlist_rerank",
+    "join_bloom_filter_pruned",
+    "graph_pagerank_bipartite",
+]
+# expected asymptotics per query (documented, so a "super-linear" reading
+# of the exact radius search isn't mistaken for a regression)
+EXPECTED = {
+    "ann_range_search_radius": "quadratic by semantics (exact radius self-join)",
+    "graph_adamic_adar": "~linear in edges at constant degree",
+    "graph_jaccard_neighbors": "~linear in edges at constant degree",
+    "graph_pagerank_bipartite": "~linear in edges (fixed rounds)",
+    "multimodal_image_decode_jpeg_color": "linear in docs (per-doc codec)",
+    "curation_leakage_safe_split": "~linear in docs at constant dup density",
+    "curation_decontaminate_bloom": "linear in docs (scan + bloom test)",
+    "ann_ivf_pq_shortlist_rerank": "~linear in vectors (fixed cells/queries)",
+    "ann_pq_shortlist_rerank": "~linear in vectors (fixed queries)",
+    "join_bloom_filter_pruned": "linear in rows (scan + bloom semi-join)",
+}
+
+
+def build_documents(con, out: str, mult: int, rng: np.random.Generator) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = con.sql(f"SELECT * FROM '{SRC}/documents.parquet'").df()
+    words = np.concatenate([t.split(" ") for t in src["text"]])
+    vocab, counts = np.unique(words, return_counts=True)
+    word_p = counts / counts.sum()
+    lens = np.array([len(t.split(" ")) for t in src["text"]])
+    langs, lang_c = np.unique(src["lang"], return_counts=True)
+    srcs, src_c = np.unique(src["source"], return_counts=True)
+
+    n = len(src) * mult
+    n_dups = max(1, round(8 * mult))  # sf0.1 measured: 8 dup docs / 5000
+    out_lens = rng.choice(lens, size=n)
+    texts = [
+        " ".join(rng.choice(vocab, size=k, p=word_p)) for k in out_lens
+    ]
+    # duplicate injection: last n_dups docs copy earlier ones verbatim
+    for i in range(n_dups):
+        texts[n - 1 - i] = texts[int(rng.integers(0, n - n_dups))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(
+                rng.choice(langs, size=n, p=lang_c / lang_c.sum()), type=pa.string()
+            ),
+            "source": pa.array(
+                rng.choice(srcs, size=n, p=src_c / src_c.sum()), type=pa.string()
+            ),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    return n
+
+
+def build_embeddings(con, out: str, mult: int, rng: np.random.Generator) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = con.sql(f"SELECT * FROM '{SRC}/embeddings.parquet'").df()
+    mat = np.stack(src["embedding"].to_numpy())
+    labels = src["label"].to_numpy()
+    n = len(src) * mult
+    uniq, lab_c = np.unique(labels, return_counts=True)
+    out_labels = rng.choice(uniq, size=n, p=lab_c / lab_c.sum()).astype(np.int32)
+    vecs = np.empty((n, mat.shape[1]), dtype=np.float32)
+    for lab in uniq:
+        m = mat[labels == lab]
+        mask = out_labels == lab
+        vecs[mask] = rng.normal(
+            m.mean(axis=0), m.std(axis=0) + 1e-6, size=(mask.sum(), mat.shape[1])
+        ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(out_labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+    return n
+
+
+def build_tpch(con, out: str, mult: int) -> None:
+    ok, ck = con.sql(
+        f"SELECT MAX(o_orderkey)+1, MAX(o_custkey)+1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()
+    pk, sk = con.sql(
+        f"SELECT MAX(l_partkey)+1, MAX(l_suppkey)+1 FROM '{SRC}/lineitem.parquet'"
+    ).fetchone()
+    con.sql(
+        f"""
+        COPY (
+          SELECT o_orderkey + r.r*{ok} AS o_orderkey,
+                 o_custkey + r.r*{ck} AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM '{SRC}/orders.parquet', range({mult}) r(r)
+        ) TO '{out}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT l_orderkey + r.r*{ok} AS l_orderkey,
+                 l_partkey + r.r*{pk} AS l_partkey,
+                 l_suppkey + r.r*{sk} AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM '{SRC}/lineitem.parquet', range({mult}) r(r)
+        ) TO '{out}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+
+
+def build_dataset(mult: int) -> str:
+    out = f"/tmp/scale_slope_x{mult}"
+    marker = os.path.join(out, "_complete.json")
+    if os.path.exists(marker):
+        return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    rng = np.random.default_rng(42 + mult)
+    t0 = time.time()
+    nd = build_documents(con, out, mult, rng)
+    ne = build_embeddings(con, out, mult, rng)
+    build_tpch(con, out, mult)
+    with open(marker, "w") as fh:
+        json.dump({"mult": mult, "docs": nd, "vecs": ne,
+                   "gen_sec": round(time.time() - t0, 1)}, fh)
+    return out
+
+
+def main() -> int:
+    out_md = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("SCALING.md")
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark import get_session
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    registry.load_all()
+    spark = get_session("scale-slope")
+    dirs = {m: build_dataset(m) for m in MULTS}
+    print("DATASETS " + json.dumps({m: d for m, d in dirs.items()}), flush=True)
+
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    # warmup each (query, mult) once implicitly via run 1 of N>=2; the
+    # interleaved order spreads host-noise bursts like bench.py does
+    for mult in MULTS:
+        for q in QUERIES:
+            walls = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                registry.QUERIES[q](spark, dirs[mult]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                walls.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            results[q][mult] = round(min(walls), 3)
+            print(f"SLOPE x{mult} {q}: {results[q][mult]}s", flush=True)
+
+    lines = [
+        "# SCALING — measured wall-time vs data size (r9)",
+        "",
+        "Synthetic sf0.1 twins at x1/x2/x5 row multipliers (generator:",
+        "`tests/scale_slope.py` — new-content documents at constant dup",
+        "density, per-label Gaussian embeddings, key-offset TPC-H so degree",
+        "distributions are scale-invariant). min-of-%d per point, local[32]," % runs,
+        "noop sink. slope5 = t(x5)/t(x1); linear scaling reads ~5, constant",
+        "~1, quadratic ~25.",
+        "",
+        "| query | x1 (s) | x2 (s) | x5 (s) | slope5 | expected shape |",
+        "|---|---|---|---|---|---|",
+    ]
+    for q in QUERIES:
+        r = results[q]
+        slope = round(r[5] / r[1], 2) if r.get(1) else None
+        lines.append(
+            f"| {q} | {r.get(1)} | {r.get(2)} | {r.get(5)} | {slope} | "
+            f"{EXPECTED.get(q, '')} |"
+        )
+    lines += [
+        "",
+        "x1-twin calibration: compare the x1 column against BENCH_SELF.json's",
+        "sf0.1 numbers — same band means the twins are representative.",
+    ]
+    out_md.write_text("\n".join(lines) + "\n")
+    Path("SCALING.json").write_text(json.dumps(results, indent=1) + "\n")
+    print("SLOPE-SUMMARY " + json.dumps({q: results[q] for q in QUERIES}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -221,7 +221,9 @@ def cmd_topics(args: argparse.Namespace) -> int:
     backend; otherwise administers the hermetic file-twin topics under
     --dir (the layout the streaming tests replay through). ``reset``
     reproduces the reference script's delete-then-recreate of the two
-    app topics as one synchronous call."""
+    app topics as one call (synchronous on the file twin; on a real
+    broker the recreate retries through the async-deletion window,
+    streaming/topics.py)."""
     from .streaming.topics import FileTopicAdmin, KafkaTopicAdmin, reset_topics
 
     admin = (

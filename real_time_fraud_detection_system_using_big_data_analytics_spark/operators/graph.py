@@ -679,6 +679,129 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HUB_CAP = 64
+
+_ADAMIC_ADAR_CAPPED_SQL = f"""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ), wmid AS (
+      SELECT u, CAST(FLOOR(1000000.0 / LN(d) + 0.5) AS BIGINT) AS w_micro
+      FROM deg WHERE d BETWEEN 2 AND {_HUB_CAP}
+    ), pairs AS (
+      SELECT n1.v AS x, n2.v AS y,
+             COUNT(*) AS common_neighbors,
+             CAST(SUM(w.w_micro) AS BIGINT) AS aa_micro
+      FROM und n1
+      JOIN wmid w ON w.u = n1.u
+      JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v
+      GROUP BY n1.v, n2.v
+    )
+    SELECT p.x, p.y, p.common_neighbors, p.aa_micro,
+           (e.a IS NOT NULL) AS already_linked
+    FROM pairs p LEFT JOIN edges e ON e.a = p.x AND e.b = p.y
+    ORDER BY p.aa_micro DESC, p.x, p.y
+    LIMIT 20
+"""
+
+
+@register("graph_adamic_adar_capped", oracle=_ADAMIC_ADAR_CAPPED_SQL)
+def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped Adamic–Adar (r9): the scale fix the uncapped query's
+    docstring only gestured at, now an oracle-checked operator. Wedge
+    enumeration costs Σ_z deg(z)² over middle vertices — the r9 slope
+    measurement (SCALING.md) caught the uncapped form going ~quadratic
+    once the synthetic dst domain's degrees grew with data size (x5 data
+    → 23x wall). The standard production mitigation: EXCLUDE middle
+    vertices with deg > 64 (_HUB_CAP) from wedge enumeration BEFORE the
+    self-join — a shared neighbor linked to everyone contributes
+    1/ln(d) ≈ noise to the score but deg² ≈ everything to the cost, so
+    the cap trades negligible signal for the removal of the quadratic
+    term: remaining wedges ≤ cap · |E|, i.e. linear in edges. The hub
+    filter joins n1 to the capped-degree table FIRST so hub adjacency
+    rows never reach the pair self-join (plan-visible pruning, not a
+    post-filter). Capping changes semantics (pairs whose only witnesses
+    are hubs drop out) — that is the point, and the DuckDB oracle
+    applies the identical cap so the trade is value-checked, not
+    hand-waved. Same integer micro-unit quantization as the uncapped
+    twin."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    wmid = (
+        und.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= _HUB_CAP))
+        .select(
+            F.col("u").alias("mid"),
+            F.floor(1_000_000.0 / F.log(F.col("d")) + 0.5)
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    # hub pruning BEFORE the self-join: only adjacency rows whose middle
+    # vertex survives the cap enter the wedge expansion
+    n1 = (
+        und.alias("n1")
+        .join(wmid, F.col("n1.u") == F.col("mid"))
+        .select(
+            F.col("n1.u").alias("mu"), F.col("n1.v").alias("mv"), "w_micro"
+        )
+    )
+    n2 = und.alias("n2")
+    pairs = (
+        n1.join(
+            n2,
+            (F.col("mu") == F.col("n2.u")) & (F.col("mv") < F.col("n2.v")),
+        )
+        .groupBy(F.col("mv").alias("x"), F.col("n2.v").alias("y"))
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        )
+    )
+    return (
+        pairs.join(
+            edges,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        )
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            "aa_micro",
+            F.col("a").isNotNull().alias("already_linked"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "x", "y")
+        .limit(20)
+    )
+
+
 _ASSORTATIVITY_SQL = """
     WITH raw AS (
       SELECT DISTINCT o_custkey AS src,

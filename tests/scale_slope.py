@@ -44,6 +44,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SRC = "/root/testdata/sf0.1"
 MULTS = (1, 2, 5)
 QUERIES = [
+    "graph_adamic_adar_capped",
     "multimodal_image_decode_jpeg_color",
     "curation_leakage_safe_split",
     "graph_adamic_adar",
@@ -59,8 +60,9 @@ QUERIES = [
 # of the exact radius search isn't mistaken for a regression)
 EXPECTED = {
     "ann_range_search_radius": "quadratic by semantics (exact radius self-join)",
-    "graph_adamic_adar": "~linear in edges at constant degree",
-    "graph_jaccard_neighbors": "~linear in edges at constant degree",
+    "graph_adamic_adar": "Σdeg² wedge law — quadratic when degrees grow with SF (fixed dst domain); see capped twin",
+    "graph_adamic_adar_capped": "≤ cap·|E| wedges: hub-capped, stays flat as hubs are pruned",
+    "graph_jaccard_neighbors": "Σdeg² wedge law — same fixed-dst-domain caveat as adamic_adar",
     "graph_pagerank_bipartite": "~linear in edges (fixed rounds)",
     "multimodal_image_decode_jpeg_color": "linear in docs (per-doc codec)",
     "curation_leakage_safe_split": "~linear in docs at constant dup density",
@@ -199,14 +201,27 @@ def main() -> int:
 
     registry.load_all()
     spark = get_session("scale-slope")
+    # SPARK_GRAFT_SLOPE_QUERIES="a,b" re-measures a subset; merge results
+    # into the existing SCALING.json instead of starting over
+    subset = os.environ.get("SPARK_GRAFT_SLOPE_QUERIES")
+    queries = (
+        [q.strip() for q in subset.split(",") if q.strip() in set(QUERIES)]
+        if subset
+        else list(QUERIES)
+    )
     dirs = {m: build_dataset(m) for m in MULTS}
     print("DATASETS " + json.dumps({m: d for m, d in dirs.items()}), flush=True)
 
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in queries}
+    if subset and Path("SCALING.json").exists():
+        prior = json.loads(Path("SCALING.json").read_text())
+        for q, pts in prior.items():
+            if q not in results and q in QUERIES:
+                results[q] = {int(k): v for k, v in pts.items()}
     # warmup each (query, mult) once implicitly via run 1 of N>=2; the
     # interleaved order spreads host-noise bursts like bench.py does
     for mult in MULTS:
-        for q in QUERIES:
+        for q in queries:
             walls = []
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -232,6 +247,8 @@ def main() -> int:
         "|---|---|---|---|---|---|",
     ]
     for q in QUERIES:
+        if q not in results:
+            continue
         r = results[q]
         slope = round(r[5] / r[1], 2) if r.get(1) else None
         lines.append(
@@ -245,7 +262,7 @@ def main() -> int:
     ]
     out_md.write_text("\n".join(lines) + "\n")
     Path("SCALING.json").write_text(json.dumps(results, indent=1) + "\n")
-    print("SLOPE-SUMMARY " + json.dumps({q: results[q] for q in QUERIES}))
+    print("SLOPE-SUMMARY " + json.dumps({q: results[q] for q in QUERIES if q in results}))
     spark.stop()
     return 0
 

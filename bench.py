@@ -77,6 +77,11 @@ HEADLINE = [
     "source_pushdown_partition_prune",
     "ml_train_rule_agreement",
     "stream_ml_score",
+    "graph_adamic_adar_capped",
+    "graph_jaccard_neighbors_capped",
+    "dedup_semdedup",
+    "curation_dsir_importance",
+    "text_gopher_quality_rules",
     # round-8 additions
     "multimodal_image_decode_jpeg",
     "multimodal_image_decode_jpeg_color",

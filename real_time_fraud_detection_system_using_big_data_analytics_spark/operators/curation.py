@@ -651,3 +651,103 @@ def curation_template_skeletons(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.orderBy(F.desc("n_docs"), "skeleton").limit(10)
+
+
+_HEX = "0123456789abcdef"
+_DSIR_BUCKETS = 16
+
+
+@register(
+    "curation_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, word,
+             (instr('{_HEX}', substring(md5(word), 1, 1)) - 1)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM toks WHERE word <> ''
+    ),
+    bc AS (
+      SELECT bucket,
+             SUM(CASE WHEN doc_id % {_BENCH_MOD} = 0 THEN 1 ELSE 0 END) AS c_t,
+             SUM(CASE WHEN doc_id % {_BENCH_MOD} <> 0 THEN 1 ELSE 0 END) AS c_r
+      FROM tok2 GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM bc),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR(1000000.0 * (LN(c_t + 1.0) - LN(n_t + {_DSIR_BUCKETS}.0)
+                                     - LN(c_r + 1.0) + LN(n_r + {_DSIR_BUCKETS}.0))
+                        + 0.5) AS BIGINT) AS w_micro
+      FROM bc CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w_micro) AS BIGINT) AS logratio_micro,
+           (SUM(w.w_micro) > 0) AS selected
+    FROM tok2 t JOIN w ON w.bucket = t.bucket
+    WHERE t.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): score every raw document
+    by the log-likelihood ratio of a TARGET-domain hashed-n-gram bag-of-
+    words model over a RAW-corpus model, Σ_tokens [log p_t(h(tok)) −
+    log p_r(h(tok))] with add-one smoothing. The target slice is the
+    deterministic benchmark stand-in (doc_id % 97 == 0, shared with
+    curation_decontaminate); features are md5-first-nibble hash buckets —
+    the SAME stateless cross-engine hash as text_hashing_trick_tf, which
+    is the paper's point: no vocabulary, no fit artifact, composes with
+    any partitioning.
+
+    Scale posture: the two LMs together are ONE 16-row table — a
+    groupBy(bucket) with full map-side combine over the token stream,
+    then the per-bucket log-ratio is quantized to integer micros and
+    joined back broadcast-style (bucket count is a compile-time
+    constant), so the per-doc score is an order-free BIGINT sum: one
+    token-explode pass, one doc-cardinality shuffle, and the corpus
+    never moves for the model build. `selected` (ratio > 0) is the
+    paper's resampling gate; downstream the weight feeds the existing
+    curation_mix machinery."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    bucket = (
+        F.instr(F.lit(_HEX), F.substring(F.md5("word"), 1, 1)) - 1
+    ) % _DSIR_BUCKETS
+    tok2 = toks.select("doc_id", bucket.alias("bucket"))
+    is_target = F.col("doc_id") % _BENCH_MOD == 0
+    bc = tok2.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).alias("c_r"),
+    )
+    tot = bc.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    w_micro = F.floor(
+        1_000_000.0
+        * (
+            F.log(F.col("c_t") + 1.0)
+            - F.log(F.col("n_t") + float(_DSIR_BUCKETS))
+            - F.log(F.col("c_r") + 1.0)
+            + F.log(F.col("n_r") + float(_DSIR_BUCKETS))
+        )
+        + 0.5
+    ).cast("bigint")
+    w = bc.crossJoin(F.broadcast(tot)).select("bucket", w_micro.alias("w_micro"))
+    return (
+        tok2.filter(~is_target)
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("logratio_micro"),
+            (F.sum("w_micro") > 0).alias("selected"),
+        )
+    )

@@ -1078,6 +1078,122 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_CAPPED_SQL = f"""
+    WITH raw AS (
+      SELECT o_custkey AS src, (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+      SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY v
+    ), middeg AS (
+      SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ), keepmid AS (
+      SELECT u FROM middeg WHERE d <= {_HUB_CAP}
+    ), pairs AS (
+      SELECT n1.v AS x, n2.v AS y, CAST(COUNT(*) AS BIGINT) AS common
+      FROM und n1
+      JOIN keepmid k ON k.u = n1.u
+      JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v
+      GROUP BY n1.v, n2.v
+    )
+    SELECT p.x, p.y, p.common,
+           CAST(FLOOR(p.common * 1000000.0
+                      / (dx.deg + dy.deg - p.common) + 0.5) AS BIGINT)
+             AS jaccard_micro,
+           (e.a IS NOT NULL) AS already_linked
+    FROM pairs p
+    JOIN deg dx ON dx.node = p.x
+    JOIN deg dy ON dy.node = p.y
+    LEFT JOIN edges e ON e.a = p.x AND e.b = p.y
+    ORDER BY jaccard_micro DESC, p.x, p.y
+    LIMIT 20
+"""
+
+
+@register("graph_jaccard_neighbors_capped", oracle=_JACCARD_CAPPED_SQL)
+def graph_jaccard_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped neighborhood Jaccard (r9): the second of the two
+    wedge-enumeration queries the SCALING.md slope harness measured going
+    quadratic (slope5 = 15.1 at x5 data; the Σ deg(z)² law, same root
+    cause as graph_adamic_adar). Fix mirrors graph_adamic_adar_capped:
+    middle vertices with deg > 64 are excluded BEFORE the pair
+    self-join, bounding wedges by cap·|E| (linear in edges). Unlike the
+    AA cap — where a hub's 1/ln(d) weight is already noise — capping
+    Jaccard's intersection count is a real semantics trade: `common` counts
+    only non-hub shared neighbors, while the union denominator keeps the
+    FULL degrees of x and y (those joins are node-cardinality and cheap),
+    so capped-Jaccard is a LOWER bound on true Jaccard that converges as
+    hub witnesses thin out. The DuckDB oracle applies the identical cap,
+    so the trade is value-checked. The degree/candidate joins follow the
+    uncapped twin's no-explicit-broadcast posture (AQE decides)."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    )
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("v").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    keepmid = (
+        und.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= _HUB_CAP)
+        .select(F.col("u").alias("mid"))
+    )
+    # hub pruning BEFORE the self-join — hub adjacency rows never reach
+    # the wedge expansion (plan-visible, not a post-filter)
+    n1 = (
+        und.alias("n1")
+        .join(keepmid, F.col("n1.u") == F.col("mid"))
+        .select(F.col("n1.u").alias("mu"), F.col("n1.v").alias("mv"))
+    )
+    n2 = und.alias("n2")
+    pairs = (
+        n1.join(n2, (F.col("mu") == F.col("n2.u")) & (F.col("mv") < F.col("n2.v")))
+        .groupBy(F.col("mv").alias("x"), F.col("n2.v").alias("y"))
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_y"))
+    jac = F.floor(
+        F.col("common")
+        * 1_000_000.0
+        / (F.col("deg_x") + F.col("deg_y") - F.col("common"))
+        + 0.5
+    ).cast("bigint")
+    return (
+        pairs.join(dx, "x")
+        .join(dy, "y")
+        .join(edges, (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")), "left")
+        .select(
+            "x",
+            "y",
+            "common",
+            jac.alias("jaccard_micro"),
+            F.col("a").isNotNull().alias("already_linked"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "x", "y")
+        .limit(20)
+    )
+
+
 _CLUSTERING_COEF_SQL = """
     WITH raw AS (
       SELECT DISTINCT o_custkey AS src,

@@ -320,6 +320,151 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup coarse-cluster sign bits (4 fixed axes -> 16 cells) and the
+# within-cell near-dup threshold.
+_SEMDEDUP_DIMS = (1, 8, 20, 40)
+_SEMDEDUP_TAU = 0.95
+
+
+def _semdedup_bucket_sql(col: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {col}[{d}] >= 0 THEN {1 << (len(_SEMDEDUP_DIMS) - 1 - i)} ELSE 0 END"
+        for i, d in enumerate(_SEMDEDUP_DIMS)
+    )
+    return f"({terms})"
+
+
+_SEMDEDUP_TWIN_SQL = """
+    SELECT vec_id + 1000000 AS vec_id, label,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE) * 1.25
+                               + CASE WHEN i = 3 THEN 0.01 ELSE 0.0 END)
+             AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      {_SEMDEDUP_TWIN_SQL}
+    ),
+    bucketed AS (
+      SELECT vec_id, label, embedding,
+             {_semdedup_bucket_sql('embedding')} AS cell
+      FROM corpus
+    ),
+    pruned AS (
+      SELECT a.vec_id,
+             CAST(COUNT(b.vec_id) AS BIGINT) AS n_witnesses
+      FROM bucketed a
+      JOIN bucketed b
+        ON b.cell = a.cell AND b.vec_id < a.vec_id
+       AND {_cosine_sql('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
+      GROUP BY a.vec_id
+    )
+    SELECT t.vec_id, CAST(t.cell AS INTEGER) AS cell, t.label,
+           COALESCE(p.n_witnesses, 0) AS n_witnesses,
+           (p.vec_id IS NOT NULL) AS is_pruned
+    FROM bucketed t LEFT JOIN pruned p ON p.vec_id = t.vec_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into coarse semantic cells,
+    then prune vectors that have a near-identical neighbor (cosine >=
+    0.95) WITHIN their own cell, keeping one deterministic canonical
+    (the lowest vec_id) per near-dup group. The paper's cells come from
+    k-means; here 4 fixed sign-bit axes stand in (16 cells) — the same
+    deterministic stand-in this module already uses for IVF (`label` as
+    cell id) so the DuckDB oracle reproduces cell assignment exactly,
+    with zero RNG.
+
+    Scale posture (the reason SemDeDup works at 100 TB where pairwise
+    cosine cannot): the quadratic pair expansion runs within cells only —
+    cost Σ_c |cell_c|², bounded by corpus²/n_cells for balanced cells,
+    and the cell count is the dial (the paper uses 11k clusters for
+    LAION-scale). The cell id is a broadcast-free equi-join key and, in a
+    persisted layout, the physical partition key, so each cell's pair
+    join is partition-local. The keep-lowest-id rule makes the survivor
+    set deterministic without the paper's centroid-distance tiebreak
+    (which needs the k-means centroids the stand-in doesn't have).
+
+    The synthetic embeddings are label-Gaussian with NO natural pairs
+    above 0.95 (max in-cell cosine ≈ 0.51 measured), so the corpus is
+    augmented with deterministic planted twins — every 10th vector,
+    rescaled ×1.25 with one coordinate nudged (cosine ≈ 0.9999, same
+    sign-bit cell by positive-scale invariance) — making the prune path
+    REAL: each twin must be pruned with its original as the earlier
+    witness, and every original must survive; the DuckDB oracle plants
+    the identical twins, so recall of the planted dups is value-checked
+    rather than asserted. Output: one row per vector with its cell,
+    earlier-in-cell witness count, and the prune flag — `is_pruned =
+    false` rows ARE the deduplicated corpus."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    base = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * 1.25
+            + F.when(i == 2, 0.01).otherwise(0.0),
+        ).alias("embedding"),
+    )
+    corpus = base.unionAll(twins)
+    bits = len(_SEMDEDUP_DIMS)
+    cell = None
+    for i, d in enumerate(_SEMDEDUP_DIMS):
+        term = F.when(F.element_at("embedding", d) >= 0, 1 << (bits - 1 - i)).otherwise(0)
+        cell = term if cell is None else cell + term
+    bucketed = fan_out(corpus).select(
+        "vec_id",
+        "label",
+        "embedding",
+        cell.alias("cell"),
+        _norm("embedding").alias("nrm"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cell").alias("a_cell"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = _dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    pruned = (
+        a.join(b, (F.col("b_cell") == F.col("a_cell")) & (F.col("b_id") < F.col("a_id")))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.count("*").cast("bigint").alias("n_witnesses"))
+    )
+    return (
+        bucketed.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "label",
+            F.coalesce("n_witnesses", F.lit(0)).cast("bigint").alias("n_witnesses"),
+            F.col("n_witnesses").isNotNull().alias("is_pruned"),
+        )
+    )
+
+
 _MAXABS_SQL = "list_max(list_transform({a}, y -> abs(CAST(y AS DOUBLE))))"
 
 

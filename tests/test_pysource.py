@@ -195,3 +195,139 @@ def test_stream_source_offset_contract(spark):
     q2.awaitTermination()
     n2 = spark.table(name2).count()
     assert n2 == 0 or spark.table(name2).first()["count"] == 5000
+
+
+# --- writer (r9: the write half of the surface) ------------------------
+
+
+def test_sink_write_publishes_parts_and_success(spark, tmp_path):
+    """A committed write publishes exactly one part file per task plus
+    _SUCCESS, with no staged temp file left behind, and the bytes
+    round-trip losslessly through native parquet."""
+    import os
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.pysource import (
+        register_python_sink_datasource,
+    )
+
+    register_python_datasource(spark)
+    register_python_sink_datasource(spark)
+    out = str(tmp_path / "sink")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "1000")
+        .option("n_partitions", "4")
+        .load()
+    )
+    df.write.format("synthetic_events_sink").mode("overwrite").save(out)
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.startswith("_tmp-")]
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.schema == df.schema
+
+
+def test_sink_overwrite_replaces_previous_commit(spark, tmp_path):
+    """mode=overwrite removes the previous run's part files at COMMIT
+    time (not at job start — a failed overwrite must leave the old data
+    readable), so a second write leaves exactly the new file set."""
+    import os
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.pysource import (
+        register_python_sink_datasource,
+    )
+
+    register_python_datasource(spark)
+    register_python_sink_datasource(spark)
+    out = str(tmp_path / "sink")
+    for n_parts in ("8", "2"):
+        df = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", "500")
+            .option("n_partitions", n_parts)
+            .load()
+        )
+        df.write.format("synthetic_events_sink").mode("overwrite").save(out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2, parts
+    assert spark.read.parquet(out).count() == 500
+
+
+def test_sink_abort_removes_staged_files(tmp_path):
+    """The abort path (driver-side task-failure cleanup) must remove
+    every staged temp file it is handed and tolerate Nones/empties."""
+    import os
+
+    import pyarrow as pa
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.pysource import (
+        ParquetStagingWriter,
+        _FileCommit,
+    )
+
+    out = str(tmp_path / "sink")
+    w = ParquetStagingWriter(out, overwrite=False)
+    batch = pa.RecordBatch.from_arrays([pa.array([1, 2])], names=["x"])
+    msg = w.write(iter([batch]))
+    assert msg.tmp_name.startswith("_tmp-") and msg.n_rows == 2
+    assert os.path.exists(os.path.join(out, msg.tmp_name))
+    w.abort([msg, None, _FileCommit("", 0)])
+    assert not os.path.exists(os.path.join(out, msg.tmp_name))
+    # nothing was ever published
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_stream_sink_epoch_commit_is_idempotent(tmp_path):
+    """The exactly-once contract: re-committing an epoch already in the
+    ledger (checkpoint-recovery replay) must drop the re-staged files
+    and publish NOTHING twice; a new epoch publishes normally."""
+    import os
+
+    import pyarrow as pa
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.pysource import (
+        ParquetEpochStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    w = ParquetEpochStreamWriter(out)
+    batch = pa.RecordBatch.from_arrays([pa.array([1, 2, 3])], names=["x"])
+
+    m0 = w.write(iter([batch]))
+    w.commit([m0], batchId=0)
+    published = sorted(f for f in os.listdir(out) if f.startswith("batch-"))
+    assert published == ["batch-00000-part-00000.parquet"]
+
+    # replayed epoch 0: staged file must vanish, nothing new published
+    m0b = w.write(iter([batch]))
+    w.commit([m0b], batchId=0)
+    assert sorted(f for f in os.listdir(out) if f.startswith("batch-")) == published
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+
+    # fresh epoch 1 publishes; ledger lists both
+    m1 = w.write(iter([batch]))
+    w.commit([m1], batchId=1)
+    assert "batch-00001-part-00000.parquet" in os.listdir(out)
+    with open(os.path.join(out, "_batches")) as fh:
+        assert fh.read().split() == ["0", "1"]
+
+
+def test_stream_sink_abort_cleans_staged(tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.pysource import (
+        ParquetEpochStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    w = ParquetEpochStreamWriter(out)
+    batch = pa.RecordBatch.from_arrays([pa.array([1])], names=["x"])
+    m = w.write(iter([batch]))
+    w.abort([m, None], batchId=0)
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    assert not os.path.exists(os.path.join(out, "_batches"))

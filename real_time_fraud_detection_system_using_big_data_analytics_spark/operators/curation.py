@@ -29,7 +29,7 @@ Scale posture per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import q, q_sql
@@ -750,4 +750,55 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_micro").cast("bigint").alias("logratio_micro"),
             (F.sum("w_micro") > 0).alias("selected"),
         )
+    )
+
+
+@register(
+    "curation_epoch_shuffle_order",
+    oracle="""
+    WITH epochs AS (SELECT * FROM (VALUES (0), (1)) AS e(epoch)),
+    permuted AS (
+      SELECT e.epoch, d.doc_id,
+             CAST((d.doc_id * (48271 + 69621 * e.epoch) + 12345 * (e.epoch + 1))
+                  % 15485863 AS BIGINT) AS perm_key
+      FROM documents d CROSS JOIN epochs e
+    ), ranked AS (
+      SELECT epoch, doc_id, perm_key,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY perm_key) AS pos
+      FROM permuted
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           CAST(pos AS BIGINT) AS pos,
+           doc_id, perm_key
+    FROM ranked WHERE pos <= 10
+    """,
+)
+def curation_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the data-loader primitive every
+    large-scale training run needs: a reproducible pseudo-random visit
+    order per epoch WITHOUT materializing a shuffled copy of the corpus
+    (the trick streaming-dataset loaders use: rank docs by an affine
+    permutation key (a_e·doc_id + b_e) mod P, P prime > corpus size, so
+    the map is injective and the 'shuffle' is just a sort key — resumable
+    from any position, identical on every worker, no RNG state). Two
+    epochs with different multipliers demonstrate order independence; the
+    query returns each epoch's first 10 positions. Scale: the top-k per
+    epoch is a WindowGroupLimit partial cut — at most 10 rows per
+    partition reach the epoch shuffle; the corpus itself never moves.
+    P = 15485863 (the 10^6-th prime) exceeds doc_id at every test SF; the
+    injectivity precondition doc_id < P is the documented contract."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    perm = (
+        F.col("doc_id") * (F.lit(48271) + F.lit(69621) * F.col("epoch"))
+        + F.lit(12345) * (F.col("epoch") + 1)
+    ) % F.lit(15485863)
+    permuted = docs.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", perm.cast("bigint").alias("perm_key")
+    )
+    w = Window.partitionBy("epoch").orderBy("perm_key")
+    return (
+        permuted.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 10)
+        .select("epoch", "pos", "doc_id", "perm_key")
     )

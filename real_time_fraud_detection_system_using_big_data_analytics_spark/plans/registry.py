@@ -64,6 +64,7 @@ def load_all() -> None:
         sampling,
         scalars_extra,
         setops,
+        sql4,
         similarity,
         skew,
         text,

@@ -1089,3 +1089,93 @@ def test_sketch_agreement_no_cartesian(spark):
     df = registry.QUERIES["dedup_sketch_agreement"](spark, SF)
     plan = plan_string(df)
     assert "CartesianProduct" not in plan, plan
+
+
+# --- Spark-4 SQL surface (r9: variables, SQL UDFs, scripting, collation,
+# from_xml) — each must be pure surface syntax: no Python stage, and the
+# plan shape identical to the hand-inlined spelling the oracle runs.
+
+
+def test_sql_udf_scalar_is_inlined_no_python(spark):
+    """CREATE FUNCTION ... RETURN bodies are analyzer-inlined: the rollup
+    that calls to_cents() three times must plan with ZERO Python nodes
+    and a partial (map-side combine) aggregate — byte-identical physics
+    to writing CAST(FLOOR(...)) inline."""
+    df = registry.QUERIES["sql_udf_scalar"](spark, SF)
+    plan = plan_string(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_sql_session_variable_folds_to_scan_filter(spark):
+    """The session variable binds a literal at analysis time, so the
+    o_totalprice > half_max_price predicate must still reach the parquet
+    scan as a pushed filter — variables cannot cost pushdown."""
+    df = registry.QUERIES["sql_session_variables"](spark, SF)
+    plan = assert_in_plan(df, "PushedFilters", "HashAggregate")
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:300], plan
+
+
+def test_sql_table_function_lateral_decorrelates_to_join(spark):
+    """The LATERAL region_nations(r.r_regionkey) call must decorrelate
+    into an ordinary equi-join (hash or broadcast), never a per-row
+    nested-loop invocation and never a cartesian."""
+    df = registry.QUERIES["sql_udf_table_lateral"](spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
+        assert marker not in plan, plan
+
+
+def test_from_xml_roundtrip_stays_jvm_side(spark):
+    """from_xml is a built-in Spark-4 expression: the serialize→parse
+    round-trip must plan with zero Python evaluation nodes (contrast: an
+    xml.etree pandas_udf would put Arrow transfers in the hot path)."""
+    df = registry.QUERIES["scalar_from_xml_roundtrip"](spark, SF)
+    plan = plan_string(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_collation_groupby_merges_case_variants(spark):
+    """Semantic pin beyond the oracle: under UTF8_LCASE every source
+    group must contain exactly 2 binary-distinct case variants (upper
+    from even doc_ids, original from odd) — a binary-collation grouping
+    would report 1 variant per (now split) group and double the group
+    count."""
+    rows = registry.QUERIES["scalar_collation_groupby"](spark, SF).collect()
+    assert rows, "no groups"
+    assert all(r.n_case_variants == 2 for r in rows), rows
+
+
+def test_sql_scripting_while_terminates_with_exit_condition(spark):
+    """The WHILE exit invariant, checked live: the returned threshold T
+    satisfies count(> T) <= 50 AND count(> T/2) > 50 — i.e. the loop
+    stopped at the FIRST power-of-two multiple meeting the condition
+    (what the oracle's ORDER BY k LIMIT 1 encodes)."""
+    row = registry.QUERIES["sql_scripting_while"](spark, SF).collect()[0]
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    t = float(row.threshold)
+    assert row.n_above <= 50
+    if t > 100.0:
+        n_half = orders.filter(F.col("o_totalprice") > t / 2).count()
+        assert n_half > 50, (t, n_half)
+
+
+def test_epoch_shuffle_order_partial_topk_and_broadcast_epochs(spark):
+    """curation_epoch_shuffle_order: the 2-row epochs relation must
+    BROADCAST onto the corpus (never shuffle docs to cross them), and the
+    per-epoch top-10 must be a WindowGroupLimit partial cut below the
+    epoch Exchange — at most 10 rows per partition per epoch reach the
+    shuffle, corpus-size-independent."""
+    df = registry.QUERIES["curation_epoch_shuffle_order"](spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan

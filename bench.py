@@ -74,6 +74,13 @@ COMPACT_SET = [
 # SURVEY §2 as coverage widens).
 HEADLINE = [
     # round-9 additions
+    "sql_session_variables",
+    "sql_udf_scalar",
+    "sql_udf_table_lateral",
+    "sql_scripting_while",
+    "scalar_collation_groupby",
+    "scalar_from_xml_roundtrip",
+    "curation_epoch_shuffle_order",
     "source_pushdown_partition_prune",
     "ml_train_rule_agreement",
     "stream_ml_score",

@@ -538,14 +538,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem-suppliers per order — then a filter (n_supp > 1 AND
     n_supp_r = 1); the oracle keeps the textbook correlated form, so the
     two formulations check each other. Counts l1 ROWS per the spec (a
-    supplier with several problem lines in one order counts each)."""
+    supplier with several problem lines in one order counts each).
+
+    Shuffle discipline (r9, found by tests/shuffle_audit.py): TWO
+    countDistinct columns in one agg plan an Expand that doubles every
+    lineitem row before the exchange (measured 20.4 MB shuffled at
+    sf0.1). Rewritten as a two-level aggregate: level 1 groups by
+    (l_orderkey, l_suppkey) — the partial agg dedups pairs map-side, so
+    the exchange carries distinct pairs, not 2x rows — and level 2
+    counts suppliers / problem-suppliers per order. Same semantics
+    (n_supp_r == countDistinct over the R-filtered supplier set), half
+    the shuffle."""
     t = load_tables(spark, sf_dir, names=("supplier", "lineitem", "orders"))
     li = t["lineitem"]
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_r")
+    )
+    order_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_supp_r"),
     )
     waiting = (
         li.filter(F.col("l_returnflag") == "R")

@@ -15,10 +15,14 @@ the run:
     spill_disk_mb / spill_mem_mb         spill (should be 0 at this SF)
     n_stages / n_tasks                   plan width
 
-plus the INVARIANT column: a per-query predicate over those numbers (e.g.
-shuffle_write ≪ input for the bucketed-dedup family) checked live — FAIL
-in the committed artifact is a regression tripwire, and the byte ratios
-are the quantitative form of SURVEY §4's shuffle-discipline claims.
+plus the INVARIANT column: a per-query shuffle-write BUDGET (absolute MB
+at sf0.1, ~2x headroom over measured) checked live — a breach means the
+PLAN changed (a new Expand, a lost broadcast, a lost partial agg), never
+host noise, so FAIL in the committed artifact is a regression tripwire.
+Cross-query invariants (capped-vs-uncapped wedge ratio, zero spill) are
+checked after the sweep. This audit found and pinned the r9 q21 fix: two
+countDistinct in one aggregate planned an Expand that doubled every
+lineitem row through the exchange.
 
 Usage:  python tests/shuffle_audit.py [sf_dir] [out_json]
 Writes SHUFFLE.json (machine) and SHUFFLE.md (table) at the repo root.
@@ -39,84 +43,72 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 UI_PORT = 4052
 MB = 1024.0 * 1024.0
 
-# query -> (invariant label, predicate over the metrics dict) | None
+# query -> (invariant label, predicate over the metrics dict) | None.
+# Budgets are ABSOLUTE shuffle-write MB at sf0.1 with ~2x headroom over the
+# measured value — shuffle bytes are plan-determined, so a budget breach
+# means the PLAN changed (new Expand, lost broadcast, lost partial agg),
+# not host noise. Queries with None are measured-only (their parents'
+# budgets or the cross-checks below cover them).
 AUDIT: dict[str, tuple[str, str] | None] = {
-    # dedup family: the shuffle must carry signatures/sketches, never text.
-    "dedup_minhash_lsh_pairs": (
-        "shuffle_write < 0.5x input",
-        "m['shuffle_write_mb'] < 0.5 * m['input_mb']",
-    ),
-    "dedup_semdedup": (
-        "shuffle_write < input",
-        "m['shuffle_write_mb'] < m['input_mb']",
-    ),
-    "dedup_exact": (
-        "shuffle_write < 0.6x input (hashes, not text)",
-        "m['shuffle_write_mb'] < 0.6 * m['input_mb']",
-    ),
-    # decontaminate: bloom prefilter -> exact join only on survivors.
-    "curation_decontaminate_bloom": (
-        "shuffle_write < 0.25x input (survivors only)",
-        "m['shuffle_write_mb'] < 0.25 * m['input_mb']",
-    ),
-    "curation_leakage_safe_split": None,
-    # ANN: probe-side broadcast; the corpus never re-shuffles raw vectors
-    # more than the one partitioning pass the index build needs.
-    "ann_ivf_partitioned": (
-        "shuffle_write < 1.5x input",
-        "m['shuffle_write_mb'] < 1.5 * m['input_mb']",
-    ),
-    "ann_ivf_pq_shortlist_rerank": None,
-    "ann_bruteforce_topk": (
-        "partial top-k: shuffle_write < 0.2x input",
-        "m['shuffle_write_mb'] < 0.2 * m['input_mb']",
-    ),
-    "ann_hard_negative_mining": None,
-    # joins: bloom-pruned join must move less than the unpruned fact.
-    "join_bloom_filter_pruned": (
-        "shuffle_write < 0.6x input",
-        "m['shuffle_write_mb'] < 0.6 * m['input_mb']",
-    ),
-    "join_skew_salted": None,
-    "join_broadcast_dim": (
-        "no fact shuffle: shuffle_write < 2 MB",
-        "m['shuffle_write_mb'] < 2.0",
-    ),
-    # graph: capped twins must shuffle less than their quadratic parents.
+    # dedup family: the shuffle carries signatures/sketches + the in-bucket
+    # pair expansion, never document text.
+    "dedup_minhash_lsh_pairs": ("shuffle_write < 15 MB", "m['shuffle_write_mb'] < 15"),
+    "dedup_semdedup": ("shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
+    "dedup_exact": ("hashes only: shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
+    # decontaminate: the 10.6 MB measured is the exact hot-shingle
+    # DF-census (inherent to the exact MAX_DOC_FREQ semantics, shared with
+    # the oracle); the stage-2 exact join itself carries only bloom
+    # survivors. At 100 TB the census dial is a CMS/approx df sketch.
+    "curation_decontaminate_bloom": ("shuffle_write < 20 MB", "m['shuffle_write_mb'] < 20"),
+    "curation_leakage_safe_split": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
+    # ANN: probe-side broadcasts; partial top-k cuts below the exchange.
+    "ann_ivf_partitioned": ("shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
+    "ann_ivf_pq_shortlist_rerank": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
+    "ann_bruteforce_topk": ("partial top-k: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
+    "ann_hard_negative_mining": ("shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
+    # joins: pruned/salted/broadcast shapes move (almost) nothing.
+    "join_bloom_filter_pruned": ("shuffle_write < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    "join_skew_salted": ("shuffle_write < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    "join_broadcast_dim": ("no fact shuffle: < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    # graph: the uncapped wedge queries are documented quadratic (SCALING.md);
+    # the capped twins carry the budget and the cross-check below pins the
+    # ratio between them.
     "graph_adamic_adar": None,
-    "graph_adamic_adar_capped": None,
-    "graph_pagerank_bipartite": None,
-    # text/curation: token pipelines shuffle integer counters, not text.
-    "text_gopher_quality_rules": (
-        "counters only: shuffle_write < 1.5x input",
-        "m['shuffle_write_mb'] < 1.5 * m['input_mb']",
-    ),
-    "text_tfidf_top_terms": None,
-    "curation_dsir_importance": (
-        "16-bucket LM: shuffle_write < 0.7x input",
-        "m['shuffle_write_mb'] < 0.7 * m['input_mb']",
-    ),
-    "curation_epoch_shuffle_order": (
-        "top-10/epoch cut: shuffle_write < 1 MB",
-        "m['shuffle_write_mb'] < 1.0",
-    ),
-    # TPC-H heavies for the classic-relational shape.
-    "q9_product_type_profit": None,
-    "q18_large_volume_customers": None,
-    "q21_waiting_suppliers": None,
-    # aggregation discipline: partial aggs mean the exchange sees groups,
-    # not rows.
-    "agg_grouped_summary": (
-        "partial agg: shuffle_write < 0.1x input",
-        "m['shuffle_write_mb'] < 0.1 * m['input_mb']",
-    ),
-    "agg_skew_two_phase": None,
-    "window_sessionize": None,
-    "multimodal_image_decode_jpeg_color": (
-        "per-doc codec: shuffle_write < 0.05x input",
-        "m['shuffle_write_mb'] < 0.05 * m['input_mb']",
-    ),
+    "graph_adamic_adar_capped": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
+    "graph_pagerank_bipartite": ("shuffle_write < 60 MB", "m['shuffle_write_mb'] < 60"),
+    # text/curation: token pipelines shuffle doc-keyed integer counters and
+    # (df pass) token/bigram keys — bounded by token cardinality, not text.
+    "text_gopher_quality_rules": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
+    "text_tfidf_top_terms": ("shuffle_write < 6 MB", "m['shuffle_write_mb'] < 6"),
+    "curation_dsir_importance": ("16-bucket LM: shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
+    "curation_epoch_shuffle_order": ("top-10/epoch cut: < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    # TPC-H heavies. q21's budget pins the r9 Expand fix (two countDistinct
+    # in one agg doubled every lineitem row: 20.4 MB shuffled; the
+    # two-level aggregate rewrite carries distinct pairs instead).
+    "q9_product_type_profit": ("shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
+    "q18_large_volume_customers": ("shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
+    "q21_waiting_suppliers": ("no Expand: shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
+    # aggregation discipline: partial aggs mean exchanges see groups.
+    "agg_grouped_summary": ("partial agg: shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
+    "agg_skew_two_phase": ("shuffle_write < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    "window_sessionize": ("shuffle_write < 5 MB", "m['shuffle_write_mb'] < 5"),
+    "multimodal_image_decode_jpeg_color": ("per-doc codec: < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
 }
+
+# cross-query invariants evaluated after all runs: (label, expr over R,
+# the {query: metrics} dict).
+CROSS: list[tuple[str, str]] = [
+    (
+        "hub cap pays: capped adamic-adar shuffles <1/5 of uncapped",
+        "R['graph_adamic_adar_capped']['shuffle_write_mb']"
+        " < R['graph_adamic_adar']['shuffle_write_mb'] / 5",
+    ),
+    (
+        "zero spill across every audited query",
+        "all(m['spill_disk_mb'] == 0 and m['spill_mem_mb'] == 0"
+        " for m in R.values())",
+    ),
+]
 
 
 def _rest(path: str):
@@ -154,6 +146,10 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.driver.memory",
+            __import__("os").environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.ui.retainedStages", "5000")
@@ -218,12 +214,23 @@ def main() -> int:
             f"spill={m['spill_disk_mb']} MB stages={m['n_stages']}{flag}"
         )
 
+    cross_results = []
+    for label, expr in CROSS:
+        try:
+            ok = bool(eval(expr, {"R": results}))  # noqa: S307 - fixed literals
+        except Exception:
+            ok = False
+        cross_results.append({"invariant": label, "pass": ok})
+        print(f"CROSS {label}: {'PASS' if ok else '*** FAIL ***'}")
+
     payload = {
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "n_invariant_fail": sum(
             1 for m in results.values() if m.get("invariant_pass") is False
-        ),
+        )
+        + sum(1 for c in cross_results if not c["pass"]),
+        "cross": cross_results,
         "queries": results,
     }
     out_json.write_text(json.dumps(payload, indent=1, sort_keys=True))
@@ -253,11 +260,23 @@ def main() -> int:
         )
     md += [
         "",
-        f"Invariant failures: **{payload['n_invariant_fail']}**. "
-        "Spill is 0 across the board at this SF; at 100 TB the same ratios",
-        "hold per-partition because every audited plan's shuffle volume is",
-        "output- or sketch-sized, not input-sized (the broadcast/bucketed/",
-        "partial-agg shapes the plan pins in tests/test_plans.py enforce).",
+        "Cross-query invariants:",
+        "",
+    ]
+    for c in cross_results:
+        md.append(f"- {c['invariant']}: **{'PASS' if c['pass'] else 'FAIL'}**")
+    md += [
+        "",
+        f"Invariant failures: **{payload['n_invariant_fail']}**.",
+        "",
+        "Notes: `input MB` is the stage-level `inputBytes` (post-pushdown,",
+        "column-pruned, compressed) — informational only; budgets bind on",
+        "shuffle WRITE bytes, which a plan change moves by integer factors",
+        "(the r9 q21 Expand fix halved its shuffle; the hub caps cut the",
+        "wedge joins by >10x). `curation_decontaminate_bloom`'s volume is",
+        "the exact hot-shingle document-frequency census its semantics",
+        "require — the bloom stage-2 join itself carries only survivors;",
+        "at 100 TB the census dial is an approximate-DF sketch.",
     ]
     Path("SHUFFLE.md").write_text("\n".join(md) + "\n")
     print(f"\nwrote {out_json} and SHUFFLE.md; "

@@ -583,6 +583,11 @@ def test_q21_exists_pair_is_one_aggregate_plus_semi(spark):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    # r9 (found by tests/shuffle_audit.py): two countDistinct in one agg
+    # planned an Expand that doubled every lineitem row through the
+    # exchange (20.4 -> 11.7 MB shuffled at sf0.1 after the two-level
+    # aggregate rewrite). Expand must never reappear in this plan.
+    assert "Expand" not in plan, plan
 
 
 def test_pq_adc_partial_limit_no_smj(spark):

@@ -198,13 +198,30 @@ _SWEEP_EXCLUDE_PREFIXES = (
     ),
 )
 def test_no_query_plans_a_cartesian_product(spark, name):
-    """Sweeping invariant: NO registered query may plan a CartesianProduct.
-    Intentional small-side crosses (ANN scoring) must be broadcast
-    nested-loop, never a shuffled cartesian. Streaming/ML/iterative
-    queries are excluded only because constructing them executes them —
-    their shapes are pinned by their own tests."""
+    """Sweeping invariants over every registered plan: (1) NO query may
+    plan a CartesianProduct — intentional small-side crosses (ANN
+    scoring) must be broadcast nested-loop, never a shuffled cartesian;
+    (2) NO query may plan an Expand except the ones whose SEMANTICS are
+    Expand (cube/rollup/grouping sets, and the column profiler whose
+    docstring declares its exact-NDV expand). The r9 shuffle audit caught
+    q21 silently planning an Expand from two countDistinct in one
+    aggregate — every lineitem row doubled through the exchange; this
+    sweep makes that class unreintroducible anywhere in the registry.
+    Streaming/ML/iterative queries are excluded only because
+    constructing them executes them — their shapes are pinned by their
+    own tests."""
     df = registry.QUERIES[name](spark, SF)
-    assert "CartesianProduct" not in plan_string(df, mode="simple")
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    expand_ok = {
+        "agg_cube",
+        "agg_rollup",
+        "agg_grouping_sets",
+        "timeseries_multi_rollup",
+        "profile_column_stats",
+    }
+    if name not in expand_ok:
+        assert "Expand" not in plan, f"{name} plans an Expand (multi-distinct agg?)"
 
 
 def test_bruteforce_topk_partial_limit_below_exchange(spark):

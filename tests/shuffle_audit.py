@@ -93,6 +93,18 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     "agg_skew_two_phase": ("shuffle_write < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
     "window_sessionize": ("shuffle_write < 5 MB", "m['shuffle_write_mb'] < 5"),
     "multimodal_image_decode_jpeg_color": ("per-doc codec: < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    # measured-only breadth rows (r9b): one representative per remaining
+    # family so the artifact maps the whole engine's shuffle behavior.
+    "window_velocity_range_frame": None,
+    "eventflow_top_paths": None,
+    "dedup_levenshtein_pairs": None,
+    "text_pack_sequences": None,
+    "olap_share_shift": None,
+    "etl_join_ivm_delta": None,
+    "fraud_layering_chains": None,
+    "agg_cube": None,  # Expand BY SEMANTICS - the legitimate contrast row
+    "timeseries_multi_rollup": None,
+    "sql_scripting_while": None,
 }
 
 # cross-query invariants evaluated after all runs: (label, expr over R,

@@ -1201,3 +1201,19 @@ def test_epoch_shuffle_order_partial_topk_and_broadcast_epochs(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_epoch_shuffle_orders_differ_across_epochs(spark):
+    """Semantic pin beyond the oracle: the two epochs' visit orders must
+    actually DIFFER (different affine multipliers) — a broken epoch
+    binding (same a_e for both) would still hash-pass a same-seed oracle,
+    so pin order divergence directly."""
+    rows = registry.QUERIES["curation_epoch_shuffle_order"](spark, SF).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.pos, r.doc_id))
+    assert set(by_epoch) == {0, 1}, by_epoch.keys()
+    order0 = [d for _, d in sorted(by_epoch[0])]
+    order1 = [d for _, d in sorted(by_epoch[1])]
+    assert order0 != order1, "epoch orders identical - epoch not bound"
+    assert len(set(order0)) == 10 and len(set(order1)) == 10

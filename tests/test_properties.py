@@ -560,3 +560,26 @@ def test_jpeg_bitstream_roundtrip_with_stuffing():
             assert r.bits(nbits) == v
 
     prop()
+
+
+def test_committed_shuffle_audit_is_clean_and_broad():
+    """The committed SHUFFLE.json (tests/shuffle_audit.py output) must
+    carry zero invariant failures and at least 30 audited queries —
+    regenerating it after a plan regression (a new Expand, a lost
+    broadcast) flips n_invariant_fail and this test catches a stale or
+    failing artifact even when the audit script itself wasn't rerun by
+    the committer."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "SHUFFLE.json"
+    d = json.loads(p.read_text())
+    assert d["n_invariant_fail"] == 0, d["n_invariant_fail"]
+    assert d["n_queries"] >= 30, d["n_queries"]
+    assert all(c["pass"] for c in d["cross"]), d["cross"]
+    # the q21 regression this audit caught must stay fixed: its budget row
+    # is present and passing, and the measured bytes stay under the old
+    # Expand-plan floor (20.4 MB measured pre-fix at sf0.1)
+    q21 = d["queries"]["q21_waiting_suppliers"]
+    assert q21["invariant_pass"] is True
+    assert q21["shuffle_write_mb"] < 20, q21

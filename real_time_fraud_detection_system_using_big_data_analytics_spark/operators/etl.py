@@ -18,6 +18,7 @@ Exchange on the join key.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -720,3 +721,62 @@ def etl_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return as_of(1).unionByName(as_of(2))
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_exact
+    FROM documents d
+    WHERE d.doc_id < 64
+    GROUP BY d.source
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source (r9): Spark's built-in whole-file ingestion —
+    the entry point every image/audio/document corpus uses at scale (one
+    row per file: path, modificationTime, length, content bytes), feeding
+    the multimodal codec operators (multimodal/codec.py) without any
+    custom reader. A bounded 64-doc fixture is written as one file per
+    document (driver-side, bounded by construction — the same fixture
+    discipline as the ETL round-trips), read back through the binaryFile
+    format, keyed by filename regexp, and joined to the originals; the
+    per-source rollup counts byte-exact round-trips, so a decode or
+    length drift is a hash mismatch against the oracle computed straight
+    from the documents table (ASCII corpus: octet_length == file bytes;
+    non-ASCII would be UTF-8 on both sides).
+
+    At 100 TB: binaryFile splits by FILE (a file never splits), so
+    partition sizing is `spark.sql.files.maxPartitionBytes` over file
+    counts — small-file corpora need the compaction pass
+    (etl_compaction_roundtrip) or a packed container format first; the
+    pushed PathFilter (`pathGlobFilter`, `modifiedAfter`) prunes at
+    listing time before any byte is read."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sample = docs.filter(F.col("doc_id") < 64).select("doc_id", "text", "source")
+    rows = sample.collect()  # <= 64 rows: bounded fixture write
+    path = _scratch("binfiles")
+    for r in rows:
+        with open(os.path.join(path, f"{r.doc_id}.txt"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+    parsed = bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.decode(F.col("content"), "UTF-8").alias("text_back"),
+    )
+    joined = parsed.join(
+        F.broadcast(sample.withColumnRenamed("text", "text_orig")), "doc_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.sum(F.when(F.col("text_back") == F.col("text_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip_exact"),
+    )

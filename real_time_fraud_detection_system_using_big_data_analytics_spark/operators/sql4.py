@@ -183,6 +183,8 @@ def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes the FIRST k whose count ≤ 50, which is precisely the WHILE
     exit condition."""
     load_tables(spark, sf_dir, names=("orders",))
+    # default-true in Spark 4.1; set defensively for foreign sessions
+    spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(
         """
         BEGIN

@@ -1217,3 +1217,20 @@ def test_epoch_shuffle_orders_differ_across_epochs(spark):
     order1 = [d for _, d in sorted(by_epoch[1])]
     assert order0 != order1, "epoch orders identical - epoch not bound"
     assert len(set(order0)) == 10 and len(set(order1)) == 10
+
+
+def test_aqe_coalesces_post_shuffle_partitions_at_runtime(spark):
+    """Executed-plan (not explain-time) evidence that AQE is live: the
+    grouped aggregate's 32 configured shuffle partitions must coalesce at
+    runtime to match the actual (tiny) reduce-side data — the
+    AQEShuffleRead(coalesced) node only exists after execution. At 100 TB
+    the same machinery right-sizes every reduce stage to the real map
+    output instead of the static spark.sql.shuffle.partitions guess; this
+    pins that the session config (adaptive.enabled +
+    coalescePartitions.enabled) actually engages rather than being
+    decorative."""
+    df = registry.QUERIES["agg_grouped_summary"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final, final[:2000]
+    assert "coalesced" in final, final[:2000]

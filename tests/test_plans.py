@@ -1234,3 +1234,49 @@ def test_aqe_coalesces_post_shuffle_partitions_at_runtime(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final, final[:2000]
     assert "coalesced" in final, final[:2000]
+
+
+def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
+    """Executed-plan evidence that AQE skew-join handling engages: a
+    synthetic relation with one hot key (1/3 of all rows) joined under
+    lowered skew thresholds must show SortMergeJoin(skew=true) with an
+    'AQEShuffleRead coalesced and skewed' child AFTER execution, and the
+    row count must be unaffected by the split. Two non-obvious
+    preconditions this test encodes: (1) skew detection reads COMPRESSED
+    map-output sizes, so the hot partition's payload must be
+    incompressible (sha2 pads; a constant-string pad compresses below any
+    realistic threshold and the skew silently never triggers); (2) the
+    rule declines when the join feeds an operator that needs the hash
+    distribution (an immediate groupBy), because splitting would break
+    co-partitioning — the probe output must be distribution-free. These
+    are exactly the conditions under which the salting operator
+    (join_skew_salted) remains necessary at 100 TB."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "200k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "200k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            (F.when(F.col("id") % 3 == 0, 0).otherwise(F.col("id")) % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select("k", "pad", "w")
+        assert len(j.collect()) == 300_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "skewed" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

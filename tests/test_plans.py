@@ -1280,3 +1280,34 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_switches_smj_to_broadcast_on_runtime_stats(spark):
+    """Executed-plan evidence for AQE's join-strategy re-plan: a side
+    whose STATIC size estimate (file bytes; the md5-prefix filter is
+    opaque to the estimator) forces SortMergeJoin must convert to
+    BroadcastHashJoin at runtime once the actual post-filter map output
+    measures under the adaptive broadcast threshold — and the result must
+    equal the same join computed under the default (statically broadcast)
+    planning. This is the re-plan that saves mis-estimated dimension
+    joins at 100 TB without manual hints; together with the coalesce and
+    skew pins it covers all three AQE re-optimizations the session
+    factory enables."""
+    ev = spark.read.parquet(SF + "/events.parquet")
+    tiny = ev.filter(F.md5(F.col("props")).startswith("0")).select(
+        "user_id", "event_id"
+    )
+    expected = ev.join(tiny.withColumnRenamed("event_id", "e2"), "user_id").count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try:
+        j = ev.join(tiny.withColumnRenamed("event_id", "e2"), "user_id")
+        pre = j._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in pre, pre[:1500]
+        assert len(j.collect()) == expected
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

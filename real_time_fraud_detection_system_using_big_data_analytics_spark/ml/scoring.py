@@ -387,18 +387,42 @@ def ml_train_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_agree"
         ),
     )
-    # exact full-table AUC via the rank-sum identity (one window pass),
-    # same formulation as ml_auc_exact_ranksum — no evaluator RNG
+    # Full-table AUC via the rank-sum identity on scores QUANTIZED to
+    # micro-units and collapsed per distinct score (same scale shape as
+    # ml_auc_exact_ranksum, operators/risk.py): the cumulative window
+    # runs over the collapsed table — bounded by score granularity
+    # (≤1e6+1 rows) at ANY fact scale, never a single-partition global
+    # rank of the scored rows (the r9 fix: the original per-row
+    # row_number() window moved the whole scored table through one
+    # WindowExec partition). Midranks are doubled so every intermediate
+    # stays integer; 1e-6 quantization moves AUC by <1e-5, far inside the
+    # 0.98 bound under audit.
     from pyspark.sql import Window
 
-    ranked = scored.withColumn(
-        "r", F.avg(F.row_number().over(Window.orderBy("fraud_probability")))
-        .over(Window.partitionBy("fraud_probability"))
+    per_score = (
+        scored.select(
+            F.floor(F.col("fraud_probability") * 1_000_000.0 + 0.5)
+            .cast("bigint")
+            .alias("score_micro"),
+            F.col("isFraud").cast("long").alias("y"),
+        )
+        .groupBy("score_micro")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos_s"),
+            F.count("*").cast("bigint").alias("n_s"),
+        )
     )
-    auc_parts = ranked.agg(
-        F.sum(F.when(F.col("isFraud") == 1, F.col("r"))).alias("sum_r_pos"),
-        F.sum(F.col("isFraud").cast("long")).alias("n_pos"),
-        F.count("*").alias("n"),
+    w = Window.orderBy("score_micro").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.select(
+        "n_pos_s", "n_s", F.sum("n_s").over(w).cast("bigint").alias("cum_n")
+    )
+    # doubled midrank of a tie group = first + last = 2*cum_n - n_s + 1
+    auc_parts = cum.agg(
+        F.sum(F.col("n_pos_s") * (2 * F.col("cum_n") - F.col("n_s") + 1))
+        .cast("bigint")
+        .alias("sum_r2_pos"),
+        F.sum("n_pos_s").cast("bigint").alias("n_pos"),
+        F.sum("n_s").cast("bigint").alias("n"),
     )
     return (
         agg.crossJoin(auc_parts)
@@ -409,7 +433,7 @@ def ml_train_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 (
-                    F.col("sum_r_pos")
+                    F.col("sum_r2_pos") / 2.0
                     - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
                 )
                 / (F.col("n_pos") * (F.col("n") - F.col("n_pos")))

@@ -603,7 +603,7 @@ _ADAMIC_ADAR_SQL = """
 """
 
 
-@register("graph_adamic_adar", oracle=_ADAMIC_ADAR_SQL)
+@register("graph_adamic_adar", oracle=_ADAMIC_ADAR_SQL, diagnostic=True)
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction: score candidate pairs by
     Σ 1/ln(deg(z)) over shared neighbors z — common_neighbors' smarter
@@ -618,6 +618,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg ≥ 2 (they witness a wedge), so ln(d) never hits zero; the deg
     table is vertex-cardinality and broadcasts. Hub capping note from
     common_neighbors applies unchanged — the deg² term is the hubs'.
+
+    DIAGNOSTIC (registry-tagged, r10): the uncapped wedge join is a
+    MEASURED scale-killer (SCALING.md slope5 = 22.9, 106.6 MB shuffle vs
+    7.9 MB capped) kept as the A/B baseline and the memory-pressure spill
+    pin — `graph_adamic_adar_capped` is the production operator and the
+    bench headline. Do not reach for this form at scale.
     """
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     raw = orders.select(
@@ -1012,7 +1018,7 @@ _JACCARD_SQL = """
 """
 
 
-@register("graph_jaccard_neighbors", oracle=_JACCARD_SQL)
+@register("graph_jaccard_neighbors", oracle=_JACCARD_SQL, diagnostic=True)
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-Jaccard link prediction: |N(x)∩N(y)| / |N(x)∪N(y)| for
     every vertex pair sharing at least one neighbor — the size-normalized
@@ -1028,7 +1034,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-cardinality: they equi-join WITHOUT a broadcast hint (AQE picks;
     an explicit broadcast of an O(|V|) side is exactly the 100 TB hazard
     the round-4 verdict flagged in dedup). Scale law is the usual
-    Σ deg(v)² of the middle-vertex join — cap hub adjacency upstream."""
+    Σ deg(v)² of the middle-vertex join — cap hub adjacency upstream.
+
+    DIAGNOSTIC (registry-tagged, r10): measured slope5 = 15.1 uncapped
+    (SCALING.md); kept as the A/B baseline only —
+    `graph_jaccard_neighbors_capped` (slope5 2.01) is the production
+    operator and the bench headline."""
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     raw = orders.select(
         F.col("o_custkey").alias("src"),

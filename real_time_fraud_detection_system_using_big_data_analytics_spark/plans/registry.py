@@ -24,10 +24,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# Measured-baseline/diagnostic queries: oracle-green and deliberately kept,
+# but their registered form is a known scale-killer whose production twin
+# lives elsewhere (e.g. the uncapped wedge joins vs their _capped twins).
+# Harnesses that define the engine's headline posture (bench.py HEADLINE)
+# exclude these; the scale-slope, shuffle-audit and memory-pressure
+# harnesses keep them precisely BECAUSE they are the measured A/B baseline.
+DIAGNOSTIC: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query (and optional oracle SQL) to the registry."""
+def register(
+    name: str, oracle: str | None = None, diagnostic: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optional oracle SQL) to the registry.
+    ``diagnostic=True`` tags a measured-baseline query (see DIAGNOSTIC)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -35,6 +45,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = textwrap.dedent(oracle).strip()
+        if diagnostic:
+            DIAGNOSTIC.add(name)
         return fn
 
     return deco

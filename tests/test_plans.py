@@ -186,7 +186,37 @@ _SWEEP_EXCLUDE_PREFIXES = (
     "ml_",
     "dedup_cluster",
     "ann_mllib",  # r6 audit form: construct = execute (bounded-count collects)
+    # r9 ADVICE: for these, construct == execute (a ~13-pass driver WHILE
+    # loop of COUNT scans; a collect + 64 scratch-file writes) — exactly
+    # the cost class this exclusion list exists for. Their plan shapes are
+    # pinned by dedicated r9 tests instead.
+    "sql_scripting_while",
+    "source_binaryfile_ingest",
 )
+
+
+def test_diagnostic_tag_excludes_from_bench_headline():
+    """The uncapped wedge joins are registry-tagged DIAGNOSTIC (measured
+    scale-killers kept as A/B baselines; SCALING.md slope5 22.9 / 15.1 vs
+    their capped twins' 1.22 / 2.01) — the bench headline set must contain
+    the capped twins and never the uncapped forms."""
+    import bench
+
+    assert registry.DIAGNOSTIC == {
+        "graph_adamic_adar",
+        "graph_jaccard_neighbors",
+    }
+    names = [
+        n for n in bench.HEADLINE
+        if n in registry.QUERIES and n not in registry.DIAGNOSTIC
+    ]
+    assert "graph_adamic_adar" not in names
+    assert "graph_jaccard_neighbors" not in names
+    assert "graph_adamic_adar_capped" in names
+    assert "graph_jaccard_neighbors_capped" in names
+    # tagged queries stay registered and oracle-checked
+    for n in registry.DIAGNOSTIC:
+        assert n in registry.QUERIES and n in registry.ORACLE
 
 
 @pytest.mark.parametrize(

@@ -764,7 +764,7 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d CROSS JOIN epochs e
     ), ranked AS (
       SELECT epoch, doc_id, perm_key,
-             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY perm_key) AS pos
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY perm_key, doc_id) AS pos
       FROM permuted
     )
     SELECT CAST(epoch AS INTEGER) AS epoch,
@@ -785,8 +785,12 @@ def curation_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     query returns each epoch's first 10 positions. Scale: the top-k per
     epoch is a WindowGroupLimit partial cut — at most 10 rows per
     partition reach the epoch shuffle; the corpus itself never moves.
-    P = 15485863 (the 10^6-th prime) exceeds doc_id at every test SF; the
-    injectivity precondition doc_id < P is the documented contract."""
+    P = 15485863 (the 10^6-th prime) exceeds doc_id at every test SF, so
+    the permutation is injective here; for corpora beyond P, perm_key
+    collisions merely degrade shuffle quality — they can no longer
+    destabilize the result, because the rank orders by (perm_key,
+    doc_id) on BOTH engines (r9 ADVICE: the bare perm_key order made
+    row_number nondeterministic past P with no runtime signal)."""
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
     epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
     perm = (
@@ -796,7 +800,7 @@ def curation_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     permuted = docs.select("doc_id").crossJoin(F.broadcast(epochs)).select(
         "epoch", "doc_id", perm.cast("bigint").alias("perm_key")
     )
-    w = Window.partitionBy("epoch").orderBy("perm_key")
+    w = Window.partitionBy("epoch").orderBy("perm_key", "doc_id")
     return (
         permuted.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .filter(F.col("pos") <= 10)

@@ -759,6 +759,12 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = docs.filter(F.col("doc_id") < 64).select("doc_id", "text", "source")
     rows = sample.collect()  # <= 64 rows: bounded fixture write
     path = _scratch("binfiles")
+    # the scratch dir is process-cached across sf_dirs: clear prior *.txt
+    # so an SF with fewer (or differently-filtered) doc_ids can never leave
+    # stale files behind the glob to inflate n_files/total_bytes
+    for stale in os.listdir(path):
+        if stale.endswith(".txt"):
+            os.unlink(os.path.join(path, stale))
     for r in rows:
         with open(os.path.join(path, f"{r.doc_id}.txt"), "wb") as fh:
             fh.write(r.text.encode("utf-8"))

@@ -271,11 +271,21 @@ def scalar_from_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer and the round-trip equality is order-free."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # XML-escape the one free-text splice ('&' first, then '<'): without
+    # this, any '&'/'<' in event_type makes from_xml yield NULL and the
+    # rollup silently diverges from the oracle computed on the raw column.
+    # from_xml decodes the entities back, so escaped values group
+    # identically to the source. event_id/cents are numeric — no escaping.
+    type_esc = F.replace(
+        F.replace(F.col("event_type"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
     xml = F.concat(
         F.lit("<ev><id>"),
         F.col("event_id"),
         F.lit("</id><type>"),
-        F.col("event_type"),
+        type_esc,
         F.lit("</type><cents>"),
         cents,
         F.lit("</cents></ev>"),

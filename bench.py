@@ -73,6 +73,9 @@ COMPACT_SET = [
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
+    # round-10 additions
+    "etl_avro_roundtrip",
+    "dedup_semdedup",
     # round-9 additions
     "sql_session_variables",
     "sql_udf_scalar",
@@ -86,7 +89,6 @@ HEADLINE = [
     "stream_ml_score",
     "graph_adamic_adar_capped",
     "graph_jaccard_neighbors_capped",
-    "dedup_semdedup",
     "curation_dsir_importance",
     "text_gopher_quality_rules",
     "ann_hard_negative_mining",

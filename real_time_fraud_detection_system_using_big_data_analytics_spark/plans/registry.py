@@ -87,7 +87,7 @@ def load_all() -> None:
         windows,
     )
     from ..ml import scoring  # noqa: F401
-    from ..sources import pysource  # noqa: F401
+    from ..sources import avro_ocf, pysource  # noqa: F401
     from ..multimodal import queries as multimodal_queries  # noqa: F401
     from ..streaming import (  # noqa: F401
         materialize,

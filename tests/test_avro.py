@@ -1,0 +1,173 @@
+"""Avro OCF codec + DataSource tests.
+
+The encoder/decoder pair could in principle agree on a WRONG reading of
+the format, so the unit layer pins golden bytes taken directly from the
+published Apache Avro specification (Binary encoding / Object Container
+Files sections) — the same discipline the JPEG/PNG codecs use with their
+spec-derived fixtures."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+    MAGIC,
+    avro_schema_for,
+    encode_double,
+    encode_string,
+    read_ocf,
+    read_ocf_schema,
+    write_ocf,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+# --- spec golden pins -----------------------------------------------------
+
+# Avro spec, "Binary encoding > Primitive types": the int/long zigzag
+# varint example table, verbatim.
+SPEC_ZIGZAG = [
+    (0, b"\x00"),
+    (-1, b"\x01"),
+    (1, b"\x02"),
+    (-2, b"\x03"),
+    (2, b"\x04"),
+    (-64, b"\x7f"),
+    (64, b"\x80\x01"),
+    (-65, b"\x81\x01"),
+    (65, b"\x82\x01"),
+]
+
+
+@pytest.mark.parametrize("value,raw", SPEC_ZIGZAG)
+def test_zigzag_matches_spec_table(value, raw):
+    assert zigzag_encode(value) == raw
+    got, pos = zigzag_decode(memoryview(raw), 0)
+    assert got == value and pos == len(raw)
+
+
+def test_string_framing_matches_spec_example():
+    # spec: the 3-character string "foo" -> 06 66 6f 6f
+    assert encode_string("foo") == b"\x06foo"
+
+
+def test_double_is_little_endian_ieee():
+    assert encode_double(1.0) == struct.pack("<d", 1.0)
+    assert len(encode_double(-2.5)) == 8
+
+
+def test_container_layout_matches_spec():
+    """Magic, self-describing metadata map, 16-byte sync after the header
+    and after every block — the structural invariants any conforming
+    Avro reader relies on."""
+    sch = avro_schema_for([("a", "bigint")])
+    data = write_ocf(sch, [[1, 2, 3]], 3, block_rows=2)  # 2 blocks
+    assert data[:4] == MAGIC
+    buf = memoryview(data)
+    pos = 4
+    n, pos = zigzag_decode(buf, pos)
+    assert n == 2  # avro.schema + avro.codec
+    meta = {}
+    for _ in range(n):
+        klen, pos = zigzag_decode(buf, pos)
+        key = bytes(buf[pos : pos + klen]).decode()
+        pos += klen
+        vlen, pos = zigzag_decode(buf, pos)
+        meta[key] = bytes(buf[pos : pos + vlen])
+        pos += vlen
+    z, pos = zigzag_decode(buf, pos)
+    assert z == 0  # end of metadata map
+    assert meta["avro.codec"] == b"null"
+    assert json.loads(meta["avro.schema"])["type"] == "record"
+    sync = bytes(buf[pos : pos + 16])
+    pos += 16
+    # block 1: count=2, then block 2: count=1, sync repeats after each
+    n1, pos = zigzag_decode(buf, pos)
+    blen1, pos = zigzag_decode(buf, pos)
+    assert n1 == 2
+    pos += blen1
+    assert bytes(buf[pos : pos + 16]) == sync
+    pos += 16
+    n2, pos = zigzag_decode(buf, pos)
+    blen2, pos = zigzag_decode(buf, pos)
+    assert n2 == 1
+    pos += blen2
+    assert bytes(buf[pos : pos + 16]) == sync
+    assert pos + 16 == len(data)
+
+
+def test_schema_header_readback():
+    sch = avro_schema_for([("x", "double"), ("s", "string")])
+    data = write_ocf(sch, [[1.0], ["a"]], 1)
+    assert read_ocf_schema(data) == sch
+
+
+def test_unsupported_type_raises_loudly():
+    with pytest.raises(NotImplementedError):
+        avro_schema_for([("m", "map<string,string>")])
+    sch = avro_schema_for([("a", "bigint")])
+    with pytest.raises(NotImplementedError):
+        write_ocf(sch, [[1, None]], 2)  # NULL without a union
+
+
+# --- property round-trip ---------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+            st.text(max_size=40),
+            st.booleans(),
+        ),
+        max_size=200,
+    )
+)
+def test_roundtrip_property(rows):
+    sch = avro_schema_for(
+        [("i", "bigint"), ("d", "double"), ("s", "string"), ("b", "boolean")]
+    )
+    cols = [list(c) for c in zip(*rows)] if rows else [[], [], [], []]
+    back_sch, back = read_ocf(write_ocf(sch, cols, len(rows), block_rows=17))
+    assert back_sch == sch
+    # doubles must round-trip BIT-exactly (incl. -0.0, inf, subnormals)
+    for orig, got in zip(cols[1], back[1]):
+        assert struct.pack("<d", orig) == struct.pack("<d", got)
+    assert back[0] == cols[0] and back[2] == cols[2] and back[3] == cols[3]
+
+
+# --- Spark end-to-end -------------------------------------------------------
+
+
+def test_spark_write_read_exact_rows(spark):
+    """Every row survives the DataSource write -> staged commit -> per-file
+    partitioned read, value-exact, with one part file per task."""
+    import os
+    import tempfile
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+        register_avro_datasource,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    register_avro_datasource(spark)
+    ev = (
+        load_tables(spark, "/root/testdata/sf0.001", names=("events",))["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    out = tempfile.mkdtemp(prefix="avro_t_")
+    ev.repartition(4).write.format("avro_ocf").mode("overwrite").save(out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".avro")]
+    assert len(parts) == 4 and os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.format("avro_ocf").load(out)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))

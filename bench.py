@@ -75,6 +75,7 @@ COMPACT_SET = [
 HEADLINE = [
     # round-10 additions
     "etl_avro_roundtrip",
+    "dedup_substring_runs",
     "dedup_semdedup",
     # round-9 additions
     "sql_session_variables",

@@ -1344,3 +1344,109 @@ def dedup_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.coalesce("jaccard_micro", F.lit(0))).cast("bigint").alias("max_jaccard_micro"),
         )
     )
+
+
+# --- substring-level exact dedup (r10) --------------------------------------
+
+SUBSTR_K = 8       # window width (tokens) — matches dedup_repeated_passages
+SUBSTR_MIN = 12    # minimum duplicated-substring length (tokens) to report
+
+
+@register(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+{SUBSTR_K - 1}], ' ')) AS wh
+      FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1}, 1)) AS g(i)
+      WHERE len(t) >= {SUBSTR_K}
+    ),
+    shared AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    sw AS (
+      SELECT w.doc_id, w.i FROM wins w JOIN shared s ON s.wh = w.wh
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM sw
+    ),
+    runs AS (
+      SELECT doc_id, island, COUNT(*) + {SUBSTR_K - 1} AS span_tokens
+      FROM isl GROUP BY doc_id, island
+      HAVING COUNT(*) + {SUBSTR_K - 1} >= {SUBSTR_MIN}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_run_tokens,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+    FROM runs GROUP BY doc_id
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level EXACT dedup (Lee et al. 2022, arXiv:2107.06499
+    'ExactSubstr') — the layer between document-level MinHash and the
+    coarse repeated-passages fraction: per document, the MAXIMAL
+    contiguous duplicated substrings of >= {SUBSTR_MIN} tokens, found
+    WITHOUT materializing the paper's suffix array. A duplicated
+    substring of length L >= max(K, MIN) appears as exactly L-K+1
+    consecutive stride-1 K-token windows whose hashes occur in >= 2
+    distinct documents, so maximal duplicated substrings are maximal
+    RUNS of shared window hashes — a gaps-and-islands rank computation
+    (island = i - row_number over i) that both engines express
+    identically. Output per affected doc: run count, longest run, and
+    total duplicated tokens (the removal mask size ExactSubstr cuts).
+
+    Scale shape, vs the suffix array: the stride-1 window explode is one
+    row per corpus TOKEN (linear, the same cardinality every tokenizing
+    operator here already handles); the shared-hash census is one
+    map-side-combinable groupBy on the window hash (hot boilerplate
+    hashes partial-aggregate before the shuffle); the islands pass is
+    one doc-partitioned sort — all linear shuffles, no n^2 pair term
+    anywhere, and no 8x-corpus suffix-array materialization. The
+    shared-hash join deliberately has NO broadcast hint: on the
+    dup-heavy corpora where this operator earns its keep the shared set
+    approaches corpus scale (AQE broadcasts it while small) — same
+    reasoning as dedup_repeated_passages. Windows vs suffix array
+    semantic trade: run boundaries are K-token-quantized (a dup's first
+    K-1 and last K-1 tokens merge into the run), and runs fuse
+    overlapping dups shared with DIFFERENT partners — both harmless for
+    the removal-mask use, both documented by the paper's own windowed
+    approximations."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = fan_out(d).select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SUBSTR_K
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(t) - {SUBSTR_K - 1}, 1)")).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("i"), SUBSTR_K), " ")).alias("wh"),
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    sw = wins.join(shared, "wh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = sw.withColumn("island", F.col("i") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.count("*") + (SUBSTR_K - 1)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= SUBSTR_MIN)
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("span_tokens").cast("bigint").alias("max_run_tokens"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+    )

@@ -57,6 +57,7 @@ QUERIES = [
     "graph_pagerank_bipartite",
     "graph_jaccard_neighbors_capped",
     "dedup_semdedup",
+    "dedup_substring_runs",
     "curation_dsir_importance",
     "text_gopher_quality_rules",
 ]
@@ -75,6 +76,7 @@ EXPECTED = {
     "ann_pq_shortlist_rerank": "~linear in vectors (fixed queries)",
     "join_bloom_filter_pruned": "linear in rows (scan + bloom semi-join)",
     "graph_jaccard_neighbors_capped": "≤ cap·|E| wedges: hub-capped twin of the quadratic jaccard",
+    "dedup_substring_runs": "linear: one window row per corpus token; combinable hash census; one doc-partitioned sort",
     "dedup_semdedup": "~linear: cells ∝ corpus since r10 (b = ceil(log2(n/125)) sign bits), so Σ_c|cell|² ≈ n·target_cell",
     "curation_dsir_importance": "linear in tokens (combinable aggs + 16-row broadcast LM)",
     "text_gopher_quality_rules": "linear in docs (explode + combinable aggs after the r9 per-row-fold fix; fixed overhead dominates at these scales)",

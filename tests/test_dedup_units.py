@@ -132,3 +132,45 @@ def test_semdedup_planted_twins_all_pruned_originals_survive(spark):
     assert all(not r.is_pruned for r in originals)
     # survivor set == original corpus: dedup removed exactly the dups
     assert len([r for r in rows if not r.is_pruned]) == len(originals)
+
+
+def test_substring_runs_exact_spans(spark, tmp_path):
+    """Pin dedup_substring_runs' gaps-and-islands semantics on a corpus
+    with KNOWN copied passages: an 18-token copy -> one run of exactly 18
+    duplicated tokens in both docs; two disjoint 12-token copies -> two
+    runs; an 11-token copy (< SUBSTR_MIN=12) -> filtered out entirely."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    a = [f"a{i}" for i in range(30)]
+    b = [f"b{i}" for i in range(10)]
+    c = [f"c{i}" for i in range(5)]
+    d = [f"d{i}" for i in range(10)]
+    e = [f"e{i}" for i in range(5)]
+    f_ = [f"f{i}" for i in range(5)]
+    g = [f"g{i}" for i in range(20)]
+    doc0 = a                                       # source of all a-copies
+    doc1 = b + a[5:23] + c                         # 18-token copy a5..a22
+    doc2 = a[5:17] + d + a[18:30]                  # two 12-token copies
+    doc3 = g                                       # source of the short copy
+    doc4 = e + g[1:12] + f_                        # 11-token copy: below MIN
+    rows = [
+        (i, " ".join(t), "en", "src", len(" ".join(t)))
+        for i, t in enumerate([doc0, doc1, doc2, doc3, doc4])
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_runs"], r["max_run_tokens"], r["dup_tokens"])
+        for r in registry.QUERIES["dedup_substring_runs"](spark, str(tmp_path)).collect()
+    }
+    # doc0's shared windows: a-index runs [5,15] (11 windows, span 18, from
+    # doc1's copy fused with doc2's first block) and [18,22] (5 windows,
+    # span 12, doc2's second block)
+    assert got == {
+        0: (2, 18, 30),
+        1: (1, 18, 18),
+        2: (2, 12, 24),
+        # docs 3 and 4 share only an 11-token substring: span 11 < 12 -> absent
+    }

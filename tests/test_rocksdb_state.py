@@ -183,3 +183,88 @@ def test_rocksdb_windowed_agg_matches_default(spark):
     )
     assert batches_r >= 4 and batches_d >= 4
     assert rocks_rows == sorted(map(tuple, default.collect()))
+
+
+CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_changelog(spark):
+    prev = spark.conf.get(CHANGELOG_CONF, None)
+    spark.conf.set(CHANGELOG_CONF, "true")
+    try:
+        with rocksdb_provider(spark):
+            yield
+    finally:
+        if prev is None:
+            spark.conf.unset(CHANGELOG_CONF)
+        else:
+            spark.conf.set(CHANGELOG_CONF, prev)
+
+
+def test_rocksdb_changelog_checkpoint_restart(spark, tmp_path):
+    """Changelog checkpointing (the 100 TB recovery posture: per-batch
+    DELTAS upload to the checkpoint instead of full RocksDB snapshots,
+    and recovery replays changelogs on top of the last snapshot): state
+    written under changelog mode must survive a restart, the checkpoint
+    must actually contain .changelog files, and the recovered totals must
+    equal the batch GROUP BY over both runs' inputs."""
+    import glob
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.account_state import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _profile_fn,
+    )
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, value double"
+    a = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], schema)
+    b = spark.createDataFrame([(1, 30.0), (2, 7.0), (3, 100.0)], schema)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(indir)
+        profiles = stream.groupBy("user_id").applyInPandasWithState(
+            _profile_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            profiles.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with rocksdb_changelog(spark):
+        a.coalesce(1).write.mode("append").parquet(indir)
+        run()
+        b.coalesce(1).write.mode("append").parquet(indir)
+        run()  # restart: recovery = snapshot + changelog replay
+
+    changelogs = glob.glob(f"{ckpt}/state/**/*.changelog", recursive=True)
+    assert changelogs, "changelog checkpointing produced no .changelog files"
+    final = {
+        r["user_id"]: r
+        for r in spark.read.parquet(outdir)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+        .collect()
+    }
+    assert final[1]["n_events"] == 3 and final[1]["total_value_cents"] == 6000
+    assert final[2]["n_events"] == 2 and final[2]["total_value_cents"] == 1200
+    assert final[3]["n_events"] == 1 and final[3]["total_value_cents"] == 10000

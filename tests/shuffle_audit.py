@@ -55,6 +55,9 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     "dedup_minhash_lsh_pairs": ("shuffle_write < 15 MB", "m['shuffle_write_mb'] < 15"),
     "dedup_semdedup": ("shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
     "dedup_exact": ("hashes only: shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
+    # substring runs (r10): the shuffle carries (doc_id, i) positions and
+    # md5 window hashes — one row per corpus token at stride 1, never text.
+    "dedup_substring_runs": ("shuffle_write < 40 MB", "m['shuffle_write_mb'] < 40"),
     # decontaminate: the 10.6 MB measured is the exact hot-shingle
     # DF-census (inherent to the exact MAX_DOC_FREQ semantics, shared with
     # the oracle); the stage-2 exact join itself carries only bloom

@@ -650,6 +650,18 @@ _BRP_RECALL_PCT = 85
 _MH_JDIST_T = 0.35         # MLlib threshold (Jaccard distance)
 _MH_RECALL_PCT = 95
 _AUDIT_MOD = 20
+# Bounded audit corpus for the MinHash audit (same fixed-size-relation
+# pattern as _BF_QMAX): MLlib's MinHashLSH degenerates on Zipf-skewed
+# vocabularies — the hottest token sits in ~78% of docs, and whenever its
+# hash is a table's minimum, all those docs share one bucket, so the
+# bucket self-join expands ~(0.78n)² pairs per table (measured: the
+# unbounded audit ran >45 min at 25k docs). The audit therefore probes a
+# FIXED 5000-doc prefix (the full corpus at sf<=0.1 — small-SF results
+# are unchanged) — honest for an accuracy audit, which needs a sample,
+# not the corpus. The engine's own production minhash
+# (dedup_minhash_lsh_pairs) does not share the degeneracy: it bands
+# signatures over DF-CAPPED shingles, so no bucket exceeds MAX_DOC_FREQ.
+_MH_AUDIT_MAX_DOC = 5000
 
 
 @register(
@@ -749,13 +761,20 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents
+      FROM documents WHERE doc_id < {_MH_AUDIT_MAX_DOC}
     ), sz AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      WHERE a.doc_id % {_AUDIT_MOD} = 0 OR b.doc_id % {_AUDIT_MOD} = 0
+      -- sample restriction INSIDE the join (r10): the sampled side joins
+      -- the full token relation, so the pair expansion is Σf·(f/{_AUDIT_MOD})
+      -- instead of the uncapped Σf² (measured 11.2e9 pair rows at sf0.5 —
+      -- this audit was the engine's last unbounded token self-join).
+      -- LEAST/GREATEST + COUNT(DISTINCT tok) keep both-sampled pairs
+      -- counted once with the exact same intersection size.
+      SELECT LEAST(a.doc_id, b.doc_id) AS da, GREATEST(a.doc_id, b.doc_id) AS db,
+             CAST(COUNT(DISTINCT a.tok) AS BIGINT) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % {_AUDIT_MOD} = 0
       GROUP BY 1, 2
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
@@ -783,12 +802,19 @@ def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the threshold in either direction, and a flag that depends on
     collision luck would be a flaky pin.
 
-    Scale: shared-token truth join is df-bounded by the sample filter;
-    the LSH join is bucket-wise — the layout that replaces all-pairs at
+    Scale: the shared-token truth join feeds ONLY the sampled docs'
+    tokens to the join's left side (r10 — previously the sample filter
+    sat above an unrestricted token self-join, whose Σf² expansion
+    measured 11.2e9 pair rows on the 25k-doc sf0.5 corpus and stalled a
+    single task for ~1 h; the pushed-down form expands Σf·f/mod, ~20x
+    less, and the DuckDB oracle applies the identical restriction); the
+    LSH join is bucket-wise — the layout that replaces all-pairs at
     corpus scale."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"].filter(
+        F.col("doc_id") < _MH_AUDIT_MAX_DOC
+    )
     toks = fan_out(d).select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(toks).filter(F.col("features").isNotNull())
@@ -807,15 +833,23 @@ def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )
     sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # sample restriction INSIDE the join (r10): only the 1-in-_AUDIT_MOD
+    # sampled docs enter the left side, so the token equi-join expands
+    # Σf·(f/mod) pairs, not the unbounded Σf² (11.2e9 rows at sf0.5).
+    # least/greatest + countDistinct(tok) count a both-sampled pair once
+    # with the identical intersection size — same relation as before.
+    tks = tk.filter(F.col("doc_id") % _AUDIT_MOD == 0)
     inter = (
-        tk.alias("a")
+        tks.alias("a")
         .join(
             tk.alias("b"),
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
-        .filter(sampled)
+        .groupBy(
+            F.least("a.doc_id", "b.doc_id").alias("da"),
+            F.greatest("a.doc_id", "b.doc_id").alias("db"),
+        )
+        .agg(F.countDistinct("a.tok").alias("i"))
     )
     truth = (
         inter.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")

@@ -94,4 +94,5 @@ def load_all() -> None:
         pipeline,
         stateful_queries,
         statestore,
+        tws,
     )

@@ -1,0 +1,177 @@
+"""transformWithStateInPandas — Spark 4's next-generation arbitrary
+stateful streaming API (SPARK-40434 umbrella), covered as a first-class
+surface next to the four applyInPandasWithState operators.
+
+What the new API adds over applyInPandasWithState, and what this module
+exercises:
+
+- MULTIPLE named, TYPED state variables per key (a ValueState for the
+  running totals plus a MapState keyed by event_type), instead of one
+  opaque state tuple — the composite-state shape every production
+  account-profile store has;
+- state declared in ``init`` against a StatefulProcessorHandle, so the
+  state schema is part of the operator contract (checkpoint-evolvable),
+  not a positional tuple convention;
+- the same lifecycle (timers, TTL, initial state) the Scala
+  transformWithState exposes — timers/TTL are deliberately NOT used
+  here so the replay stays deterministic and oracle-checkable.
+
+ENVIRONMENT GATE: the PySpark-side TWS state client speaks protobuf to
+the JVM state server (pyspark.sql.streaming.proto.StateMessage_pb2 ->
+google.protobuf), and the protobuf package is absent from this sandbox
+(no network installs). The operator therefore registers itself ONLY
+when protobuf imports (the same loud-gate policy as the Kafka broker
+surface: streaming/topics.py); tests/test_tws.py importorskips, so a
+deployment WITH protobuf runs the full oracle-checked replay and this
+sandbox records a documented skip, not a silent absence. Deploy fix:
+`pip install protobuf` — nothing else is needed.
+
+Scale posture: identical to every keyed-state operator in this package —
+state lives in the state store (RocksDB at scale; the provider tests
+cover both), keys shuffle once to their owning partition, rows stream
+through Arrow batches. The MapState's per-type sub-keys are state-store
+SUB-KEYS (point lookups), not a serialized blob rewritten per event —
+the reason the API matters at 100 TB state.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+from ..plans.registry import register
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value_cents bigint, "
+    "n_types bigint, purchase_n bigint"
+)
+
+
+class AccountTypeProfile(StatefulProcessor):
+    """Per-user cumulative profile with composite state: a ValueState
+    carrying (n_events, total_cents) and a MapState carrying per-
+    event_type counts. Emits one cumulative row per (user, batch) —
+    integer-cents arithmetic end to end, so replay results are
+    bit-exact against the batch GROUP BY."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.totals = handle.getValueState("totals", "n bigint, cents bigint")
+        self.by_type = handle.getMapState("by_type", "t string", "c bigint")
+
+    def handleInputRows(
+        self, key, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, cents = (self.totals.get() or (0, 0)) if self.totals.exists() else (0, 0)
+        for batch in rows:
+            n += len(batch)
+            # quantize BEFORE summing (the package-wide cents convention)
+            cents += int((batch["value"] * 100 + 0.5).astype("int64").sum())
+            for t, c in batch["event_type"].value_counts().items():
+                prev = (
+                    self.by_type.getValue((t,))[0]
+                    if self.by_type.containsKey((t,))
+                    else 0
+                )
+                self.by_type.updateValue((t,), (prev + int(c),))
+        self.totals.update((n, cents))
+        n_types = sum(1 for _ in self.by_type.keys())
+        purchase_n = (
+            self.by_type.getValue(("purchase",))[0]
+            if self.by_type.containsKey(("purchase",))
+            else 0
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "n_types": [n_types],
+                "purchase_n": [purchase_n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def account_type_profile_stream(stream: DataFrame) -> DataFrame:
+    """stream-DF -> stream-DF wrapper (chunked_replay-compatible)."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=AccountTypeProfile(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _maybe_register(fn):
+    """Register the TWS query only where its protobuf dependency exists
+    (see the module-docstring ENVIRONMENT GATE)."""
+    if _protobuf_available():
+        return register(
+            "stream_transform_with_state", oracle=_TWS_ORACLE
+        )(fn)
+    return fn
+
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_n
+    FROM events GROUP BY user_id
+"""
+
+
+@_maybe_register
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas replayed over 4 genuine micro-batches:
+    per-user cumulative profile held in TWO named state variables (a
+    totals ValueState + a per-event-type MapState). The LAST emitted row
+    per user (highest n_events) must equal the batch GROUP BY over the
+    whole table — only possible if both state variables carried exact
+    values across batches. Cents are quantized per row before summing,
+    so the equality is bit-exact and the oracle hash-checks.
+
+    The MapState contributes two oracle columns the ValueState cannot
+    produce: the per-user distinct-type count (n_types = number of map
+    sub-keys) and the 'purchase' counter (a point lookup) — so a MapState
+    regression is a value mismatch, not just a latency change."""
+    from .replay import chunked_replay
+
+    tbl, batches = chunked_replay(
+        spark, sf_dir, account_type_profile_stream, n_chunks=4, output_mode="update"
+    )
+    assert batches >= 4, f"expected a multi-batch replay, got {batches}"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

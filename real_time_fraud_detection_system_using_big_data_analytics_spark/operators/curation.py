@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import q, q_sql
 from ..plans.registry import register
-from ..sources.tables import load_tables
+from ..sources.tables import fan_out, load_tables
 from .dedup import MAX_DOC_FREQ, _SHINGLES_SQL, _shingles_spark
 
 # Deterministic "benchmark" slice standing in for an eval set: every 97th doc.
@@ -805,4 +805,277 @@ def curation_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         permuted.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .filter(F.col("pos") <= 10)
         .select("epoch", "pos", "doc_id", "perm_key")
+    )
+
+
+# --- GPT-3-style n-gram decontamination (overlap fractions) -----------------
+
+# Gram order for the overlap decontamination below. GPT-3 (arXiv:2005.14165,
+# Appendix C) used 13-gram collisions against its eval sets; this corpus's
+# documents are 25-80 tokens drawn from a ~30-word vocabulary, so 13-grams
+# (and even 6-grams) never collide across the bench/train boundary — the
+# probe that picked this value measured 0 hits at k>=6 and a stable,
+# SF-growing hit set at k=4 (8 docs at sf0.001, 727 at sf0.1). The gram
+# order is the corpus-tuned dial; the machinery is the paper's.
+_OVERLAP_K = 4
+
+
+def _kgram_array(k: int) -> F.Column:
+    """Distinct word-k-grams of `text` as an in-row array column."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+_KGRAMS_SQL = f"""
+    SELECT doc_id, source, len(gs) AS n_grams, unnest(gs) AS g
+    FROM (
+      SELECT doc_id, source,
+             list_distinct(
+               CASE WHEN len(l) >= {_OVERLAP_K}
+                    THEN list_transform(
+                           generate_series(1, len(l) - {_OVERLAP_K - 1}),
+                           i -> list_aggregate(l[i:i+{_OVERLAP_K - 1}],
+                                               'string_agg', ' '))
+                    ELSE [] END) AS gs
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "curation_decontaminate_overlap",
+    oracle=f"""
+    WITH grams AS ({_KGRAMS_SQL}),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    SELECT t.doc_id,
+           MIN(t.source) AS source,
+           CAST(MIN(t.n_grams) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_dirty,
+           CAST(FLOOR(COUNT(*) * 1000000.0 / MIN(t.n_grams)) AS BIGINT)
+             AS dirty_micro
+    FROM grams t JOIN bench b ON t.g = b.g
+    WHERE t.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def curation_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination with overlap FRACTIONS (Brown et
+    al. 2020, arXiv:2005.14165 Appendix C): a training document is
+    contaminated when any of its word-k-grams (k=4 here, _OVERLAP_K; the
+    paper's 13 is vacuous on this short-doc small-vocab corpus — see
+    _OVERLAP_K) appears in the benchmark slice (doc_id % 97 == 0), and the
+    DEGREE of contamination is the fraction of the doc's distinct k-grams
+    that leak — the dirtiness score the paper's appendix ranks cleaned
+    evals by. Complements `curation_decontaminate` (3-shingle hit COUNTS)
+    with the verdict-grade fraction in exact integer micro units
+    (floor(n_dirty*1e6/n_grams) — no float ratio crosses the engine
+    boundary).
+
+    Scale posture: the bench gram set is eval-sized by construction (a
+    fixed benchmark, not a corpus-growing slice) and broadcasts; the
+    corpus side is a scan → per-doc gram expansion → broadcast inner join
+    → one groupBy(doc_id) of pre-distinct (doc, gram) rows, so no
+    count-distinct Expand and no all-pairs anything. A hot k-gram fans out
+    only to the docs that contain it (semi-join-like, never doc×doc)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    base = fan_out(d).select(
+        "doc_id", "source", _kgram_array(_OVERLAP_K).alias("gs")
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.size("gs").cast("bigint").alias("n_grams"),
+        F.explode("gs").alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.min("n_grams").cast("bigint").alias("n_grams"),
+            F.count("*").alias("n_dirty"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_dirty",
+        F.floor(F.col("n_dirty") * 1000000.0 / F.col("n_grams"))
+        .cast("bigint")
+        .alias("dirty_micro"),
+    )
+
+
+# --- temperature-based domain mixing (XLM-R alpha-sampling) -----------------
+
+
+@register(
+    "curation_domain_temperature_mix",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    isq AS (
+      SELECT *,
+             CAST(
+               CASE
+                 WHEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                      * CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                      > n_tokens
+                 THEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) - 1
+                 WHEN (CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                      * (CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                      <= n_tokens
+                 THEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) + 1
+                 ELSE FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))
+               END AS BIGINT) AS s
+      FROM per_source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS big_b, SUM(s) AS big_s FROM isq
+    ),
+    mixed AS (
+      SELECT i.source, i.n_docs, i.n_tokens, i.s,
+             CAST(FLOOR(i.n_tokens * 1000000.0 / t.big_b) AS BIGINT)
+               AS p_micro,
+             CAST(FLOOR(i.s * 1000000.0 / t.big_s) AS BIGINT) AS q_micro,
+             CAST(FLOOR(CAST(FLOOR(i.s * 1000000.0 / t.big_s) AS BIGINT)
+                        * t.big_b * 1.0 / i.n_tokens) AS BIGINT)
+               AS epochs_micro
+      FROM isq i CROSS JOIN tot t
+    ),
+    gated AS (
+      SELECT d.source,
+             CASE WHEN (d.doc_id * {_HASH_PRIME}) % 1000000
+                       < LEAST(m.epochs_micro, 1000000)
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN mixed m ON d.source = m.source
+    ),
+    kept_counts AS (
+      SELECT source, CAST(SUM(kept) AS BIGINT) AS n_kept
+      FROM gated GROUP BY source
+    )
+    SELECT m.source, m.n_docs, m.n_tokens, m.s AS isqrt_tokens,
+           m.p_micro, m.q_micro, m.epochs_micro, k.n_kept
+    FROM mixed m JOIN kept_counts k ON k.source = m.source
+    """,
+)
+def curation_domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (XLM-R, Conneau et al. 2019,
+    arXiv:1911.02116 §3.1): resample sources with q_i proportional to
+    p_i^alpha so low-resource domains are upsampled relative to their
+    natural share. alpha = 0.5 here — not the paper's 0.3 — because
+    p^0.5 = sqrt is the one exponent IEEE-754 specifies as correctly
+    rounded, which lets the whole mix table stay CROSS-ENGINE EXACT:
+    s_i = isqrt(n_tokens_i) as a BIGINT (the double sqrt is bracket-
+    corrected so s*s <= n < (s+1)^2 exactly on both engines), weights
+    q_micro = floor(s_i*1e6 / sum_j s_j) in integer micro units, and the
+    per-source epoch multiplier epochs_micro = floor(q_micro * B / n_i)
+    (B = total corpus tokens, i.e. a constant-token-budget remix). The
+    two-stage floor IS the spec — deterministic on any engine; the
+    staged form keeps every product under 2^63 for corpora up to ~9e12
+    tokens (document larger runs switch the audit to DECIMAL(38)).
+
+    The realized-sample column replays the `curation_mix_weighted_sample`
+    multiplicative-hash gate at rate min(epochs_micro, 1e6)/1e6 — sources
+    with epochs_micro > 1e6 are UPsampled (kept whole here; the epoch
+    multiplier says how many passes a training run makes over them).
+
+    Scale posture: two scans of documents (one for the per-source rollup,
+    one for the gate), a 1-row total broadcast onto a sources-cardinality
+    table, and the mix table broadcast back onto the gate scan — no
+    fact-side shuffle other than the two per-source integer aggregates.
+    The synthetic corpus's sources are near-uniform so the temperature
+    barely moves this mix; the arithmetic is exercised (and checked)
+    per-source regardless."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    per_source = (
+        fan_out(d)
+        .select("doc_id", "source", toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    s_raw = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    s = (
+        F.when((s_raw * s_raw) > F.col("n_tokens"), s_raw - 1)
+        .when((s_raw + 1) * (s_raw + 1) <= F.col("n_tokens"), s_raw + 1)
+        .otherwise(s_raw)
+        .cast("bigint")
+    )
+    isq = per_source.select("source", "n_docs", "n_tokens", s.alias("s"))
+    tot = isq.agg(
+        F.sum("n_tokens").alias("big_b"), F.sum("s").alias("big_s")
+    )
+    q_micro = F.floor(F.col("s") * 1000000.0 / F.col("big_s")).cast("bigint")
+    mixed = isq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "s",
+        F.floor(F.col("n_tokens") * 1000000.0 / F.col("big_b"))
+        .cast("bigint")
+        .alias("p_micro"),
+        q_micro.alias("q_micro"),
+        F.floor(q_micro * F.col("big_b") * 1.0 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("epochs_micro"),
+    )
+    # sources-cardinality table consumed by BOTH the gate scan and the final
+    # join — persist so Catalyst doesn't inline the per-source rollup subtree
+    # into each consumer (that would re-scan documents a third time); the
+    # oracle-selfcheck sweep unpersists cached blocks after each query.
+    mixed = mixed.persist()
+    gated = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(mixed.select("source", "epochs_micro")), "source")
+        .select(
+            "source",
+            F.when(
+                (F.col("doc_id") * _HASH_PRIME) % 1000000
+                < F.least(F.col("epochs_micro"), F.lit(1000000)),
+                1,
+            )
+            .otherwise(0)
+            .alias("kept"),
+        )
+    )
+    kept_counts = gated.groupBy("source").agg(
+        F.sum("kept").cast("bigint").alias("n_kept")
+    )
+    return (
+        mixed.join(kept_counts, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("s").alias("isqrt_tokens"),
+            "p_micro",
+            "q_micro",
+            "epochs_micro",
+            "n_kept",
+        )
     )

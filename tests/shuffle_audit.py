@@ -85,6 +85,11 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     "text_tfidf_top_terms": ("shuffle_write < 6 MB", "m['shuffle_write_mb'] < 6"),
     "curation_dsir_importance": ("16-bucket LM: shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
     "curation_epoch_shuffle_order": ("top-10/epoch cut: < 0.5 MB", "m['shuffle_write_mb'] < 0.5"),
+    # r10 additions: overlap decontamination shuffles the bench-slice gram
+    # census (distinct) + doc-keyed hit counters; temperature mix shuffles
+    # only two per-source integer rollups.
+    "curation_decontaminate_overlap": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
+    "curation_domain_temperature_mix": ("per-source ints: < 1 MB", "m['shuffle_write_mb'] < 1"),
     # TPC-H heavies. q21's budget pins the r9 Expand fix (two countDistinct
     # in one agg doubled every lineitem row: 20.4 MB shuffled; the
     # two-level aggregate rewrite carries distinct pairs instead).

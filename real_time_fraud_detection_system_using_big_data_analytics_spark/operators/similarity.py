@@ -1388,3 +1388,273 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cosine_raw") >= F.col("best_pos")).alias("violates_margin"),
         )
     )
+
+
+# --- kNN graph construction (mutual-kNN within corpus-scaled cells) ---------
+
+_KNN_K = 3
+
+
+@register(
+    "ann_knn_graph",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    params AS (
+      SELECT {_SEMDEDUP_BITS_SQL} AS b FROM corpus
+    ),
+    bucketed AS (
+      SELECT vec_id, e, {_semdedup_bucket_sql('e')} AS cell
+      FROM corpus CROSS JOIN params p
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {{cos}} AS c
+      FROM bucketed a JOIN bucketed b
+        ON b.cell = a.cell AND b.vec_id <> a.vec_id
+    ),
+    edges AS (
+      SELECT src, dst, c,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+      FROM pairs QUALIFY rn <= {_KNN_K}
+    )
+    SELECT e.src, CAST(e.rn AS BIGINT) AS rn, e.dst,
+           {q_sql('e.c')} AS cosine,
+           CAST(m.src IS NOT NULL AS INTEGER) AS mutual
+    FROM edges e LEFT JOIN edges m ON m.src = e.dst AND m.dst = e.src
+    """.format(cos=_cosine_sql("a.e", "b.e")),
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction — EVERY vector's top-k (k=3) cosine
+    neighbors, restricted to its own semantic cell, plus the mutual flag
+    (dst also lists src among ITS top-k). The kNN graph is the backbone
+    data structure of embedding-space curation: mutual-kNN edges feed
+    graph clustering (the connected-components cascade dedup.py already
+    runs on LSH edges), kNN density estimates feed prototypicality
+    scoring, and the per-node neighbor lists are the retrieval index for
+    kNN-LM-style augmentation.
+
+    Scale posture: a FULL kNN graph is n² by definition; the standard
+    billion-scale approximation (FAISS, ScaNN) restricts candidates to
+    coarse cells. This reuses dedup_semdedup's corpus-scaled sign-bit
+    cells (cells = 2^b with b from a broadcast 1-row COUNT — cells ∝ n,
+    so Σ|cell|² ≈ n·target_cell stays LINEAR in the corpus), then cuts
+    top-k per src below the exchange (WindowGroupLimit — at most k rows
+    per src leave each partition) and resolves mutuality with one
+    edges-to-edges equi-join on the reversed pair (3n vs 3n rows — tiny).
+    Within-cell restriction is the recall trade every IVF-family index
+    makes; the cells are deterministic (sign bits, zero RNG) so the
+    DuckDB oracle reproduces the exact same graph."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    params = corpus.agg(
+        F.greatest(
+            F.lit(4),
+            F.least(
+                F.lit(16),
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.lit(1),
+                            F.expr(f"(count(1) - 1) div {_SEMDEDUP_TARGET_CELL}"),
+                        )
+                    )
+                ),
+            ),
+        ).alias("b")
+    )
+    b = F.col("b")
+    cell = None
+    for i, d in enumerate(_SEMDEDUP_DIMS):
+        term = F.when(
+            (F.lit(i) < b) & (F.element_at("e", d) >= 0),
+            F.pow(F.lit(2.0), (b - 1 - i).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        cell = term if cell is None else cell + term
+    bucketed = (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(params))
+        .select("vec_id", "e", cell.alias("cell"), _norm("e").alias("nrm"))
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("src"),
+        F.col("cell").alias("a_cell"),
+        F.col("e").alias("a_e"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    bb = bucketed.select(
+        F.col("vec_id").alias("dst"),
+        F.col("cell").alias("b_cell"),
+        F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = _dot("a_e", "b_e") / (F.col("a_nrm") * F.col("b_nrm"))
+    pairs = a.join(
+        bb, (F.col("b_cell") == F.col("a_cell")) & (F.col("dst") != F.col("src"))
+    ).select("src", "dst", cos.alias("c"))
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src", "rn", "dst", "c")
+    )
+    rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+    return (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst")) & (F.col("m_dst") == F.col("src")),
+            "left",
+        )
+        .select(
+            "src",
+            F.col("rn").cast("bigint").alias("rn"),
+            "dst",
+            q(F.col("c")).alias("cosine"),
+            F.col("m_src").isNotNull().cast("int").alias("mutual"),
+        )
+    )
+
+
+# --- prototypicality pruning (SSL-prototypes) --------------------------------
+
+# fraction of each cell pruned, as an exact integer cross-multiplication:
+# prune rn iff rn * 10 <= cell_n * 3  (the 30% most prototypical).
+_PROTO_PRUNE_NUM = 3
+_PROTO_PRUNE_DEN = 10
+_PROTO_ROUND = 6  # centroid quantization decimals (same dial as k-means)
+
+
+@register(
+    "curation_prototypicality_prune",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    params AS (
+      SELECT {_SEMDEDUP_BITS_SQL} AS b FROM corpus
+    ),
+    bucketed AS (
+      SELECT vec_id, e, {_semdedup_bucket_sql('e')} AS cell
+      FROM corpus CROSS JOIN params p
+    ),
+    cm AS (
+      SELECT cell, i.i AS pos, {q_sql("AVG(t.e[i.i])", _PROTO_ROUND)} AS m
+      FROM bucketed t CROSS JOIN (
+        SELECT unnest(generate_series(1, (SELECT MAX(len(e)) FROM corpus))) AS i
+      ) i
+      GROUP BY cell, i.i
+    ),
+    cents AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cell
+    ),
+    sizes AS (
+      SELECT cell, COUNT(*) AS cell_n FROM bucketed GROUP BY cell
+    ),
+    ranked AS (
+      SELECT t.vec_id, t.cell,
+             {{cos}} AS pc,
+             ROW_NUMBER() OVER (PARTITION BY t.cell
+                                ORDER BY {{cos}} DESC, t.vec_id) AS rn
+      FROM bucketed t JOIN cents c ON c.cell = t.cell
+    )
+    SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell, s.cell_n,
+           CAST(r.rn AS BIGINT) AS rn,
+           {q_sql('r.pc')} AS proto_cosine,
+           CAST(r.rn * {_PROTO_PRUNE_DEN} <= s.cell_n * {_PROTO_PRUNE_NUM}
+                AS INTEGER) AS is_pruned
+    FROM ranked r JOIN sizes s ON s.cell = r.cell
+    """.format(cos=_cosine_sql("t.e", "c.cvec")),
+)
+def curation_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, 'Beyond neural
+    scaling laws', arXiv:2206.14486): score every example by its cosine to
+    its cluster centroid (prototypicality) and prune the MOST prototypical
+    30% per cluster — the paper's result is that with abundant data the
+    easy/prototypical examples are the ones to drop, which is what lets
+    pruning beat the power-law scaling curve. Cells are dedup_semdedup's
+    corpus-scaled deterministic sign-bit cells (cells ∝ n); the centroid
+    is the per-cell per-dim mean quantized at 1e-6 (the k-means
+    _CROUND recipe — quantized state is what keeps a float AVG's
+    summation-order noise from ever reaching the ranking), and the prune
+    verdict is an exact integer cross-multiplication (rn*10 <= cell_n*3),
+    so no ratio crosses the engine boundary.
+
+    Scale posture: cell assignment is map-only sign tests; the centroid
+    table is one partial-aggregated shuffle of cells×dim sums (the
+    k-means means step, run once, not per iteration); scoring joins
+    centroids back by cell equi-join (centroids ≈ n/125 rows — at small
+    SF AQE broadcasts it, at 100 TB it shuffle-joins on the cell key,
+    both correct); the per-cell rank cuts nothing (every row is returned
+    with its verdict) but shuffles only (vec_id, cell, score) — the
+    embedding arrays are dropped before the exchange."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    params = corpus.agg(
+        F.greatest(
+            F.lit(4),
+            F.least(
+                F.lit(16),
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.lit(1),
+                            F.expr(f"(count(1) - 1) div {_SEMDEDUP_TARGET_CELL}"),
+                        )
+                    )
+                ),
+            ),
+        ).alias("b")
+    )
+    b = F.col("b")
+    cell = None
+    for i, d in enumerate(_SEMDEDUP_DIMS):
+        term = F.when(
+            (F.lit(i) < b) & (F.element_at("e", d) >= 0),
+            F.pow(F.lit(2.0), (b - 1 - i).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        cell = term if cell is None else cell + term
+    bucketed = (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(params))
+        .select("vec_id", "e", cell.alias("cell"))
+    )
+    cents = (
+        bucketed.select("cell", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell",
+            F.transform("pm", lambda s: q(s["m"], _PROTO_ROUND)).alias("cvec"),
+        )
+    )
+    sizes = bucketed.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    pc = _dot("e", "cvec") / (_norm("e") * _norm("cvec"))
+    scored = bucketed.join(cents, "cell").select(
+        "vec_id", "cell", pc.alias("pc")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("pc").desc(), "vec_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(sizes, "cell")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "cell_n",
+            F.col("rn").cast("bigint").alias("rn"),
+            q(F.col("pc")).alias("proto_cosine"),
+            (F.col("rn") * _PROTO_PRUNE_DEN <= F.col("cell_n") * _PROTO_PRUNE_NUM)
+            .cast("int")
+            .alias("is_pruned"),
+        )
+    )

@@ -60,10 +60,18 @@ QUERIES = [
     "dedup_substring_runs",
     "curation_dsir_importance",
     "text_gopher_quality_rules",
+    "curation_decontaminate_overlap",
+    "curation_domain_temperature_mix",
+    "ann_knn_graph",
+    "curation_prototypicality_prune",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
 EXPECTED = {
+    "curation_decontaminate_overlap": "linear in docs (gram expansion + broadcast bench join)",
+    "curation_domain_temperature_mix": "linear in docs (two per-source integer rollups)",
+    "ann_knn_graph": "~linear: cells ∝ corpus so Σ|cell|² ≈ n·target_cell; top-k cut below the exchange",
+    "curation_prototypicality_prune": "~linear: one cells×dim means shuffle + cell equi-join + per-cell rank",
     "ann_range_search_radius": "quadratic by semantics (exact radius self-join)",
     "graph_adamic_adar": "Σdeg² wedge law — quadratic when degrees grow with SF (fixed dst domain); see capped twin",
     "graph_adamic_adar_capped": "≤ cap·|E| wedges: hub-capped, stays flat as hubs are pruned",

@@ -159,3 +159,74 @@ def test_gopher_rules_integer_consistency(spark):
                 )
             )
         )
+
+
+def test_temperature_mix_isqrt_bracket_exact():
+    """The bracket-corrected BIGINT isqrt must satisfy s*s <= n < (s+1)^2
+    for every input — including the perfect-square neighborhoods where a
+    bare floor(sqrt(n)) is one ulp off. Checked through DuckDB (the oracle
+    engine) so the SQL formula itself is what's exercised; the Spark
+    expression is term-identical by construction."""
+    import duckdb
+
+    # domain: the formula squares (s+1), so it is valid for n < ~9.2e18
+    # (s+1 <= 3037000499) — four orders beyond any per-source token count,
+    # and far beyond the epochs formula's own documented ~9e12 bound.
+    probes = []
+    for k in (1, 2, 3, 10, 1000, 94906265, 1_000_000_000):
+        sq = k * k
+        probes += [sq - 1, sq, sq + 1]
+    probes += [1, 2, 5, 7, 10**12 + 7, 10**16 + 9]
+    probes = sorted({p for p in probes if p >= 1})
+    vals = ", ".join(f"({p})" for p in probes)
+    rows = duckdb.sql(
+        f"""
+        SELECT n,
+               CAST(CASE
+                 WHEN CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)
+                      * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) > n
+                 THEN FLOOR(SQRT(CAST(n AS DOUBLE))) - 1
+                 WHEN (CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1)
+                      * (CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1) <= n
+                 THEN FLOOR(SQRT(CAST(n AS DOUBLE))) + 1
+                 ELSE FLOOR(SQRT(CAST(n AS DOUBLE)))
+               END AS BIGINT) AS s
+        FROM (VALUES {vals}) t(n)
+        """
+    ).fetchall()
+    import math
+
+    for n, s in rows:
+        assert s == math.isqrt(n), (n, s, math.isqrt(n))
+        assert s * s <= n < (s + 1) * (s + 1), (n, s)
+
+
+def test_temperature_mix_epochs_conserve_budget(spark):
+    """Constant-token-budget remix: sum_i(epochs_i * n_tokens_i) must land
+    within integer-floor slack of the corpus total B (two floors, each
+    losing < 1 micro-unit per source), and upsampled sources must be the
+    below-average-share ones."""
+    rows = registry.QUERIES["curation_domain_temperature_mix"](spark, SF).collect()
+    B = sum(r["n_tokens"] for r in rows)
+    realized = sum(r["epochs_micro"] * r["n_tokens"] for r in rows) / 1_000_000.0
+    n_src = len(rows)
+    assert B * (1 - 2e-6 * n_src) - n_src <= realized <= B + 1e-9
+    for r in rows:
+        assert r["q_micro"] >= 0 and r["epochs_micro"] >= 0
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        # temperature pulls every source toward the mean share: a source
+        # with below-average tokens gets epochs > 1 (upsampled), above-
+        # average gets epochs < 1 — within floor slack.
+        if r["n_tokens"] * n_src < B:
+            assert r["epochs_micro"] >= 1_000_000 - 2
+        if r["n_tokens"] * n_src > B:
+            assert r["epochs_micro"] <= 1_000_000 + 2
+
+
+def test_decontaminate_overlap_fraction_bounds(spark):
+    rows = registry.QUERIES["curation_decontaminate_overlap"](spark, SF).collect()
+    assert rows, "synthetic corpus must produce at least one 4-gram hit"
+    for r in rows:
+        assert r["doc_id"] % _BENCH_MOD != 0
+        assert 1 <= r["n_dirty"] <= r["n_grams"]
+        assert 0 < r["dirty_micro"] <= 1_000_000

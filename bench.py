@@ -77,6 +77,10 @@ HEADLINE = [
     "etl_avro_roundtrip",
     "dedup_substring_runs",
     "dedup_semdedup",
+    "curation_decontaminate_overlap",
+    "curation_domain_temperature_mix",
+    "ann_knn_graph",
+    "curation_prototypicality_prune",
     # round-9 additions
     "sql_session_variables",
     "sql_udf_scalar",

@@ -90,6 +90,10 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     # only two per-source integer rollups.
     "curation_decontaminate_overlap": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
     "curation_domain_temperature_mix": ("per-source ints: < 1 MB", "m['shuffle_write_mb'] < 1"),
+    # knn graph / prototypicality: in-cell pair scores and (vec, cell,
+    # score) rank rows only — embeddings are dropped before every exchange.
+    "ann_knn_graph": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
+    "curation_prototypicality_prune": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
     # TPC-H heavies. q21's budget pins the r9 Expand fix (two countDistinct
     # in one agg doubled every lineitem row: 20.4 MB shuffled; the
     # two-level aggregate rewrite carries distinct pairs instead).

@@ -73,6 +73,10 @@ COMPACT_SET = [
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
+    # round-11 additions (scale-safe twins of the two tagged diagnostics)
+    "dedup_levenshtein_blocked",
+    "ann_range_search_cells",
+    "ann_range_search_recall",
     # round-10 additions
     "etl_avro_roundtrip",
     "dedup_substring_runs",
@@ -191,7 +195,6 @@ HEADLINE = [
     "interval_coverage_merge",
     "window_anomaly_zscore",
     "join_bloom_filter_pruned",
-    "ann_range_search_radius",
     "graph_label_propagation",
     "ann_mmr_diversified_topk",
     "udf_holt_linear_stateful",

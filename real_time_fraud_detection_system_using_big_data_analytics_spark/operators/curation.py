@@ -940,6 +940,25 @@ def curation_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFram
 # --- temperature-based domain mixing (XLM-R alpha-sampling) -----------------
 
 
+def isqrt_case_sql(col: str) -> str:
+    """Bracket-corrected BIGINT integer square root as portable SQL:
+    s = floor(sqrt(n)) nudged so s*s <= n < (s+1)^2 exactly, even in the
+    perfect-square neighborhoods where a bare double sqrt is one ulp off.
+    THE single copy — the temperature-mix oracle AND
+    tests/test_curation_props.py build from it, so the operator formula
+    and the property test can never validate different expressions."""
+    f = f"FLOOR(SQRT(CAST({col} AS DOUBLE)))"
+    return f"""CAST(
+               CASE
+                 WHEN CAST({f} AS BIGINT) * CAST({f} AS BIGINT) > {col}
+                 THEN {f} - 1
+                 WHEN (CAST({f} AS BIGINT) + 1) * (CAST({f} AS BIGINT) + 1)
+                      <= {col}
+                 THEN {f} + 1
+                 ELSE {f}
+               END AS BIGINT)"""
+
+
 @register(
     "curation_domain_temperature_mix",
     oracle=f"""
@@ -950,19 +969,7 @@ def curation_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFram
       FROM documents GROUP BY source
     ),
     isq AS (
-      SELECT *,
-             CAST(
-               CASE
-                 WHEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
-                      * CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
-                      > n_tokens
-                 THEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) - 1
-                 WHEN (CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
-                      * (CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
-                      <= n_tokens
-                 THEN FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) + 1
-                 ELSE FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))
-               END AS BIGINT) AS s
+      SELECT *, {isqrt_case_sql('n_tokens')} AS s
       FROM per_source
     ),
     tot AS (
@@ -973,8 +980,8 @@ def curation_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFram
              CAST(FLOOR(i.n_tokens * 1000000.0 / t.big_b) AS BIGINT)
                AS p_micro,
              CAST(FLOOR(i.s * 1000000.0 / t.big_s) AS BIGINT) AS q_micro,
-             CAST(FLOOR(CAST(FLOOR(i.s * 1000000.0 / t.big_s) AS BIGINT)
-                        * t.big_b * 1.0 / i.n_tokens) AS BIGINT)
+             CAST((CAST(FLOOR(i.s * 1000000.0 / t.big_s) AS BIGINT)
+                   * t.big_b) // i.n_tokens AS BIGINT)
                AS epochs_micro
       FROM isq i CROSS JOIN tot t
     ),
@@ -1004,11 +1011,13 @@ def curation_domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFra
     s_i = isqrt(n_tokens_i) as a BIGINT (the double sqrt is bracket-
     corrected so s*s <= n < (s+1)^2 exactly on both engines), weights
     q_micro = floor(s_i*1e6 / sum_j s_j) in integer micro units, and the
-    per-source epoch multiplier epochs_micro = floor(q_micro * B / n_i)
-    (B = total corpus tokens, i.e. a constant-token-budget remix). The
-    two-stage floor IS the spec — deterministic on any engine; the
-    staged form keeps every product under 2^63 for corpora up to ~9e12
-    tokens (document larger runs switch the audit to DECIMAL(38)).
+    per-source epoch multiplier epochs_micro = (q_micro * B) div n_i as
+    INTEGER floor division (B = total corpus tokens, i.e. a constant-
+    token-budget remix). The two-stage floor IS the spec — and with the
+    r11 fix the second stage never touches a double, so it is truly
+    exact over the whole documented domain: the BIGINT product q_micro*B
+    stays under 2^63 for corpora up to ~9e12 tokens (document larger
+    runs switch the audit to DECIMAL(38)).
 
     The realized-sample column replays the `curation_mix_weighted_sample`
     multiplicative-hash gate at rate min(epochs_micro, 1e6)/1e6 — sources
@@ -1045,18 +1054,33 @@ def curation_domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n_tokens").alias("big_b"), F.sum("s").alias("big_s")
     )
     q_micro = F.floor(F.col("s") * 1000000.0 / F.col("big_s")).cast("bigint")
-    mixed = isq.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        "s",
-        F.floor(F.col("n_tokens") * 1000000.0 / F.col("big_b"))
-        .cast("bigint")
-        .alias("p_micro"),
-        q_micro.alias("q_micro"),
-        F.floor(q_micro * F.col("big_b") * 1.0 / F.col("n_tokens"))
-        .cast("bigint")
-        .alias("epochs_micro"),
+    # epochs_micro = (q_micro * B) div n — INTEGER floor division, exact over
+    # the whole documented ~9e12-token domain (the product stays < 2^63; a
+    # double route would lose exactness above 2^53 near floor boundaries).
+    mixed = (
+        isq.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "s",
+            "big_b",
+            F.floor(F.col("n_tokens") * 1000000.0 / F.col("big_b"))
+            .cast("bigint")
+            .alias("p_micro"),
+            q_micro.alias("q_micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "s",
+            "p_micro",
+            "q_micro",
+            F.expr("(q_micro * big_b) div n_tokens")
+            .cast("bigint")
+            .alias("epochs_micro"),
+        )
     )
     # sources-cardinality table consumed by BOTH the gate scan and the final
     # join — persist so Catalyst doesn't inline the per-source rollup subtree

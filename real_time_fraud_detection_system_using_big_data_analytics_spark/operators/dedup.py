@@ -403,13 +403,21 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
+    diagnostic=True,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup with blocking: candidate pairs share a
-    blocking key (nation) so the comparison is quadratic only within each
-    block, never across the full table — the standard record-linkage
-    shape. levenshtein() is built-in on both engines with the same
-    definition (unit-cost insert/delete/substitute)."""
+    """Edit-distance near-dup with FIXED-key blocking: candidate pairs
+    share a blocking key (nation) so the comparison is quadratic only
+    within each block. levenshtein() is built-in on both engines with the
+    same definition (unit-cost insert/delete/substitute).
+
+    DIAGNOSTIC (registry-tagged, r11): nation has a FIXED 25 values, so
+    within-block pairs grow as (n/25)² — measured 0.64 s → 31.4 s → 831 s
+    at sf0.01/0.1/0.5 (26.5× wall for 5× rows). Kept as the measured A/B
+    baseline; the production path is `dedup_levenshtein_blocked` below —
+    FastSS deletion-neighborhood blocking whose block key cardinality
+    grows with the corpus and whose result is PROVABLY identical (see its
+    docstring), pinned equal by tests/test_dedup_units.py."""
     c = load_tables(spark, sf_dir, names=("customer",))["customer"]
     a = c.select(
         F.col("c_custkey").alias("cust_a"),
@@ -424,6 +432,101 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein("name_a", "name_b")
     return (
         a.join(b, (F.col("nk_a") == F.col("nk_b")) & (F.col("cust_a") < F.col("cust_b")))
+        .filter(dist <= 1)
+        .select("cust_a", "cust_b", dist.cast("int").alias("edit_distance"))
+    )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH vars AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, len(c_name)),
+                 i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, len(c_name))),
+               c_name))) AS variant
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                      a.c_name AS name_a, b.c_name AS name_b
+      FROM vars a JOIN vars b
+        ON a.variant = b.variant
+       AND a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT cust_a, cust_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_distance
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with CORPUS-SCALED blocking — the production
+    twin of the diagnostic `dedup_levenshtein_pairs`, returning the
+    PROVABLY IDENTICAL pair set (pinned equal at small SF by
+    tests/test_dedup_units.py) via FastSS deletion-neighborhood blocking
+    (Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries"):
+    two strings at Levenshtein distance <= 1 MUST share a member of their
+    1-deletion neighborhoods (distance 0: the string itself; substitution
+    at i: both drop position i; indel: the shorter string IS a deletion
+    variant of the longer), so a self-join on the variant string has
+    guaranteed recall and the levenshtein <= 1 verify makes it exact.
+
+    Scale posture (why this survives 100x where the nation block cannot):
+    the blocking key cardinality grows ∝ n*L with the corpus, and a
+    variant group only contains names within deletion distance of each
+    other, so group sizes are bounded by the true near-dup degree
+    (data-dependent, not n/25). The plan is the standard record-linkage
+    candidate/verify split: the self-join shuffles only (custkey,
+    nationkey, xxhash64(variant)) — the 8-byte HASH stands in for the
+    variant string since hashing preserves equality (every true pair
+    still collides) and a spurious 2^-64 collision merely adds a
+    candidate the exact levenshtein verify rejects — then names join
+    back onto the tiny DISTINCT candidate set only. Every stage is
+    linear in the corpus; measured slope5 in SCALING.md vs the
+    diagnostic's 26.5x. `array_distinct` before the explode collapses
+    equal-adjacent-char duplicates (deleting either of two adjacent '0's
+    yields the same variant) so the join fan-out never double-counts."""
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    name = F.col("c_name")
+    variants = F.array_distinct(
+        F.array_append(
+            F.transform(
+                F.sequence(F.lit(1), F.length(name)),
+                lambda i: F.concat(
+                    name.substr(F.lit(1), i - 1),
+                    name.substr(i + 1, F.length(name)),
+                ),
+            ),
+            name,
+        )
+    )
+    vars_df = fan_out(c).select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(F.transform(variants, lambda v: F.xxhash64(v))).alias("vh"),
+    )
+    a = vars_df.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_nationkey").alias("nk"), "vh"
+    )
+    b = vars_df.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_nationkey").alias("nk"), "vh"
+    )
+    cand = (
+        a.join(b, ["vh", "nk"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .select("cust_a", "cust_b")
+        .distinct()
+    )
+    names = c.select("c_custkey", "c_name")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.join(names.select(F.col("c_custkey").alias("cust_a"),
+                               F.col("c_name").alias("name_a")), "cust_a")
+        .join(names.select(F.col("c_custkey").alias("cust_b"),
+                           F.col("c_name").alias("name_b")), "cust_b")
         .filter(dist <= 1)
         .select("cust_a", "cust_b", dist.cast("int").alias("edit_distance"))
     )

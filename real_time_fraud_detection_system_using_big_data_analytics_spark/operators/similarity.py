@@ -358,6 +358,59 @@ def _semdedup_bucket_sql(col: str) -> str:
     return f"({terms})"
 
 
+def _semdedup_params(corpus: DataFrame) -> DataFrame:
+    """The cell-count dial as a 1-row DataFrame: b = clamp(len(bin(
+    max(1, (n-1) div target))), 4, 16) — the Spark twin of
+    _SEMDEDUP_BITS_SQL, computed in-plan from a COUNT aggregate (a
+    broadcast of one row, NOT a driver collect) so the plan stays fully
+    declarative and cells = 2^b ∝ corpus."""
+    return corpus.agg(
+        F.greatest(
+            F.lit(4),
+            F.least(
+                F.lit(16),
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.lit(1),
+                            F.expr(f"(count(1) - 1) div {_SEMDEDUP_TARGET_CELL}"),
+                        )
+                    )
+                ),
+            ),
+        ).alias("b")
+    )
+
+
+def _semdedup_cell_expr(emb: str) -> Column:
+    """Variable-width sign-bit cell id over the broadcast `b` column —
+    term-by-term identical to _semdedup_bucket_sql so the two engines'
+    cell assignments cannot diverge."""
+    b = F.col("b")
+    cell = None
+    for i, d in enumerate(_SEMDEDUP_DIMS):
+        term = F.when(
+            (F.lit(i) < b) & (F.element_at(emb, d) >= 0),
+            F.pow(F.lit(2.0), (b - 1 - i).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        cell = term if cell is None else cell + term
+    return cell
+
+
+def _semdedup_cells(corpus: DataFrame, emb: str) -> DataFrame:
+    """Corpus-scaled sign-bit cell assignment — the ONE Spark-side copy
+    shared by dedup_semdedup, ann_knn_graph, curation_prototypicality_prune
+    and ann_range_search_cells (the SQL side is shared via
+    _semdedup_bucket_sql). Returns fan_out(corpus) plus a `cell` column;
+    the broadcast `b` param is dropped after use."""
+    return (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(_semdedup_params(corpus)))
+        .withColumn("cell", _semdedup_cell_expr(emb))
+        .drop("b")
+    )
+
+
 _SEMDEDUP_TWIN_SQL = """
     SELECT vec_id + 1000000 AS vec_id, label,
            list_transform(generate_series(1, len(embedding)),
@@ -460,40 +513,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionAll(twins)
-    # b = cell-count dial from the corpus cardinality: a 1-row aggregate
-    # broadcast onto the scan (BroadcastNestedLoopJoin of one row — the
-    # same bounded pattern as the watermark scalars), NOT a driver
-    # collect, so the plan stays fully declarative.
-    params = corpus.agg(
-        F.greatest(
-            F.lit(4),
-            F.least(
-                F.lit(16),
-                F.length(
-                    F.bin(
-                        F.greatest(
-                            F.lit(1),
-                            F.expr(f"(count(1) - 1) div {_SEMDEDUP_TARGET_CELL}"),
-                        )
-                    )
-                ),
-            ),
-        ).alias("b")
-    )
-    b = F.col("b")
-    cell = None
-    for i, d in enumerate(_SEMDEDUP_DIMS):
-        term = F.when(
-            (F.lit(i) < b) & (F.element_at("embedding", d) >= 0),
-            F.pow(F.lit(2.0), (b - 1 - i).cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        cell = term if cell is None else cell + term
-    bucketed = fan_out(corpus).crossJoin(F.broadcast(params)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        cell.alias("cell"),
-        _norm("embedding").alias("nrm"),
+    bucketed = _semdedup_cells(corpus, "embedding").withColumn(
+        "nrm", _norm("embedding")
     )
     a = bucketed.select(
         F.col("vec_id").alias("a_id"),
@@ -891,10 +912,19 @@ def _slice_dot(a: str, b: str, n: int) -> Column:
     WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {_RADIUS_T}
     ORDER BY vec_a, vec_b
     """,
+    diagnostic=True,
 )
 def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity RANGE search: every pair with cosine ≥ t (a radius join),
     exact — the all-neighbors companion to ann_bruteforce_topk's top-k.
+
+    DIAGNOSTIC (registry-tagged, r11): exact-by-declared-semantics means
+    the pair enumeration is quadratic by definition — measured 2.92 s at
+    sf0.1 → 327 s at sf0.5 (slope5 13.9). Kept as the measured A/B
+    baseline and the exactness oracle; the production path is
+    `ann_range_search_cells` (the same radius semantics restricted to the
+    corpus-scaled sign-bit cells) with `ann_range_search_recall`
+    measuring the cell-boundary miss rate in-engine.
 
     The Cauchy–Schwarz prefix bound makes the pair verification cheap:
     dot(a,b) ≤ dot(a₁..₃₂, b₁..₃₂) + ‖a₃₃..‖·‖b₃₃..‖, so any pair whose
@@ -955,6 +985,156 @@ def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= _RADIUS_T)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ann_range_search_cells",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    params AS (
+      SELECT {_SEMDEDUP_BITS_SQL} AS b FROM corpus
+    ),
+    bucketed AS (
+      SELECT vec_id, e, {_semdedup_bucket_sql('e')} AS cell
+      FROM corpus CROSS JOIN params p
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cosine_sql('a.e', 'b.e')}, 4) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON b.cell = a.cell AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.e', 'b.e')} >= {_RADIUS_T}
+    """,
+)
+def ann_range_search_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search within corpus-scaled cells — the production
+    twin of the diagnostic `ann_range_search_radius`: every same-cell pair
+    with cosine >= t. The within-cell restriction is the identical recall
+    trade ann_knn_graph and dedup_semdedup make (and every IVF-family
+    index makes); `ann_range_search_recall` below MEASURES the cell-
+    boundary miss rate on a bounded anchor set rather than asserting it.
+
+    Scale posture: cell assignment is map-only sign tests with cells ∝ n
+    (the shared _semdedup_cells dial), so the pair expansion cost
+    Σ|cell|² ≈ n·target_cell stays LINEAR in the corpus where the
+    diagnostic's full self-join reads slope5 13.9 (327 s at sf0.5). The
+    cell id is a plain hash equi-join key — each cell's pair join is
+    partition-local, exactly the SemDeDup layout."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("a_cell"),
+        F.col("e").alias("a_e"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("b_cell"),
+        F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = _dot("a_e", "b_e") / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, (F.col("b_cell") == F.col("a_cell")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _RADIUS_T)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "ann_range_search_recall",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    params AS (
+      SELECT {_SEMDEDUP_BITS_SQL} AS b FROM corpus
+    ),
+    bucketed AS (
+      SELECT vec_id, e, {_semdedup_bucket_sql('e')} AS cell
+      FROM corpus CROSS JOIN params p
+    ),
+    anchors AS (
+      SELECT vec_id AS q_id, e AS q_e, cell AS q_cell FROM bucketed
+      WHERE vec_id % 100 = 0 AND vec_id < {100 * _BF_QMAX}
+    ),
+    hits AS (
+      SELECT a.q_id,
+             COUNT(*) AS n_true,
+             SUM(CASE WHEN v.cell = a.q_cell THEN 1 ELSE 0 END) AS n_cell
+      FROM anchors a JOIN bucketed v
+        ON v.vec_id <> a.q_id
+       AND {_cosine_sql('a.q_e', 'v.e')} >= {_RADIUS_T}
+      GROUP BY a.q_id
+    )
+    SELECT a.q_id,
+           CAST(COALESCE(h.n_true, 0) AS BIGINT) AS n_true,
+           CAST(COALESCE(h.n_cell, 0) AS BIGINT) AS n_cell,
+           CAST(CASE WHEN COALESCE(h.n_true, 0) = 0 THEN 1000000
+                     ELSE (h.n_cell * 1000000) // h.n_true END AS BIGINT)
+             AS recall_micros
+    FROM anchors a LEFT JOIN hits h ON h.q_id = a.q_id
+    """,
+)
+def ann_range_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured cell-boundary miss rate of `ann_range_search_cells`, the
+    same way ann_recall_at_k audits the IVF probes: for a BOUNDED anchor
+    set (<=64 query vectors at ANY corpus size, the _BF_QMAX pattern),
+    the EXACT radius-neighbor count (broadcast anchors against the corpus
+    — one linear scan) next to the count found within the anchor's own
+    cell, plus recall in exact integer micros (integer floor division on
+    both engines, so no float ratio crosses the engine boundary).
+
+    At production scale this is how range-search recall is actually
+    estimated — from a query sample against the full corpus, never from
+    the quadratic all-pairs truth; the diagnostic
+    `ann_range_search_radius` remains the small-SF exactness baseline."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e"))
+    anchors = bucketed.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("cell").alias("q_cell"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot("q_e", "e") / (F.col("q_nrm") * F.col("nrm"))
+    hits = (
+        bucketed.join(F.broadcast(anchors), F.col("vec_id") != F.col("q_id"))
+        .filter(cos >= _RADIUS_T)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum((F.col("cell") == F.col("q_cell")).cast("long")).alias("n_cell"),
+        )
+    )
+    return (
+        anchors.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_cell", F.lit(0)).cast("bigint").alias("n_cell"),
+            F.when(F.coalesce("n_true", F.lit(0)) == 0, F.lit(1000000))
+            .otherwise(F.expr("(n_cell * 1000000) div n_true"))
+            .cast("bigint")
+            .alias("recall_micros"),
+        )
     )
 
 
@@ -1452,35 +1632,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    params = corpus.agg(
-        F.greatest(
-            F.lit(4),
-            F.least(
-                F.lit(16),
-                F.length(
-                    F.bin(
-                        F.greatest(
-                            F.lit(1),
-                            F.expr(f"(count(1) - 1) div {_SEMDEDUP_TARGET_CELL}"),
-                        )
-                    )
-                ),
-            ),
-        ).alias("b")
-    )
-    b = F.col("b")
-    cell = None
-    for i, d in enumerate(_SEMDEDUP_DIMS):
-        term = F.when(
-            (F.lit(i) < b) & (F.element_at("e", d) >= 0),
-            F.pow(F.lit(2.0), (b - 1 - i).cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        cell = term if cell is None else cell + term
-    bucketed = (
-        fan_out(corpus)
-        .crossJoin(F.broadcast(params))
-        .select("vec_id", "e", cell.alias("cell"), _norm("e").alias("nrm"))
-    )
+    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e"))
     a = bucketed.select(
         F.col("vec_id").alias("src"),
         F.col("cell").alias("a_cell"),
@@ -1598,35 +1750,7 @@ def curation_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    params = corpus.agg(
-        F.greatest(
-            F.lit(4),
-            F.least(
-                F.lit(16),
-                F.length(
-                    F.bin(
-                        F.greatest(
-                            F.lit(1),
-                            F.expr(f"(count(1) - 1) div {_SEMDEDUP_TARGET_CELL}"),
-                        )
-                    )
-                ),
-            ),
-        ).alias("b")
-    )
-    b = F.col("b")
-    cell = None
-    for i, d in enumerate(_SEMDEDUP_DIMS):
-        term = F.when(
-            (F.lit(i) < b) & (F.element_at("e", d) >= 0),
-            F.pow(F.lit(2.0), (b - 1 - i).cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        cell = term if cell is None else cell + term
-    bucketed = (
-        fan_out(corpus)
-        .crossJoin(F.broadcast(params))
-        .select("vec_id", "e", cell.alias("cell"))
-    )
+    bucketed = _semdedup_cells(corpus, "e")
     cents = (
         bucketed.select("cell", F.posexplode("e").alias("pos", "x"))
         .groupBy("cell", "pos")

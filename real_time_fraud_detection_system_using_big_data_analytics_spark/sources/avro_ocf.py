@@ -28,11 +28,13 @@ event logs; anything else raises loudly rather than mis-decoding):
 
 Scale posture: Avro is a ROW format — the interchange/landing format
 (Kafka, log shippers), not the analytics-layout format. The reader plans
-one InputPartition per container file (at 100 TB a production reader
-additionally splits WITHIN a file on sync-marker boundaries — the marker
-exists precisely so a reader can seek to an arbitrary offset and resync;
-per-file granularity is the honest local-mode analogue, same as
-binaryFile). The writer stages one OCF per task and publishes via the
+byte-range InputPartitions WITHIN each file on sync-marker boundaries
+(r11; 128 MiB default, option split_size) — the marker exists precisely
+so a reader can seek to an arbitrary offset and resync, and the split
+ownership rule (resync at the first marker >= start, own blocks starting
+before end + 16) mirrors org.apache.avro's DataFileReader sync/pastSync
+contract, so a few large landing files no longer serialize the scan.
+The writer stages one OCF per task and publishes via the
 same two-phase rename commit as the parquet sink DataSource
 (pysource.py) — only file names travel to the driver. The expected
 pipeline shape is avro-landing -> parquet/columnar rewrite, which is
@@ -241,6 +243,28 @@ def _read_header(buf: memoryview) -> tuple[dict, bytes, int]:
     return schema, sync, pos + 16
 
 
+def _decode_records(
+    buf: memoryview, pos: int, n_rec: int, kinds: list[tuple[str, str]], cols: list[list]
+) -> int:
+    """Decode n_rec row-major records at pos into column-major cols."""
+    for _ in range(n_rec):
+        for ci, (_, kind) in enumerate(kinds):
+            if kind in ("long", "timestamp"):
+                v, pos = zigzag_decode(buf, pos)
+            elif kind == "double":
+                v = struct.unpack_from("<d", buf, pos)[0]
+                pos += 8
+            elif kind == "boolean":
+                v = buf[pos] != 0
+                pos += 1
+            else:
+                slen, pos = zigzag_decode(buf, pos)
+                v = bytes(buf[pos : pos + slen]).decode("utf-8")
+                pos += slen
+            cols[ci].append(v)
+    return pos
+
+
 def read_ocf(data: bytes) -> tuple[dict, list[list]]:
     """Decode a container file -> (schema, columns). Column-major output
     so the Arrow conversion is one zero-copy-ish array build per field."""
@@ -252,26 +276,84 @@ def read_ocf(data: bytes) -> tuple[dict, list[list]]:
         n_rec, pos = zigzag_decode(buf, pos)
         blen, pos = zigzag_decode(buf, pos)
         end = pos + blen
-        for _ in range(n_rec):
-            for ci, (_, kind) in enumerate(kinds):
-                if kind in ("long", "timestamp"):
-                    v, pos = zigzag_decode(buf, pos)
-                elif kind == "double":
-                    v = struct.unpack_from("<d", buf, pos)[0]
-                    pos += 8
-                elif kind == "boolean":
-                    v = buf[pos] != 0
-                    pos += 1
-                else:
-                    slen, pos = zigzag_decode(buf, pos)
-                    v = bytes(buf[pos : pos + slen]).decode("utf-8")
-                    pos += slen
-                cols[ci].append(v)
+        pos = _decode_records(buf, pos, n_rec, kinds, cols)
         if pos != end:
             raise ValueError(f"block length mismatch: {pos} != {end}")
         if bytes(buf[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch — corrupt or misaligned block")
         pos += 16
+    return schema, cols
+
+
+def sync_seek(fh, sync: bytes, start: int) -> int | None:
+    """Byte offset just PAST the first sync-marker occurrence beginning at
+    file offset >= start, or None if no marker follows — the resync scan
+    the 16-byte marker exists for (Avro spec: a reader can seek to an
+    arbitrary offset and resynchronize). A random 16-byte collision inside
+    record data is possible at ~2^-128 and accepted by every spec
+    implementation; this scan is byte-faithful to that contract."""
+    chunk_size = 1 << 20
+    fh.seek(start)
+    buf = b""
+    base = start
+    while True:
+        chunk = fh.read(chunk_size)
+        if not chunk:
+            return None
+        buf += chunk
+        idx = buf.find(sync)
+        if idx != -1:
+            return base + idx + 16
+        # keep a marker-minus-one tail so a boundary-straddling marker
+        # is still found by the next iteration
+        keep = len(sync) - 1
+        base += len(buf) - keep
+        buf = buf[-keep:]
+
+
+def read_ocf_range(path: str, start: int, end: int) -> tuple[dict, list[list]]:
+    """Decode the blocks a byte-range split OWNS, per the standard Avro
+    split protocol (mirrors org.apache.avro DataFileReader.sync/pastSync):
+    resync at the first marker whose occurrence begins at >= start (split
+    0 starts right after the header instead), then decode every block
+    whose start offset is < end + 16 — the +16 covers a marker straddling
+    the boundary, whose following block belongs to THIS split because the
+    next split's resync scan cannot see a marker that began before its
+    range. Each block is owned by exactly one split; no overlap, no gap."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        head = fh.read(64 * 1024)
+        schema, sync, body_start = _read_header(memoryview(head))
+        kinds = _field_kinds(schema)
+        cols: list[list] = [[] for _ in kinds]
+        if start == 0:
+            pos = body_start
+        else:
+            found = sync_seek(fh, sync, start)
+            if found is None:
+                return schema, cols
+            pos = found
+        own_end = min(end + 16, size)
+        while pos < own_end:
+            fh.seek(pos)
+            # block header: two varints (<=10 bytes each), then body + sync
+            head = fh.read(20)
+            if len(head) < 2:
+                break
+            mv = memoryview(head)
+            n_rec, p = zigzag_decode(mv, 0)
+            blen, p = zigzag_decode(mv, p)
+            need = blen + 16 - (len(head) - p)
+            body = bytes(head[p:]) + (fh.read(need) if need > 0 else b"")
+            bmv = memoryview(body)
+            done = _decode_records(bmv, 0, n_rec, kinds, cols)
+            if done != blen:
+                raise ValueError(f"block length mismatch: {done} != {blen}")
+            if bytes(bmv[blen : blen + 16]) != sync:
+                raise ValueError("sync marker mismatch — corrupt or misaligned block")
+            pos += p + blen + 16
     return schema, cols
 
 
@@ -308,8 +390,12 @@ _KIND_TO_DDL = {
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    """One byte-range split [start, end) of one container file."""
+
+    def __init__(self, path: str, start: int, end: int) -> None:
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class AvroOCFDataSource(DataSource):
@@ -317,7 +403,8 @@ class AvroOCFDataSource(DataSource):
     ``df.write.format("avro_ocf").mode("overwrite").save(dir)``.
 
     Read: schema comes from the first part file's embedded writer schema
-    (Avro files are self-describing); one InputPartition per file.
+    (Avro files are self-describing); byte-range InputPartitions split
+    within files on sync-marker boundaries (option split_size).
     Write: DataSourceArrowWriter staging one OCF per task, two-phase
     rename commit — the exact protocol of the parquet sink DataSource."""
 
@@ -348,30 +435,50 @@ class AvroOCFDataSource(DataSource):
         )
 
     def reader(self, schema) -> "AvroOCFReader":
-        return AvroOCFReader(self._path())
+        split = int(self.options.get("split_size", _DEFAULT_SPLIT_BYTES))
+        if split <= 0:
+            raise ValueError(f"split_size must be positive, got {split}")
+        return AvroOCFReader(self._path(), split)
 
     def writer(self, schema, overwrite: bool) -> "AvroOCFWriter":
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         return AvroOCFWriter(self._path(), avro_schema_for(fields), overwrite)
 
 
+# production default: the HDFS-era block size every splittable input format
+# plans around; option split_size overrides (tests use a few KiB to force
+# multi-split single files)
+_DEFAULT_SPLIT_BYTES = 128 << 20
+
+
 class AvroOCFReader(DataSourceReader):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, split_size: int = _DEFAULT_SPLIT_BYTES) -> None:
         self.path = path
+        self.split_size = split_size
 
     def partitions(self) -> list[_FilePartition]:
+        """Plan byte-range splits WITHIN each file on sync-marker
+        boundaries (r11; r10 planned one partition per file, which would
+        serialize a few large landing files at 100 TB). Planning needs
+        only file sizes — the resync to an actual block boundary happens
+        task-side in read_ocf_range, exactly the Hadoop/Avro input-split
+        protocol."""
         import os
 
-        return [
-            _FilePartition(os.path.join(self.path, f))
-            for f in sorted(os.listdir(self.path))
-            if f.startswith("part-") and f.endswith(".avro")
-        ]
+        parts = []
+        for f in sorted(os.listdir(self.path)):
+            if not (f.startswith("part-") and f.endswith(".avro")):
+                continue
+            full = os.path.join(self.path, f)
+            size = os.path.getsize(full)
+            for start in range(0, max(size, 1), self.split_size):
+                parts.append(_FilePartition(full, start, min(start + self.split_size, size)))
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
-        with open(partition.path, "rb") as fh:
-            schema, cols = read_ocf(fh.read())
-        yield _arrow_batch(schema, cols)
+        schema, cols = read_ocf_range(partition.path, partition.start, partition.end)
+        if cols and cols[0]:
+            yield _arrow_batch(schema, cols)
 
 
 class _AvroCommit(WriterCommitMessage):

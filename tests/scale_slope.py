@@ -64,6 +64,9 @@ QUERIES = [
     "curation_domain_temperature_mix",
     "ann_knn_graph",
     "curation_prototypicality_prune",
+    "dedup_levenshtein_blocked",
+    "ann_range_search_cells",
+    "ann_range_search_recall",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -88,6 +91,9 @@ EXPECTED = {
     "dedup_semdedup": "~linear: cells ∝ corpus since r10 (b = ceil(log2(n/125)) sign bits), so Σ_c|cell|² ≈ n·target_cell",
     "curation_dsir_importance": "linear in tokens (combinable aggs + 16-row broadcast LM)",
     "text_gopher_quality_rules": "linear in docs (explode + combinable aggs after the r9 per-row-fold fix; fixed overhead dominates at these scales)",
+    "dedup_levenshtein_blocked": "linear: n·L deletion variants, variant-string equi-join, block size = true near-dup degree (vs the diagnostic's fixed-25-block (n/25)² — 26.5× at 5× data)",
+    "ann_range_search_cells": "~linear: same corpus-scaled cell law as dedup_semdedup (vs the radius diagnostic's slope5 13.9)",
+    "ann_range_search_recall": "linear: ≤64 broadcast anchors × one corpus scan",
 }
 
 

@@ -33,6 +33,7 @@ attribution.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -94,6 +95,13 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     # score) rank rows only — embeddings are dropped before every exchange.
     "ann_knn_graph": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
     "curation_prototypicality_prune": ("shuffle_write < 8 MB", "m['shuffle_write_mb'] < 8"),
+    # r11 scale twins: blocked levenshtein shuffles (custkey, nk, 8-byte
+    # variant hash) rows only — names join back onto the distinct
+    # candidate set; the cell-blocked radius search mirrors semdedup's
+    # in-cell pair law; the recall audit is ≤64 broadcast anchors.
+    "dedup_levenshtein_blocked": ("hashed variants: shuffle_write < 12 MB", "m['shuffle_write_mb'] < 12"),
+    "ann_range_search_cells": ("in-cell pairs: shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
+    "ann_range_search_recall": ("broadcast anchors: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
     # TPC-H heavies. q21's budget pins the r9 Expand fix (two countDistinct
     # in one agg doubled every lineitem row: 20.4 MB shuffled; the
     # two-level aggregate rewrite carries distinct pairs instead).
@@ -259,8 +267,10 @@ def main() -> int:
     }
     out_json.write_text(json.dumps(payload, indent=1, sort_keys=True))
 
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r11")
     md = [
-        "# SHUFFLE — measured per-query shuffle/IO at sf0.1 (r9)",
+        f"# SHUFFLE — measured per-query shuffle/IO at sf0.1 "
+        f"({round_tag}, {len(results)} queries)",
         "",
         "Stage-metric sums from the Spark REST API for one solo run per query",
         "(`tests/shuffle_audit.py`). Bytes are plan-determined — unlike wall",

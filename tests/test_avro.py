@@ -171,3 +171,73 @@ def test_spark_write_read_exact_rows(spark):
     back = spark.read.format("avro_ocf").load(out)
     assert back.schema == ev.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+# --- sync-marker byte-range splits (r11) -------------------------------------
+
+
+def _one_block_file(tmp_path, n_rows=500, block_rows=13):
+    sch = avro_schema_for([("i", "bigint"), ("s", "string")])
+    cols = [list(range(n_rows)), [f"row-{i:06d}" for i in range(n_rows)]]
+    data = write_ocf(sch, cols, n_rows, block_rows=block_rows)
+    p = tmp_path / "part-00000.avro"
+    p.write_bytes(data)
+    return str(p), cols, len(data)
+
+
+def test_range_reader_exactly_once_at_every_split_size(tmp_path):
+    """The split-ownership protocol (resync at first marker >= start, own
+    blocks starting < end + 16) must yield every record EXACTLY ONCE for
+    ANY byte-range partitioning — including boundaries that land inside
+    varints, inside record data, and inside the sync marker itself. Sweep
+    adversarial split sizes over a many-block file and compare against the
+    whole-file decode."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+        read_ocf_range,
+    )
+
+    path, cols, size = _one_block_file(tmp_path)
+    for split in (1, 7, 16, 17, 64, 100, 333, 1024, size - 1, size, size + 10):
+        got: list[int] = []
+        got_s: list[str] = []
+        n_nonempty = 0
+        for start in range(0, size, split):
+            _, out = read_ocf_range(path, start, min(start + split, size))
+            if out[0]:
+                n_nonempty += 1
+            got.extend(out[0])
+            got_s.extend(out[1])
+        assert sorted(got) == cols[0], f"split={split}: {len(got)} rows"
+        assert sorted(got_s) == cols[1], f"split={split}"
+    # sanity: a small split really does split one file across partitions
+    n_parts = 0
+    rows = 0
+    for start in range(0, size, 1024):
+        _, out = read_ocf_range(path, start, min(start + 1024, size))
+        if out[0]:
+            n_parts += 1
+            rows += len(out[0])
+    assert n_parts >= 2 and rows == len(cols[0])
+
+
+def test_spark_multisplit_single_file_hash_equal(spark, tmp_path):
+    """One multi-block container file read through >= 2 InputPartitions
+    (small split_size option) must produce the identical row multiset as
+    the whole-file read — the r10 verdict's done-criterion for within-file
+    splitting."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    path, cols, size = _one_block_file(tmp_path, n_rows=2000, block_rows=64)
+    whole = spark.read.format("avro_ocf").load(str(tmp_path))
+    split = (
+        spark.read.format("avro_ocf")
+        .option("split_size", 2048)
+        .load(str(tmp_path))
+    )
+    assert split.rdd.getNumPartitions() >= 2
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, split.collect()))
+    assert a == b and len(a) == 2000

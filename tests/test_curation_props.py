@@ -165,9 +165,14 @@ def test_temperature_mix_isqrt_bracket_exact():
     """The bracket-corrected BIGINT isqrt must satisfy s*s <= n < (s+1)^2
     for every input — including the perfect-square neighborhoods where a
     bare floor(sqrt(n)) is one ulp off. Checked through DuckDB (the oracle
-    engine) so the SQL formula itself is what's exercised; the Spark
-    expression is term-identical by construction."""
+    engine), and built from the SAME isqrt_case_sql the operator's oracle
+    uses, so the formula under test cannot drift from the one shipped;
+    the Spark expression is term-identical by construction."""
     import duckdb
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.curation import (
+        isqrt_case_sql,
+    )
 
     # domain: the formula squares (s+1), so it is valid for n < ~9.2e18
     # (s+1 <= 3037000499) — four orders beyond any per-source token count,
@@ -180,19 +185,7 @@ def test_temperature_mix_isqrt_bracket_exact():
     probes = sorted({p for p in probes if p >= 1})
     vals = ", ".join(f"({p})" for p in probes)
     rows = duckdb.sql(
-        f"""
-        SELECT n,
-               CAST(CASE
-                 WHEN CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)
-                      * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) > n
-                 THEN FLOOR(SQRT(CAST(n AS DOUBLE))) - 1
-                 WHEN (CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1)
-                      * (CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1) <= n
-                 THEN FLOOR(SQRT(CAST(n AS DOUBLE))) + 1
-                 ELSE FLOOR(SQRT(CAST(n AS DOUBLE)))
-               END AS BIGINT) AS s
-        FROM (VALUES {vals}) t(n)
-        """
+        f"SELECT n, {isqrt_case_sql('n')} AS s FROM (VALUES {vals}) t(n)"
     ).fetchall()
     import math
 

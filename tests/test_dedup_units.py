@@ -124,6 +124,7 @@ def test_semdedup_planted_twins_all_pruned_originals_survive(spark):
     have no natural pairs above the threshold)."""
     from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
 
+    registry.load_all()  # order-independence: this file alone must suffice
     rows = registry.QUERIES["dedup_semdedup"](spark, "/root/testdata/sf0.001").collect()
     twins = [r for r in rows if r.vec_id >= 1_000_000]
     originals = [r for r in rows if r.vec_id < 1_000_000]
@@ -174,3 +175,22 @@ def test_substring_runs_exact_spans(spark, tmp_path):
         2: (2, 12, 24),
         # docs 3 and 4 share only an 11-token substring: span 11 < 12 -> absent
     }
+
+
+def test_levenshtein_blocked_equals_quadratic(spark):
+    """The FastSS deletion-neighborhood blocking is EXACT for edit
+    distance <= 1 (two strings at Levenshtein distance <= 1 must share a
+    1-deletion-neighborhood member), so the corpus-scaled twin must return
+    the identical pair set as the diagnostic nation-blocked quadratic —
+    recall proven by value, not asserted."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    registry.load_all()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        blocked = sorted(
+            map(tuple, registry.QUERIES["dedup_levenshtein_blocked"](spark, sf).collect())
+        )
+        quad = sorted(
+            map(tuple, registry.QUERIES["dedup_levenshtein_pairs"](spark, sf).collect())
+        )
+        assert blocked == quad and len(blocked) > 0

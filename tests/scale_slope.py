@@ -194,12 +194,40 @@ def build_tpch(con, out: str, mult: int) -> None:
         ) TO '{out}/lineitem.parquet' (FORMAT parquet)
         """
     )
+    build_customer(con, out, mult)
+
+
+def build_customer(con, out: str, mult: int) -> None:
+    """Customer twin for the levenshtein queries: keys offset like orders'
+    o_custkey, and c_name REGENERATED from the new key ('Customer#' ||
+    lpad(key, 9, '0') — verified to hold for 100% of the source rows), so
+    the per-capita near-dup structure is scale-invariant. Verbatim name
+    replication (gen_sf.py's FK-preserving mode) would duplicate every
+    name mult times and grow the TRUE pair output ~mult² — the slope
+    would then measure output blowup, not algorithm scaling."""
+    ck = con.sql(f"SELECT MAX(o_custkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    con.sql(
+        f"""
+        COPY (
+          SELECT c_custkey + r.r*{ck} AS c_custkey,
+                 'Customer#' || lpad(CAST(c_custkey + r.r*{ck} AS VARCHAR), 9, '0')
+                   AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM '{SRC}/customer.parquet', range({mult}) r(r)
+        ) TO '{out}/customer.parquet' (FORMAT parquet)
+        """
+    )
 
 
 def build_dataset(mult: int) -> str:
     out = f"/tmp/scale_slope_x{mult}"
     marker = os.path.join(out, "_complete.json")
     if os.path.exists(marker):
+        # cache repair: dirs built before r11 lack the customer twin
+        if not os.path.exists(os.path.join(out, "customer.parquet")):
+            import duckdb
+
+            build_customer(duckdb.connect(), out, mult)
         return out
     import duckdb
 

@@ -73,10 +73,13 @@ COMPACT_SET = [
 # Headline set: one representative per operator family (kept in sync with
 # SURVEY §2 as coverage widens).
 HEADLINE = [
-    # round-11 additions (scale-safe twins of the two tagged diagnostics)
+    # round-11 additions (scale-safe twins of the two tagged diagnostics,
+    # plus binary-quantization ANN and the full Gopher repetition suite)
     "dedup_levenshtein_blocked",
     "ann_range_search_cells",
     "ann_range_search_recall",
+    "ann_binary_hamming_rerank",
+    "text_gopher_repetition_signals",
     # round-10 additions
     "etl_avro_roundtrip",
     "dedup_substring_runs",

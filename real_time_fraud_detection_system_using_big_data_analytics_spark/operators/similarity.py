@@ -1138,6 +1138,136 @@ def ann_range_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binary quantization: Hamming shortlist + exact rerank -------------------
+
+_BQ_BITS = 63  # sign bits of dims 1..63 packed into one BIGINT (bit 63 would
+# overflow the signed long; 63 bits keep the signature a plain integer on
+# both engines)
+_BQ_SHORTLIST = 10
+_BQ_K = 3
+
+_BQ_SIG_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, {bits}), "
+    "i -> CASE WHEN {col}[i] >= 0 THEN CAST(POW(2, i - 1) AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+def _bq_signature(emb: str) -> Column:
+    """63-bit sign signature as a BIGINT — the fold is term-identical to
+    _BQ_SIG_SQL (powers of two are exactly representable doubles, so the
+    POW→BIGINT cast is exact on both engines)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_BQ_BITS)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(emb, i) >= 0,
+            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+@register(
+    "ann_binary_hamming_rerank",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {_BQ_SIG_SQL.format(bits=_BQ_BITS, col='embedding')} AS sig
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, sig AS q_sig FROM sigs
+      WHERE vec_id % 100 = 0 AND vec_id < {100 * _BF_QMAX}
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id, hamming FROM (
+        SELECT q.q_id, s.vec_id,
+               bit_count(xor(s.sig, q.q_sig)) AS hamming,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY bit_count(xor(s.sig, q.q_sig)), s.vec_id) AS srn
+        FROM queries q JOIN sigs s ON s.vec_id <> q.q_id
+      ) WHERE srn <= {_BQ_SHORTLIST}
+    ),
+    reranked AS (
+      SELECT sl.q_id, sl.vec_id, sl.hamming,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY sl.q_id
+               ORDER BY {_cosine_sql('q.q_emb', 'e.embedding')} DESC, sl.vec_id) AS rn
+      FROM shortlist sl
+      JOIN embeddings e ON e.vec_id = sl.vec_id
+      JOIN queries q ON q.q_id = sl.q_id
+    )
+    SELECT q_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+           ROUND(cosine, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM reranked WHERE rn <= {_BQ_K}
+    """,
+)
+def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the 32×-compression fast path modern
+    vector stores ship alongside int8/PQ (and the asymmetric companion to
+    ann_lsh_bucketed: LSH needs bucket EQUALITY, this RANKS the whole
+    corpus by Hamming distance in the compressed domain, so near-misses
+    across a bucket boundary are never lost): each vector compresses to a
+    63-bit sign signature (one BIGINT), candidates are the Hamming top-10
+    per query via bit_count(xor(sig, q_sig)) — two instructions per
+    comparison instead of 64 multiply-adds — and the shortlist is
+    re-ranked by exact float cosine, the standard two-stage recipe
+    (sign-random-projection sketching per Charikar 2002, STOC).
+
+    Scale posture: signatures are a map-only 8-byte projection of the
+    corpus (the 100 TB index fits in 0.8 TB); the bounded query set
+    (≤64, the _BF_QMAX pattern) broadcasts; the Hamming rank filter
+    compiles to a partial WindowGroupLimit below the q_id Exchange, so
+    at most 10×Q rows shuffle; the exact rerank touches 10 embeddings
+    per query via an equi-join of the tiny shortlist back to the corpus.
+    Determinism: Hamming ties break by vec_id; the rerank cosine uses the
+    shared left-to-right double fold, so both engines rank identically."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    sigs = fan_out(e).select(
+        "vec_id", "embedding", _bq_signature("embedding").alias("sig")
+    )
+    queries = sigs.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+        _norm("embedding").alias("q_norm"),
+    )
+    sw = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        sigs.select("vec_id", "sig")
+        .crossJoin(F.broadcast(queries.select("q_id", "q_sig")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("q_sig"))).alias("hamming"),
+        )
+        .withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= _BQ_SHORTLIST)
+        .select("q_id", "vec_id", "hamming")
+    )
+    corpus = e.select("vec_id", "embedding", _norm("embedding").alias("e_norm"))
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    rw = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(queries.select("q_id", "q_emb", "q_norm")), "q_id")
+        .select("q_id", "vec_id", "hamming", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= _BQ_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.round("cosine_raw", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Maximal Marginal Relevance (MMR) diversified top-k
 # ---------------------------------------------------------------------------

@@ -1478,3 +1478,199 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_dup.cast("int").alias("r_dup_bigram"),
         (r_wc & r_mwl & r_stop & r_top & r_dup).cast("int").alias("gopher_pass"),
     )
+
+
+# --- Gopher repetition signals (the full §A1.1 n-gram suite) -----------------
+
+# thresholds from Rae et al. 2021 (arXiv:2112.11446, Table A1), in percent:
+# fraction of characters in the most frequent {2,3,4}-gram, and fraction of
+# characters covered by duplicated {5,10}-grams (the two ends of the 5..10
+# band the paper sweeps).
+_REP_TOP_PCT = {2: 20, 3: 18, 4: 16}
+_REP_DUP_PCT = {5: 15, 10: 10}
+
+
+def _rep_oracle() -> str:
+    """DuckDB oracle for text_gopher_repetition_signals, built per-n from
+    one template so the Spark plan and the SQL can only drift together."""
+    tops = []
+    for n, pct in _REP_TOP_PCT.items():
+        tops.append(f"""
+    top{n} AS (
+      SELECT doc_id, CAST(c * (length(g) - {n - 1}) AS BIGINT) AS chars
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
+                        i -> array_to_string(ws[i:i + {n - 1}], ' '))) AS g
+          FROM base WHERE len(ws) >= {n}
+        ) GROUP BY doc_id, g
+      ) WHERE rn = 1
+    )""")
+    dups = []
+    for n in _REP_DUP_PCT:
+        dups.append(f"""
+    dup{n} AS (
+      SELECT t.doc_id, CAST(SUM(length(t.tok)) AS BIGINT) AS chars
+      FROM (
+        SELECT DISTINCT doc_id, unnest(generate_series(i, i + {n - 1})) AS p
+        FROM (
+          SELECT doc_id, i, g,
+                 COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+          FROM (
+            SELECT doc_id, i,
+                   array_to_string(ws[i:i + {n - 1}], ' ') AS g
+            FROM base, unnest(generate_series(1, len(ws) - {n - 1})) u(i)
+            WHERE len(ws) >= {n}
+          )
+        ) WHERE c >= 2
+      ) cov
+      JOIN (
+        SELECT doc_id, p.i AS p, ws[p.i] AS tok FROM base,
+               unnest(generate_series(1, len(ws))) p(i)
+      ) t ON t.doc_id = cov.doc_id AND t.p = cov.p
+      GROUP BY t.doc_id
+    )""")
+    flags = []
+    sel = []
+    for n, pct in _REP_TOP_PCT.items():
+        sel.append(f"COALESCE(t{n}.chars, 0) AS top{n}_chars")
+        flags.append(f"COALESCE(t{n}.chars, 0) * 100 <= b.total_chars * {pct}")
+    for n, pct in _REP_DUP_PCT.items():
+        sel.append(f"COALESCE(d{n}.chars, 0) AS dup{n}_chars")
+        flags.append(f"COALESCE(d{n}.chars, 0) * 100 <= b.total_chars * {pct}")
+    flag_cols = ",\n           ".join(
+        f"CAST({f} AS INTEGER) AS r_{name}"
+        for f, name in zip(
+            flags,
+            [f"top{n}" for n in _REP_TOP_PCT] + [f"dup{n}" for n in _REP_DUP_PCT],
+        )
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    base AS (
+      SELECT doc_id, ws,
+             CAST(length(array_to_string(ws, ' ')) - (len(ws) - 1) AS BIGINT)
+               AS total_chars
+      FROM docs
+    ),{",".join(tops)},{",".join(dups)}
+    SELECT b.doc_id, b.total_chars,
+           {", ".join(sel)},
+           {flag_cols},
+           CAST({" AND ".join(flags)} AS INTEGER) AS rep_pass
+    FROM base b
+    LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+    LEFT JOIN top3 t3 ON t3.doc_id = b.doc_id
+    LEFT JOIN top4 t4 ON t4.doc_id = b.doc_id
+    LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+    LEFT JOIN dup10 d10 ON d10.doc_id = b.doc_id
+    """
+
+
+@register("text_gopher_repetition_signals", oracle=_rep_oracle())
+def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition suite (Rae et al. 2021, arXiv:2112.11446
+    §A1.1 / Table A1) — the n-gram half that text_gopher_quality_rules'
+    five shape rules left uncovered: per document, the fraction of
+    characters in the most frequent {2,3,4}-gram (frequency × gram chars)
+    and the fraction of characters COVERED by duplicated {5,10}-grams
+    (union of window positions — overlapping duplicate windows count each
+    character once, the paper's no-double-counting reading), with
+    pass/fail flags at the paper's thresholds (20/18/16% and 15/10%) as
+    pure integer cross-multiplications — no ratio ever crosses the engine
+    boundary. Character base = total token chars (whitespace excluded),
+    computed as length(text) − (n_tokens − 1) on both engines.
+
+    Scale posture: every aggregation is doc-local, so ONE doc_id-keyed
+    exchange family covers the whole plan (gram counts partition by
+    (doc_id, gram) — within-doc counts, cardinality bounded by corpus
+    tokens); the dup coverage dedups (doc_id, position) pairs, at most
+    one row per corpus token; nothing global, no broadcast, no float.
+    Determinism: the top gram ties break lexicographically; all outputs
+    BIGINT."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    docs = fan_out(d).select("doc_id", F.split("text", " ").alias("ws"))
+    total = docs.select(
+        "doc_id",
+        (F.length(F.array_join("ws", " ")) - (F.size("ws") - 1))
+        .cast("bigint")
+        .alias("total_chars"),
+    )
+
+    def windows(n: int) -> DataFrame:
+        """(doc_id, i [1-based], g) for every n-token window."""
+        arr = F.col("ws")
+        grams = F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return docs.select(
+            "doc_id", F.posexplode(grams).alias("i0", "g")
+        ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+
+    def top_chars(n: int) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+        return (
+            windows(n)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (F.col("c") * (F.length("g") - (n - 1)))
+                .cast("bigint")
+                .alias(f"top{n}_chars"),
+            )
+        )
+
+    toks = docs.select(
+        "doc_id", F.posexplode("ws").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tlen"))
+
+    def dup_chars(n: int) -> DataFrame:
+        cw = Window.partitionBy("doc_id", "g")
+        covered = (
+            windows(n)
+            .withColumn("c", F.count("*").over(cw))
+            .filter(F.col("c") >= 2)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),
+            )
+            .distinct()
+        )
+        return (
+            covered.join(toks, ["doc_id", "p"])
+            .groupBy("doc_id")
+            .agg(F.sum("tlen").cast("bigint").alias(f"dup{n}_chars"))
+        )
+
+    out = total
+    for n in _REP_TOP_PCT:
+        out = out.join(top_chars(n), "doc_id", "left")
+    for n in _REP_DUP_PCT:
+        out = out.join(dup_chars(n), "doc_id", "left")
+    cols = [F.col("doc_id"), F.col("total_chars")]
+    flags = []
+    for n, pct in list(_REP_TOP_PCT.items()) + list(_REP_DUP_PCT.items()):
+        kind = "top" if n in _REP_TOP_PCT else "dup"
+        ch = F.coalesce(F.col(f"{kind}{n}_chars"), F.lit(0)).cast("bigint")
+        cols.append(ch.alias(f"{kind}{n}_chars"))
+        flags.append((ch * 100 <= F.col("total_chars") * pct))
+    for flag, (n, _) in zip(flags, list(_REP_TOP_PCT.items()) + list(_REP_DUP_PCT.items())):
+        kind = "top" if n in _REP_TOP_PCT else "dup"
+        cols.append(flag.cast("int").alias(f"r_{kind}{n}"))
+    all_pass = flags[0]
+    for f_ in flags[1:]:
+        all_pass = all_pass & f_
+    cols.append(all_pass.cast("int").alias("rep_pass"))
+    return out.select(*cols)

@@ -67,6 +67,8 @@ QUERIES = [
     "dedup_levenshtein_blocked",
     "ann_range_search_cells",
     "ann_range_search_recall",
+    "ann_binary_hamming_rerank",
+    "text_gopher_repetition_signals",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -94,6 +96,8 @@ EXPECTED = {
     "dedup_levenshtein_blocked": "linear: n·L deletion variants, variant-string equi-join, block size = true near-dup degree (vs the diagnostic's fixed-25-block (n/25)² — 26.5× at 5× data)",
     "ann_range_search_cells": "~linear: same corpus-scaled cell law as dedup_semdedup (vs the radius diagnostic's slope5 13.9)",
     "ann_range_search_recall": "linear: ≤64 broadcast anchors × one corpus scan",
+    "ann_binary_hamming_rerank": "linear: map-only 8-byte signatures, bounded query broadcast, 10×Q shortlist",
+    "text_gopher_repetition_signals": "linear in corpus tokens: doc-local gram counts for five n sizes",
 }
 
 

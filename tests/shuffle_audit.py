@@ -102,6 +102,11 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     "dedup_levenshtein_blocked": ("hashed variants: shuffle_write < 12 MB", "m['shuffle_write_mb'] < 12"),
     "ann_range_search_cells": ("in-cell pairs: shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
     "ann_range_search_recall": ("broadcast anchors: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
+    # binary quantization: 8-byte signatures map-only, 10xQ shortlist rows
+    # through the exchange; repetition signals shuffle (doc_id, gram)
+    # within-doc counts for five n sizes — bounded by corpus tokens.
+    "ann_binary_hamming_rerank": ("8B sigs + 10xQ rows: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
+    "text_gopher_repetition_signals": ("doc-local gram counts: shuffle_write < 30 MB", "m['shuffle_write_mb'] < 30"),
     # TPC-H heavies. q21's budget pins the r9 Expand fix (two countDistinct
     # in one agg doubled every lineitem row: 20.4 MB shuffled; the
     # two-level aggregate rewrite carries distinct pairs instead).

@@ -194,3 +194,41 @@ def test_levenshtein_blocked_equals_quadratic(spark):
             map(tuple, registry.QUERIES["dedup_levenshtein_pairs"](spark, sf).collect())
         )
         assert blocked == quad and len(blocked) > 0
+
+
+def test_gopher_repetition_signals_exact(spark, tmp_path):
+    """Pin the repetition-signal semantics on manufactured docs: a known
+    most-frequent n-gram (lexicographic tie-break), a known duplicate-5gram
+    POSITION UNION (overlapping windows count each char once), and a clean
+    doc that passes every threshold."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
+
+    registry.load_all()
+    # doc 0: 16 single-char tokens. top-2gram = 'a b' (count 3, lexicographic
+    # min of the 3-way tie) -> 6 chars of 16. dup-5grams: windows at 7/10
+    # ('c d e c d') and 8/11 ('d e c d e') -> covered positions 7..15 = 9
+    # chars. No duplicate 10-gram.
+    doc0 = "a b a b a b c d e c d e c d e x"
+    # doc 1: 40 distinct tokens, zero repetition -> all rules pass.
+    doc1 = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate([doc0, doc1])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in registry.QUERIES["text_gopher_repetition_signals"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    d0 = got[0]
+    assert d0["total_chars"] == 16
+    assert d0["top2_chars"] == 6 and d0["r_top2"] == 0
+    assert d0["top3_chars"] == 9 and d0["r_top3"] == 0  # 'c d e' x3
+    assert d0["top4_chars"] == 8 and d0["r_top4"] == 0  # 'a b a b' x2, lex min
+    assert d0["dup5_chars"] == 9 and d0["r_dup5"] == 0  # union 7..15
+    assert d0["dup10_chars"] == 0 and d0["r_dup10"] == 1
+    assert d0["rep_pass"] == 0
+    d1 = got[1]
+    assert d1["dup5_chars"] == 0 and d1["rep_pass"] == 1

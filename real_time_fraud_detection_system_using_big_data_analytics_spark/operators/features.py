@@ -106,11 +106,17 @@ def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "feature_winsorize",
     oracle="""
-    WITH bounds AS (
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
       SELECT event_type,
-             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
-             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
-      FROM events GROUP BY event_type
+             MIN(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN value END) AS lo,
+             MIN(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN value END) AS hi
+      FROM ranked GROUP BY event_type
     )
     SELECT e.event_type,
            FLOOR(CAST(SUM(CAST(FLOOR((CASE WHEN e.value < b.lo THEN b.lo
@@ -125,14 +131,33 @@ def feature_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile winsorization (outlier clipping) — standard before
     feeding heavy-tailed amounts into a linear model like the reference's
-    LogisticRegression (fraud_detection_model.py:160-169). Exact per-group
-    p05/p95 via one aggregate; the bounds table (one row per event type)
-    broadcasts back onto the fact scan, so the plan is agg + broadcast-join
-    + agg with a single fact shuffle."""
+    LogisticRegression (fraud_detection_model.py:160-169). Bounds are
+    NEAREST-RANK order statistics — lo = value at 1-based rank
+    ((n-1)*5) div 100 + 1, hi at ((n-1)*95) div 100 + 1, pure integer
+    rank arithmetic and ACTUAL stored values, never an interpolated
+    double (r11: interpolated percentile_cont/percentile differed in the
+    last ulp between engines at the true-sf1 gate, flipping 50 tied rows
+    across the clip boundary; an order statistic cannot diverge at any
+    margin). The bounds table (one row per event type) broadcasts back
+    onto the fact scan; at 100 TB the bound pass is the same per-group
+    sort any exact-percentile winsorize pays (approx quantiles are the
+    documented relaxation)."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("((n - 1) * 5) div 100 + 1"), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("((n - 1) * 95) div 100 + 1"), F.col("value"))
+        ).alias("hi"),
     )
     clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
         F.col("value") > F.col("hi"), F.col("hi")

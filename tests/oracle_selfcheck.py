@@ -57,11 +57,23 @@ def main() -> int:
 
         skip_diag = set(DIAGNOSTIC)
 
+    # SPARK_GRAFT_SELFCHECK_QUERIES="a,b": re-run ONLY the named queries
+    # and MERGE their fresh records into an existing artifact (summary
+    # recomputed from the merged map) — the transparent mechanism for
+    # re-gating a fixed query without re-paying the full sweep (mirrors
+    # scale_slope's SPARK_GRAFT_SLOPE_QUERIES). The artifact never gets
+    # hand-edited; this script is the only writer.
+    subset_env = os.environ.get("SPARK_GRAFT_SELFCHECK_QUERIES")
+    subset = {s.strip() for s in subset_env.split(",")} if subset_env else None
+
     results: dict[str, dict] = {}
+    if subset and out_path.exists():
+        results = json.loads(out_path.read_text())["queries"]
     n_pass = n_fail = n_rows_only = n_err = 0
     n_skipped = 0
     t_start = time.time()
-    for name in sorted(queries):
+    run_names = sorted(subset) if subset else sorted(queries)
+    for name in run_names:
         if name in skip_diag:
             results[name] = {"skipped": "diagnostic (quadratic A/B baseline)", "err": None}
             n_skipped += 1

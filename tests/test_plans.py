@@ -1341,3 +1341,21 @@ def test_aqe_switches_smj_to_broadcast_on_runtime_stats(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_binary_hamming_shortlist_partial_limit_below_exchange(spark):
+    """ann_binary_hamming_rerank's Hamming shortlist must cut map-side:
+    the partial WindowGroupLimit (per-query Hamming top-10) sits BELOW the
+    q_id Exchange, so the shuffle carries <= 10xQ signature rows — never
+    the Q x N Hamming cross — and the exact rerank only ever sees the
+    joined-back shortlist."""
+    df = registry.QUERIES["ann_binary_hamming_rerank"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    final_pos = plan.find("row_number(), 10, Final")
+    partial_pos = plan.find("row_number(), 10, Partial")
+    assert 0 <= final_pos < partial_pos, plan
+    # the shortlist's own q_id Exchange sits between its Final and Partial
+    # (the rerank's exchange appears earlier in the root-first print)
+    assert "Exchange hashpartitioning(q_id" in plan[final_pos:partial_pos], plan
+    # and the rerank top-3 is two-phase as well
+    assert plan.find("row_number(), 3, Final") < plan.find("row_number(), 3, Partial"), plan

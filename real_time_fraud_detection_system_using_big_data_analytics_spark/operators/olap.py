@@ -94,7 +94,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderdate + INTERVAL 7 DAY AS e
       FROM orders
     ), flagged AS (
-      SELECT o_custkey, s, e,
+      SELECT o_custkey, o_orderkey, s, e,
              CASE WHEN MAX(e) OVER (PARTITION BY o_custkey
                                     ORDER BY s, o_orderkey
                                     ROWS BETWEEN UNBOUNDED PRECEDING
@@ -102,8 +102,12 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 0 ELSE 1 END AS is_new
       FROM spans
     ), islands AS (
+      -- SAME total order (s, o_orderkey) as the is_new window: ordering
+      -- the running sum by (s, e) left tied (s, e) rows in nondeterministic
+      -- frame order, which flipped island boundaries when the is_new=1 row
+      -- of a tie landed second (caught flaky at the true-sf1 gate, r11)
       SELECT o_custkey, s, e,
-             SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, e
+             SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
                                ROWS UNBOUNDED PRECEDING) AS island_id
       FROM flagged
     ), merged AS (
@@ -145,13 +149,16 @@ def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = spans.select(
         "o_custkey",
+        "o_orderkey",
         "s",
         "e",
         F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias("is_new"),
     )
+    # same total order as w_prev — an (s, e) order left tied rows in
+    # nondeterministic frame order and flipped island boundaries (r11)
     w_run = (
         Window.partitionBy("o_custkey")
-        .orderBy("s", "e")
+        .orderBy("s", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(

@@ -495,11 +495,17 @@ def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     width state per (window), exactly what survives at 100 TB/day event
     volumes. The replayed stream computes the sketch per 1-hour tumbling
     window; the audit joins the exact per-window NDV (batch pass over the
-    same parquet) and pins |approx - exact| <= max(15% of exact, 3): 3x
+    same parquet) and pins |approx - exact| <= max(25% of exact, 3): 5x
     the rsd=0.05 configured precision, with an absolute floor because the
     relative guarantee is asymptotic — at NDV ~11 the HLL++ small-range
-    path can miss by 2-3 counts (observed once across 720 windows at
-    sf0.01). The oracle carries the exact counts + TRUE, so
+    path can miss by 2-3 counts. The old 3x (15%) bound was statistics
+    malpractice for a 720-window sweep (~2 windows EXPECTED beyond 3
+    sigma) and the true-sf1 gate duly caught one window at 15.26%
+    (measured max relative error: 10.8% / 12.9% / 15.3% at sf0.1/0.5/1 —
+    all within the HLL++ guarantee, the BOUND was wrong, not the
+    sketch); at 5 sigma a false trip is ~6e-7 per window while a real
+    sketch regression (wrong rsd, broken merge) lands far beyond 25%.
+    The oracle carries the exact counts + TRUE, so
     a sketch or windowing regression is a value mismatch — the streaming
     sibling of agg_hll_accuracy_audit.
 
@@ -525,7 +531,7 @@ def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         (
             (
                 F.abs(F.col("approx_ndv") - F.col("exact_ndv")) * 100
-                <= F.col("exact_ndv") * 15
+                <= F.col("exact_ndv") * 25
             )
             | (F.abs(F.col("approx_ndv") - F.col("exact_ndv")) <= 3)
         ).alias("within_bound"),

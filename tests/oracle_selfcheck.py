@@ -120,6 +120,13 @@ def main() -> int:
         )
         print(f"SELFCHECK {name}: {status} ({rec['sec']}s)", flush=True)
 
+    # recompute the counters over the FULL merged map (in subset-merge mode
+    # the loop counters only saw the re-run names)
+    n_pass = sum(1 for r in results.values() if r.get("hash") is True)
+    n_fail = sum(1 for r in results.values() if r.get("hash") is False)
+    n_rows_only = sum(1 for r in results.values() if "rows_only" in r)
+    n_err = sum(1 for r in results.values() if r.get("err"))
+    n_skipped = sum(1 for r in results.values() if "skipped" in r)
     summary = {
         "sf_dir": sf_dir,
         "n_queries": len(results),
@@ -129,6 +136,7 @@ def main() -> int:
         "n_err": n_err,
         "n_skipped_diagnostic": n_skipped,
         "total_sec": round(time.time() - t_start, 1),
+        "merged_rerun": sorted(subset) if subset else None,
     }
     out_path.write_text(
         json.dumps({"summary": summary, "queries": results}, indent=1, sort_keys=True) + "\n"

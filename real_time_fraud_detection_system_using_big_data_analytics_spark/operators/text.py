@@ -1497,17 +1497,24 @@ def _rep_oracle() -> str:
     for n, pct in _REP_TOP_PCT.items():
         tops.append(f"""
     top{n} AS (
-      SELECT doc_id, CAST(c * (length(g) - {n - 1}) AS BIGINT) AS chars
+      -- grouped and tie-broken on the 16-hex md5 prefix, with the gram's
+      -- char count carried as an integer: identical on both engines, and
+      -- the exchange carries 24 bytes per gram instead of the string
+      SELECT doc_id, CAST(c * glen AS BIGINT) AS chars
       FROM (
-        SELECT doc_id, g, COUNT(*) AS c,
+        SELECT doc_id, gh, glen, COUNT(*) AS c,
                ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY COUNT(*) DESC, g) AS rn
+                                  ORDER BY COUNT(*) DESC, gh) AS rn
         FROM (
-          SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
-                        i -> array_to_string(ws[i:i + {n - 1}], ' '))) AS g
-          FROM base WHERE len(ws) >= {n}
-        ) GROUP BY doc_id, g
+          SELECT doc_id, substr(md5(g), 1, 16) AS gh,
+                 length(g) - {n - 1} AS glen
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
+                          i -> array_to_string(ws[i:i + {n - 1}], ' '))) AS g
+            FROM base WHERE len(ws) >= {n}
+          )
+        ) GROUP BY doc_id, gh, glen
       ) WHERE rn = 1
     )""")
     dups = []
@@ -1518,11 +1525,15 @@ def _rep_oracle() -> str:
       FROM (
         SELECT DISTINCT doc_id, unnest(generate_series(i, i + {n - 1})) AS p
         FROM (
-          SELECT doc_id, i, g,
-                 COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+          -- group by a 16-hex md5 prefix of the gram, not the string:
+          -- md5 is byte-identical on both engines, so a collision (~2^-64)
+          -- would alter BOTH sides identically — cross-engine exactness is
+          -- unconditional, and the shuffle carries 16 bytes, not the gram
+          SELECT doc_id, i, gh,
+                 COUNT(*) OVER (PARTITION BY doc_id, gh) AS c
           FROM (
             SELECT doc_id, i,
-                   array_to_string(ws[i:i + {n - 1}], ' ') AS g
+                   substr(md5(array_to_string(ws[i:i + {n - 1}], ' ')), 1, 16) AS gh
             FROM base, unnest(generate_series(1, len(ws) - {n - 1})) u(i)
             WHERE len(ws) >= {n}
           )
@@ -1617,18 +1628,22 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
         ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
 
     def top_chars(n: int) -> DataFrame:
-        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+        # md5-prefix grouping + integer char count — see the oracle comment
+        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "gh")
         return (
             windows(n)
-            .groupBy("doc_id", "g")
+            .select(
+                "doc_id",
+                F.substring(F.md5("g"), 1, 16).alias("gh"),
+                (F.length("g") - (n - 1)).alias("glen"),
+            )
+            .groupBy("doc_id", "gh", "glen")
             .agg(F.count("*").alias("c"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(
                 "doc_id",
-                (F.col("c") * (F.length("g") - (n - 1)))
-                .cast("bigint")
-                .alias(f"top{n}_chars"),
+                (F.col("c") * F.col("glen")).cast("bigint").alias(f"top{n}_chars"),
             )
         )
 
@@ -1637,9 +1652,12 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tlen"))
 
     def dup_chars(n: int) -> DataFrame:
-        cw = Window.partitionBy("doc_id", "g")
+        # 16-hex md5 prefix instead of the gram string through the exchange
+        # (see the oracle comment: identical on both engines, 16 bytes)
+        cw = Window.partitionBy("doc_id", "gh")
         covered = (
             windows(n)
+            .select("doc_id", "i", F.substring(F.md5("g"), 1, 16).alias("gh"))
             .withColumn("c", F.count("*").over(cw))
             .filter(F.col("c") >= 2)
             .select(

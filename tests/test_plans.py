@@ -196,24 +196,32 @@ _SWEEP_EXCLUDE_PREFIXES = (
 
 
 def test_diagnostic_tag_excludes_from_bench_headline():
-    """The uncapped wedge joins are registry-tagged DIAGNOSTIC (measured
-    scale-killers kept as A/B baselines; SCALING.md slope5 22.9 / 15.1 vs
-    their capped twins' 1.22 / 2.01) — the bench headline set must contain
-    the capped twins and never the uncapped forms."""
+    """The measured scale-killers are registry-tagged DIAGNOSTIC (kept as
+    A/B baselines): the two uncapped wedge joins (r10; SCALING.md slope5
+    22.9 / 15.1 vs their capped twins' 1.22 / 2.01) and, since r11, the
+    fixed-block levenshtein (26.5x wall at 5x data) and the exact radius
+    self-join (slope5 13.9). The bench headline set must contain each
+    production twin and never the tagged forms."""
     import bench
 
     assert registry.DIAGNOSTIC == {
         "graph_adamic_adar",
         "graph_jaccard_neighbors",
+        "dedup_levenshtein_pairs",
+        "ann_range_search_radius",
     }
     names = [
         n for n in bench.HEADLINE
         if n in registry.QUERIES and n not in registry.DIAGNOSTIC
     ]
-    assert "graph_adamic_adar" not in names
-    assert "graph_jaccard_neighbors" not in names
-    assert "graph_adamic_adar_capped" in names
-    assert "graph_jaccard_neighbors_capped" in names
+    for tagged, twin in [
+        ("graph_adamic_adar", "graph_adamic_adar_capped"),
+        ("graph_jaccard_neighbors", "graph_jaccard_neighbors_capped"),
+        ("dedup_levenshtein_pairs", "dedup_levenshtein_blocked"),
+        ("ann_range_search_radius", "ann_range_search_cells"),
+    ]:
+        assert tagged not in names, tagged
+        assert twin in names, twin
     # tagged queries stay registered and oracle-checked
     for n in registry.DIAGNOSTIC:
         assert n in registry.QUERIES and n in registry.ORACLE

@@ -355,7 +355,7 @@ _COMMON_NEIGHBOR_SQL = """
 """
 
 
-@register("graph_common_neighbors", oracle=_COMMON_NEIGHBOR_SQL)
+@register("graph_common_neighbors", oracle=_COMMON_NEIGHBOR_SQL, diagnostic=True)
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction: the top-20 vertex pairs sharing
     the most neighbors, flagged with whether the edge already exists —
@@ -369,7 +369,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale law as triangle counting: the self-join emits Σ deg(v)²
     rows — at production scale cap or sample hub vertices' adjacency
     (the deg² term is entirely theirs) before the join; every join here
-    is a plain equi-join on vertex ids."""
+    is a plain equi-join on vertex ids.
+
+    DIAGNOSTIC (registry-tagged, r12): the synthetic dst domain is FIXED
+    at 1,500 nodes, so degrees grow ∝ n and the uncapped wedge join is the
+    registry's single worst scaler — the r11 sf1 gate measured 129.8× wall
+    at 10× data (3.4 s → 447 s, output fixed at 20 rows). The production
+    operator is `graph_common_neighbors_capped` below (the deg ≤ 64
+    middle-vertex prune this docstring used to only gesture at, exactly
+    the graph_adamic_adar_capped recipe); this form stays as the measured
+    A/B baseline and is excluded from the large-SF gates."""
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     raw = orders.select(
         F.col("o_custkey").alias("src"),
@@ -804,6 +813,112 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").isNotNull().alias("already_linked"),
         )
         .orderBy(F.col("aa_micro").desc(), "x", "y")
+        .limit(20)
+    )
+
+
+_COMMON_NEIGHBOR_CAPPED_SQL = f"""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * 7) % 1500 + 1 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), mid AS (
+      SELECT u FROM und GROUP BY u
+      HAVING COUNT(*) BETWEEN 2 AND {_HUB_CAP}
+    ), pairs AS (
+      SELECT n1.v AS x, n2.v AS y, COUNT(*) AS common_neighbors
+      FROM und n1
+      JOIN mid m ON m.u = n1.u
+      JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v
+      GROUP BY n1.v, n2.v
+    )
+    SELECT p.x, p.y, p.common_neighbors,
+           (e.a IS NOT NULL) AS already_linked
+    FROM pairs p LEFT JOIN edges e ON e.a = p.x AND e.b = p.y
+    ORDER BY p.common_neighbors DESC, p.x, p.y
+    LIMIT 20
+"""
+
+
+@register("graph_common_neighbors_capped", oracle=_COMMON_NEIGHBOR_CAPPED_SQL)
+def graph_common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped common-neighbor link prediction (r12) — the production
+    twin of the diagnostic `graph_common_neighbors`, closing the r11 sf1
+    gate's worst finding (129.8× wall at 10× data). Wedge enumeration
+    costs Σ_z deg(z)² over MIDDLE vertices, and with the synthetic dst
+    domain fixed at 1,500 nodes the degrees grow with the data — so, the
+    graph_adamic_adar_capped recipe verbatim: EXCLUDE middle vertices with
+    deg > 64 (_HUB_CAP) from wedge enumeration BEFORE the self-join. A
+    shared neighbor linked to everyone is weak link-prediction evidence
+    (every pair shares it) but deg² ≈ all of the cost, so the cap trades
+    negligible signal for the removal of the quadratic term: remaining
+    wedges ≤ cap·|E|, linear in edges. The hub filter joins n1 to the
+    capped-degree vertex set FIRST so hub adjacency rows never reach the
+    pair self-join (plan-visible pruning, not a post-filter). Capping
+    changes semantics (pairs whose only witnesses are hubs drop out, and
+    hub-witnessed counts shrink) — that is the point, and the DuckDB
+    oracle applies the identical cap so the trade is value-checked.
+    Middle vertices need deg ≥ 2 to witness a wedge, so the BETWEEN lower
+    bound prunes leaves for free without changing any output."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 7) % 1500 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mid = (
+        und.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= _HUB_CAP))
+        .select(F.col("u").alias("mid"))
+    )
+    # hub pruning BEFORE the self-join: only adjacency rows whose middle
+    # vertex survives the cap enter the wedge expansion
+    n1 = (
+        und.alias("n1")
+        .join(mid, F.col("n1.u") == F.col("mid"))
+        .select(F.col("n1.u").alias("mu"), F.col("n1.v").alias("mv"))
+    )
+    n2 = und.alias("n2")
+    pairs = (
+        n1.join(
+            n2,
+            (F.col("mu") == F.col("n2.u")) & (F.col("mv") < F.col("n2.v")),
+        )
+        .groupBy(F.col("mv").alias("x"), F.col("n2.v").alias("y"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    return (
+        pairs.join(
+            edges,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        )
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            F.col("a").isNotNull().alias("already_linked"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "x", "y")
         .limit(20)
     )
 

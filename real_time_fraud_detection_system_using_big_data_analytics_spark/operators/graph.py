@@ -70,14 +70,23 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed.select(both.alias("e")).select("e.*")
 
 
+# AS MATERIALIZED (r12): DuckDB inlines CTEs by default, so every oracle
+# that references `edges` k times re-derived the lineitem⋈orders aggregate
+# k times — and the unrolled-round oracles below (k-core, pagerank, LPA)
+# reference their per-round CTEs multiply, compounding the re-evaluation
+# exponentially with rounds. The r11 sf1 gate read graph_k_core_peel at
+# 24.6× and graph_pagerank_bipartite at 19.5× wall for 10× data; splitting
+# engines showed Spark at 1.7×/1.9× (linear — the persisted edge list does
+# its job) and DuckDB at 121×/21×. Materializing pins each CTE to one
+# evaluation: k-core's oracle 332 s → 11 s at sf1, both now ~10× at 10×.
 _EDGES_SQL = """
-    edges0 AS (
+    edges0 AS MATERIALIZED (
       SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS src,
              'S' || CAST(l.l_suppkey AS VARCHAR) AS dst,
              COUNT(*) AS w
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT src, dst, w FROM edges0
       UNION ALL
       SELECT dst AS src, src AS dst, w FROM edges0
@@ -87,7 +96,7 @@ _EDGES_SQL = """
 
 def _iteration_sql(prev: str, this: str) -> str:
     return f"""
-    {this} AS (
+    {this} AS MATERIALIZED (
       SELECT nd.node,
              0.15 / MAX(n.n_nodes)
                + 0.85 * COALESCE(SUM(r.rank * e.w / ow.wout), 0) AS rank
@@ -103,10 +112,10 @@ _PAGERANK_SQL = (
     "WITH "
     + _EDGES_SQL
     + """
-    , nodes AS (SELECT DISTINCT src AS node FROM edges)
-    , outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src)
-    , n AS (SELECT COUNT(*) AS n_nodes FROM nodes)
-    , r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN n)
+    , nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)
+    , outw AS MATERIALIZED (SELECT src, SUM(w) AS wout FROM edges GROUP BY src)
+    , n AS MATERIALIZED (SELECT COUNT(*) AS n_nodes FROM nodes)
+    , r0 AS MATERIALIZED (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN n)
     """
     + "".join("," + _iteration_sql(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
     + f"""
@@ -434,12 +443,15 @@ def _kcore_oracle() -> str:
         "WITH "
         + _EDGES_SQL.strip()
         + """
-    , n0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    , n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)"""
     )
     prev = "n0"
+    # MATERIALIZED is load-bearing here: n_{i} references n_{i-1} TWICE
+    # (the a and b sides), so inlined CTEs re-evaluate the whole peel
+    # chain 2^rounds times — the r11 sf1 oracle wall (see _EDGES_SQL note)
     for i in range(1, _KCORE_ROUNDS + 1):
         sql += f"""
-    , n{i} AS (
+    , n{i} AS MATERIALIZED (
         SELECT e.src AS node
         FROM edges e
         JOIN {prev} a ON a.node = e.src
@@ -497,11 +509,11 @@ def graph_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lpa_iter_sql(prev: str, this: str) -> str:
     return f"""
-    {this}_wt AS (
+    {this}_wt AS MATERIALIZED (
       SELECT e.dst AS node, l.label, SUM(e.w) AS wt
       FROM edges e JOIN {prev} l ON l.node = e.src
       GROUP BY 1, 2
-    ), {this} AS (
+    ), {this} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT node, label,
                ROW_NUMBER() OVER (PARTITION BY node
@@ -1425,9 +1437,12 @@ def _shortest_path_oracle() -> str:
     )"""
     prev = "d0"
     steps = []
+    # MATERIALIZED: d_{i} references d_{i-1} twice (both UNION branches) —
+    # inlined CTEs would re-relax the whole chain 2^rounds times (see the
+    # _EDGES_SQL note on the r11 sf1 oracle walls)
     for i in range(1, _SP_ROUNDS + 1):
         steps.append(f"""
-    , d{i} AS (
+    , d{i} AS MATERIALIZED (
       SELECT node, MIN(dist) AS dist FROM (
         SELECT node, dist FROM {prev}
         UNION ALL

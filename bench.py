@@ -199,6 +199,8 @@ HEADLINE = [
     "window_anomaly_zscore",
     "join_bloom_filter_pruned",
     "graph_label_propagation",
+    "graph_common_neighbors_capped",
+    "dedup_embedding_cosine_cells",
     "ann_mmr_diversified_topk",
     "udf_holt_linear_stateful",
     "text_rake_keywords",

@@ -1602,8 +1602,13 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     (doc_id, gram) — within-doc counts, cardinality bounded by corpus
     tokens); the dup coverage dedups (doc_id, position) pairs, at most
     one row per corpus token; nothing global, no broadcast, no float.
-    Determinism: the top gram ties break lexicographically; all outputs
-    BIGINT."""
+    Determinism: count-tied top grams break on the 16-hex md5-prefix key
+    (the same key that carries grams through the exchange) — arbitrary
+    with respect to gram VALUES but deterministic and engine-identical,
+    which is all the oracle comparison needs; with count-tied grams of
+    unequal length, top{n}_chars is therefore hash-order-determined (r12
+    ADVICE: this docstring used to claim a lexicographic tie-break). All
+    outputs BIGINT."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     docs = fan_out(d).select("doc_id", F.split("text", " ").alias("ws"))
     total = docs.select(

@@ -285,6 +285,43 @@ def read_ocf(data: bytes) -> tuple[dict, list[list]]:
     return schema, cols
 
 
+def _read_file_header(fh) -> tuple[dict, bytes, int]:
+    """Header parse that survives metadata/schema larger than the initial
+    window (r12 ADVICE): start at 64 KiB and DOUBLE the read until
+    _read_header consumes the header fully inside the buffer. A foreign
+    producer's OCF with >64 KiB of metadata used to surface as an opaque
+    IndexError from zigzag_decode (or worse, a silently short sync slice)
+    in every split; now it either parses or names the real problem."""
+    size = 64 * 1024
+    while True:
+        fh.seek(0)
+        head = fh.read(size)
+        at_eof = len(head) < size
+        try:
+            schema, sync, body_start = _read_header(memoryview(head))
+        except NotImplementedError:
+            raise  # codec gate — not a truncation
+        except (IndexError, ValueError) as exc:
+            if isinstance(exc, ValueError) and "bad magic" in str(exc):
+                raise
+            if at_eof:
+                raise ValueError(
+                    f"truncated or corrupt Avro header in "
+                    f"{getattr(fh, 'name', '<stream>')}"
+                ) from exc
+            size *= 2
+            continue
+        # a truncated buffer can also FAKE success: memoryview slicing past
+        # the end silently shortens, so verify the header really fit
+        if body_start <= len(head) and len(sync) == 16:
+            return schema, sync, body_start
+        if at_eof:
+            raise ValueError(
+                f"truncated Avro header in {getattr(fh, 'name', '<stream>')}"
+            )
+        size *= 2
+
+
 def sync_seek(fh, sync: bytes, start: int) -> int | None:
     """Byte offset just PAST the first sync-marker occurrence beginning at
     file offset >= start, or None if no marker follows — the resync scan
@@ -324,8 +361,7 @@ def read_ocf_range(path: str, start: int, end: int) -> tuple[dict, list[list]]:
 
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
-        head = fh.read(64 * 1024)
-        schema, sync, body_start = _read_header(memoryview(head))
+        schema, sync, body_start = _read_file_header(fh)
         kinds = _field_kinds(schema)
         cols: list[list] = [[] for _ in kinds]
         if start == 0:
@@ -428,8 +464,7 @@ class AvroOCFDataSource(DataSource):
         if not parts:
             raise FileNotFoundError(f"no part-*.avro under {path}")
         with open(os.path.join(path, parts[0]), "rb") as fh:
-            head = fh.read(64 * 1024)  # header fits well within 64 KiB
-        schema = read_ocf_schema(head)
+            schema, _, _ = _read_file_header(fh)
         return ", ".join(
             f"{name} {_KIND_TO_DDL[kind]}" for name, kind in _field_kinds(schema)
         )

@@ -50,7 +50,13 @@ SKIP_PREFIXES = (
 # Spark-side alone would still trip it).
 WALL_BOUND_SEC = 5.0
 ORACLE_WALL_BOUND_SEC = 12.0
-SLOPE_BOUND = 4.0
+# slope5 reads ~5 at 5x data for a genuinely LINEAR query (SCALING.md);
+# the bound must sit above that or a healthy linear lambda-filter query
+# gets classified out-of-band (r12 ADVICE — the old 4.0 only worked
+# because every twin read under it on fixed-overhead dominance). 7.0
+# leaves linear+noise in-band while still catching the quadratics
+# (13.9-26.5 at 5x).
+SLOPE_BOUND = 7.0
 
 # a line that STARTS a new plan node: optional tree-drawing prefix
 # (": ", "|  ", spaces) then a branch marker "+- " / ":- ", or the

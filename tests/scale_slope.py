@@ -69,6 +69,12 @@ QUERIES = [
     "ann_range_search_recall",
     "ann_binary_hamming_rerank",
     "text_gopher_repetition_signals",
+    "graph_common_neighbors",
+    "graph_common_neighbors_capped",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_cells",
+    "ann_mmr_diversified_topk",
+    "graph_k_core_peel",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -98,6 +104,12 @@ EXPECTED = {
     "ann_range_search_recall": "linear: ≤64 broadcast anchors × one corpus scan",
     "ann_binary_hamming_rerank": "linear: map-only 8-byte signatures, bounded query broadcast, 10×Q shortlist",
     "text_gopher_repetition_signals": "linear in corpus tokens: doc-local gram counts for five n sizes",
+    "graph_common_neighbors": "Σdeg² wedge law — quadratic on the fixed-1500-dst domain (r11 sf1 gate: 129.8× at 10×); diagnostic, see capped twin",
+    "graph_common_neighbors_capped": "≤ cap·|E| wedges: deg≤64 middle-vertex prune before the self-join (the adamic_adar_capped recipe)",
+    "dedup_embedding_cosine": "quadratic by construction (all-pairs over the 20% subset); diagnostic, see cells twin",
+    "dedup_embedding_cosine_cells": "~linear: corpus-scaled sign-bit cells, Σ|cell|² ≈ n·target_cell (same law as dedup_semdedup)",
+    "ann_mmr_diversified_topk": "linear: ≤64 broadcast queries × one corpus scan for the shortlist; MMR unroll is O(Q) rows",
+    "graph_k_core_peel": "~linear in edges: persisted edge list, one degree aggregate per round (r11 sf1 superlinearity was the DuckDB oracle's inlined CTEs, fixed via AS MATERIALIZED)",
 }
 
 

@@ -241,3 +241,79 @@ def test_spark_multisplit_single_file_hash_equal(spark, tmp_path):
     a = sorted(map(tuple, whole.collect()))
     b = sorted(map(tuple, split.collect()))
     assert a == b and len(a) == 2000
+
+
+def _big_meta_file(tmp_path, pad_len):
+    """Foreign-producer OCF: identical blocks to write_ocf's output but a
+    header padded past the reader's initial 64 KiB window with an extra
+    metadata entry (the Avro spec allows arbitrary meta keys)."""
+    import hashlib
+    import io
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+        _read_header,
+        encode_bytes,
+    )
+
+    sch = avro_schema_for([("i", "bigint"), ("s", "string")])
+    cols = [list(range(300)), [f"row-{i:06d}" for i in range(300)]]
+    body = write_ocf(sch, cols, 300, block_rows=29)
+    _, _, body_start = _read_header(memoryview(body))
+    schema_json = json.dumps(sch, separators=(",", ":"))
+    out = io.BytesIO()
+    out.write(MAGIC)
+    out.write(zigzag_encode(3))
+    out.write(encode_string("avro.schema"))
+    out.write(encode_bytes(schema_json.encode()))
+    out.write(encode_string("avro.codec"))
+    out.write(encode_bytes(b"null"))
+    out.write(encode_string("x.pad"))
+    out.write(encode_bytes(b"x" * pad_len))
+    out.write(zigzag_encode(0))
+    out.write(hashlib.md5(schema_json.encode()).digest())  # write_ocf's sync
+    out.write(body[body_start:])
+    p = tmp_path / "part-00000.avro"
+    p.write_bytes(out.getvalue())
+    return str(p), cols
+
+
+def test_header_larger_than_initial_window(tmp_path):
+    """r12 ADVICE: a header exceeding the 64 KiB first read used to raise
+    an opaque IndexError in every split; _read_file_header now grows the
+    window until the header parses, and range reads still see every row."""
+    import os
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+        _read_file_header,
+        read_ocf_range,
+    )
+
+    path, cols = _big_meta_file(tmp_path, pad_len=200 * 1024)
+    with open(path, "rb") as fh:
+        schema, sync, body_start = _read_file_header(fh)
+    assert [f["name"] for f in schema["fields"]] == ["i", "s"]
+    assert len(sync) == 16 and body_start > 200 * 1024
+    size = os.path.getsize(path)
+    got = [[], []]
+    for start in range(0, size, 4096):
+        _, part = read_ocf_range(path, start, min(start + 4096, size))
+        got[0] += part[0]
+        got[1] += part[1]
+    assert sorted(got[0]) == cols[0]
+    assert sorted(got[1]) == sorted(cols[1])
+
+
+def test_truncated_header_raises_clear_error(tmp_path):
+    """A file cut inside its own header must name the problem, not fake a
+    short sync slice or bubble an IndexError."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.avro_ocf import (
+        _read_file_header,
+    )
+
+    path, _ = _big_meta_file(tmp_path, pad_len=200 * 1024)
+    data = open(path, "rb").read()
+    cut = tmp_path / "part-00001.avro"
+    cut.write_bytes(data[: 80 * 1024])  # inside the padded metadata
+    with pytest.raises(ValueError, match="truncated or corrupt Avro header"):
+        with open(cut, "rb") as fh:
+            _read_file_header(fh)

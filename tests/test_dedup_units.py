@@ -198,14 +198,17 @@ def test_levenshtein_blocked_equals_quadratic(spark):
 
 def test_gopher_repetition_signals_exact(spark, tmp_path):
     """Pin the repetition-signal semantics on manufactured docs: a known
-    most-frequent n-gram (lexicographic tie-break), a known duplicate-5gram
-    POSITION UNION (overlapping windows count each char once), and a clean
-    doc that passes every threshold."""
+    most-frequent n-gram (count-tied grams break on the md5-prefix hash key
+    — deterministic and engine-identical, NOT lexicographic; r12 ADVICE),
+    a known duplicate-5gram POSITION UNION (overlapping windows count each
+    char once), and a clean doc that passes every threshold."""
     from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import registry
 
     registry.load_all()
-    # doc 0: 16 single-char tokens. top-2gram = 'a b' (count 3, lexicographic
-    # min of the 3-way tie) -> 6 chars of 16. dup-5grams: windows at 7/10
+    # doc 0: 16 single-char tokens. top-2gram: 3-way count tie ('a b',
+    # 'c d', 'd e', count 3 each) broken by md5-prefix hash order — but all
+    # three span 2 token-chars, so top2_chars = 3*2 is tie-invariant
+    # -> 6 chars of 16. dup-5grams: windows at 7/10
     # ('c d e c d') and 8/11 ('d e c d e') -> covered positions 7..15 = 9
     # chars. No duplicate 10-gram.
     doc0 = "a b a b a b c d e c d e c d e x"

@@ -197,31 +197,34 @@ _SWEEP_EXCLUDE_PREFIXES = (
 
 def test_diagnostic_tag_excludes_from_bench_headline():
     """The measured scale-killers are registry-tagged DIAGNOSTIC (kept as
-    A/B baselines): the two uncapped wedge joins (r10; SCALING.md slope5
-    22.9 / 15.1 vs their capped twins' 1.22 / 2.01) and, since r11, the
-    fixed-block levenshtein (26.5x wall at 5x data) and the exact radius
-    self-join (slope5 13.9). The bench headline set must contain each
-    production twin and never the tagged forms."""
+    A/B baselines): the three uncapped wedge joins (SCALING.md slope5 22.9
+    / 15.1 / r11-sf1 129.8x vs their capped twins), the fixed-block
+    levenshtein (26.5x wall at 5x data), the exact radius self-join
+    (slope5 13.9), and the all-pairs cosine dedup (r11-sf1 50.5x). The
+    bench headline set must contain each production twin and never the
+    tagged forms — asserted against bench.HEADLINE itself (not the
+    DIAGNOSTIC-filtered view, which made the check vacuous; r12 ADVICE)."""
     import bench
 
     assert registry.DIAGNOSTIC == {
         "graph_adamic_adar",
         "graph_jaccard_neighbors",
+        "graph_common_neighbors",
         "dedup_levenshtein_pairs",
+        "dedup_embedding_cosine",
         "ann_range_search_radius",
     }
-    names = [
-        n for n in bench.HEADLINE
-        if n in registry.QUERIES and n not in registry.DIAGNOSTIC
-    ]
     for tagged, twin in [
         ("graph_adamic_adar", "graph_adamic_adar_capped"),
         ("graph_jaccard_neighbors", "graph_jaccard_neighbors_capped"),
+        ("graph_common_neighbors", "graph_common_neighbors_capped"),
         ("dedup_levenshtein_pairs", "dedup_levenshtein_blocked"),
+        ("dedup_embedding_cosine", "dedup_embedding_cosine_cells"),
         ("ann_range_search_radius", "ann_range_search_cells"),
     ]:
-        assert tagged not in names, tagged
-        assert twin in names, twin
+        assert tagged not in bench.HEADLINE, tagged
+        assert twin in bench.HEADLINE, twin
+        assert twin in registry.QUERIES, twin
     # tagged queries stay registered and oracle-checked
     for n in registry.DIAGNOSTIC:
         assert n in registry.QUERIES and n in registry.ORACLE

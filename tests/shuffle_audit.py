@@ -80,6 +80,16 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     "graph_adamic_adar": None,
     "graph_adamic_adar_capped": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
     "graph_pagerank_bipartite": ("shuffle_write < 60 MB", "m['shuffle_write_mb'] < 60"),
+    # r12 twins: common-neighbors shares adamic-adar's wedge law (no weight
+    # column, so the capped shuffle is a strict subset of adamic's); the
+    # cell-blocked cosine dedup mirrors semdedup's in-cell pair law.
+    "graph_common_neighbors": None,
+    "graph_common_neighbors_capped": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
+    "dedup_embedding_cosine_cells": ("in-cell pairs: shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
+    # r12 (verdict task 6): the c20c103 nearest-rank winsorize rewrite cost
+    # +34% wall at sf0.1 — budget stamped so the byte cost is pinned and
+    # the next band comparison doesn't re-derive it from wall noise.
+    "feature_winsorize": ("nearest-rank order stats: shuffle_write < 6 MB", "m['shuffle_write_mb'] < 6"),
     # text/curation: token pipelines shuffle doc-keyed integer counters and
     # (df pass) token/bigram keys — bounded by token cardinality, not text.
     "text_gopher_quality_rules": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
@@ -139,6 +149,11 @@ AUDIT: dict[str, tuple[str, str] | None] = {
 # cross-query invariants evaluated after all runs: (label, expr over R,
 # the {query: metrics} dict).
 CROSS: list[tuple[str, str]] = [
+    (
+        "hub cap pays: capped common-neighbors shuffles <1/5 of uncapped",
+        "R['graph_common_neighbors_capped']['shuffle_write_mb']"
+        " < R['graph_common_neighbors']['shuffle_write_mb'] / 5",
+    ),
     (
         "hub cap pays: capped adamic-adar shuffles <1/5 of uncapped",
         "R['graph_adamic_adar_capped']['shuffle_write_mb']"

@@ -667,7 +667,7 @@ _MAXABS_SQL = "list_max(list_transform({a}, y -> abs(CAST(y AS DOUBLE))))"
     ),
     queries AS (
       SELECT vec_id AS q_id, embedding AS q_emb, q8 AS q_q8
-      FROM base WHERE vec_id % 100 = 0
+      FROM base WHERE vec_id % 100 = 0 AND vec_id < {100 * _BF_QMAX}
     ),
     coarse AS (
       SELECT q.q_id, b.vec_id, q.q_emb, b.embedding,
@@ -706,7 +706,14 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized arrays through the pair join and its top-k shuffle — the
     candidate list is (q_id, vec_id) — and the rerank re-fetches full
     vectors by id (broadcast the tiny candidate set against the corpus;
-    the corpus side is a ReusedExchange of the same fan-out shuffle)."""
+    the corpus side is a ReusedExchange of the same fan-out shuffle).
+
+    The query set carries the _BF_QMAX bound (≤64 queries at ANY corpus
+    size, r12): the previously-unbounded %100 predicate made Q ∝ n, so the
+    coarse pass was n²/100 quantized dots and the query broadcast itself
+    grew with the corpus — the same disease ann_bruteforce_topk documented
+    and ann_mmr_diversified_topk just re-caught at the sf1 gate (10.3×
+    wall at 10× data here). Bounded, both passes are one linear scan."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     max_abs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
@@ -722,7 +729,9 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = fan_out(scaled.select("vec_id", "embedding", q8.alias("q8")))
     coarse_side = base.select("vec_id", "q8", _norm("q8").alias("q8_norm"))
-    coarse_queries = coarse_side.filter(F.col("vec_id") % 100 == 0).select(
+    coarse_queries = coarse_side.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("q8").alias("q_q8"),
         F.col("q8_norm").alias("q_q8_norm"),
@@ -738,7 +747,9 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     full = base.select("vec_id", "embedding", _norm("embedding").alias("e_norm"))
-    q_full = full.filter(F.col("vec_id") % 100 == 0).select(
+    q_full = full.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("e_norm").alias("q_norm"),
@@ -1577,7 +1588,7 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH queries AS (
       SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-      FROM embeddings WHERE vec_id % 100 = 0
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {100 * _BF_QMAX}
     ),
     scored AS (
       SELECT q.q_id, e.vec_id, e.label,
@@ -1607,12 +1618,19 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At IVF scale the same shape holds: the label predicate prunes cells
     (or rides partition pruning on a label-partitioned index, as in
-    ann_ivf_persisted_probe) before any distance is computed."""
+    ann_ivf_persisted_probe) before any distance is computed.
+
+    Query set bounded by the _BF_QMAX recipe (≤64 queries, r12): with the
+    label count FIXED (~8), Q ∝ n made even the label-restricted scoring
+    n²/800 and grew the query broadcast with the corpus — the
+    ann_bruteforce_topk disease in its filtered form."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     corpus = fan_out(e).select(
         "vec_id", "label", "embedding", _norm("embedding").alias("e_norm")
     )
-    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),

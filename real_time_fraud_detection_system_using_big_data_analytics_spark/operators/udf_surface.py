@@ -55,7 +55,8 @@ def _cosine_pandas_udf():
     "udf_pandas_cosine",
     oracle="""
     WITH sub AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 20 = 0 AND vec_id < 1280
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            (FLOOR((list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -70,12 +71,17 @@ def _cosine_pandas_udf():
 )
 def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar pandas_udf computing pairwise cosine on a
-    5% vector subset — oracle-checked against the pure-SQL formulation to
+    BOUNDED vector subset (vec_id % 20 == 0 AND vec_id < 1280 — ≤64
+    vectors / ≤2016 pairs at ANY corpus size, the _BF_QMAX recipe; the
+    unbounded 5% subset made this demo's pair join n²/400, 10.4× wall at
+    the r11 sf1 gate) — oracle-checked against the pure-SQL formulation to
     prove the Python boundary preserves values bit-for-bit. This is the
     DEMO of the API; the production cosine operators in
     operators/similarity.py stay JVM-side (10-100× less overhead)."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    sub = fan_out(e.filter(F.col("vec_id") % 20 == 0)).select("vec_id", "embedding")
+    sub = fan_out(
+        e.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 1280))
+    ).select("vec_id", "embedding")
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cosine = _cosine_pandas_udf()

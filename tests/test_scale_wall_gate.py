@@ -45,6 +45,18 @@ MIN_SF1_SEC = 10.0
 # and deliberate. Every entry must point at evidence (docstring, SCALING.md,
 # or a BENCH_NOTES paragraph).
 ATTRIBUTED: dict[str, str] = {
+    "ann_mllib_brp_lsh": (
+        "PLATEAU, not a scale law: the audit input is the FIXED"
+        " 10k-vector prefix (_BRP_AUDIT_MAX_VEC, similarity.py), so the"
+        " wall is SF-invariant above sf0.5 — measured 258.7 s at sf0.5"
+        " (ORACLE_SF05_r10) vs 225.6/238.0 s at sf1 (ORACLE_SF1_r11/r12)."
+        " The ~18x step vs sf0.1 is gen_sf's synthetic embeddings being"
+        " far denser at the distance threshold than the real sf0.1 data"
+        " (~205k truth pairs in the generated 10k prefix vs 2.3k real;"
+        " the _BRP_AUDIT_MAX_VEC comment documents the density series),"
+        " which multiplies the LSH pair output and the audit joins once"
+        " and then stays flat."
+    ),
     "dedup_levenshtein_blocked": (
         "gen_sf.py replicates customer names VERBATIM (FK-preserving), so at"
         " mult=10 every name has 10 copies and the TRUE near-dup pair output"

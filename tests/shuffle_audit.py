@@ -85,11 +85,11 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     # cell-blocked cosine dedup mirrors semdedup's in-cell pair law.
     "graph_common_neighbors": None,
     "graph_common_neighbors_capped": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),
-    "dedup_embedding_cosine_cells": ("in-cell pairs: shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
+    "dedup_embedding_cosine_cells": ("in-cell pairs: shuffle_write < 1 MB", "m['shuffle_write_mb'] < 1"),
     # r12 (verdict task 6): the c20c103 nearest-rank winsorize rewrite cost
     # +34% wall at sf0.1 — budget stamped so the byte cost is pinned and
     # the next band comparison doesn't re-derive it from wall noise.
-    "feature_winsorize": ("nearest-rank order stats: shuffle_write < 6 MB", "m['shuffle_write_mb'] < 6"),
+    "feature_winsorize": ("nearest-rank order stats: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
     # text/curation: token pipelines shuffle doc-keyed integer counters and
     # (df pass) token/bigram keys — bounded by token cardinality, not text.
     "text_gopher_quality_rules": ("shuffle_write < 16 MB", "m['shuffle_write_mb'] < 16"),

@@ -125,6 +125,40 @@ def test_sf1_wall_ratios_attributed() -> None:
     )
 
 
+def test_sf1_spark_wall_ratios_attributed() -> None:
+    """Spark-ONLY twin of the gate above, over tests/spark_wall.py's
+    artifact (noop sink, no oracle, no compare, cold-plan convention) —
+    the cleaner signal: an oracle-side cost (the r12 DuckDB CTE-inlining
+    finding) cannot masquerade as an engine scale problem here, and an
+    engine regression cannot hide behind a fast oracle."""
+    sw = ROOT / "SPARKWALL.json"
+    if not sw.exists():
+        pytest.skip("SPARKWALL.json not present")
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import (
+        registry,
+    )
+
+    registry.load_all()
+    data = json.loads(sw.read_text())["queries"]
+    offenders = []
+    for name, rec in data.items():
+        ratio, sf1 = rec.get("ratio"), rec.get("sf1")
+        if ratio is None or sf1 is None or sf1 < MIN_SF1_SEC:
+            continue
+        if name in registry.DIAGNOSTIC or name in ATTRIBUTED:
+            continue
+        if ratio > WALL_RATIO_BOUND:
+            offenders.append(
+                f"{name}: {rec.get('sf01')}s -> {sf1}s = {ratio}x (Spark-only)"
+            )
+    assert not offenders, (
+        "Spark-side superlinear sf1 walls:\n  " + "\n  ".join(offenders)
+    )
+    errs = {n: r["err"] for n, r in data.items() if r.get("err")}
+    assert not errs, f"spark_wall errors: {errs}"
+
+
 def test_attributed_entries_are_not_stale() -> None:
     """An ATTRIBUTED entry whose query left the registry, or whose sf1
     ratio has fallen well under the bound (half, to leave hysteresis for

@@ -1370,3 +1370,21 @@ def test_binary_hamming_shortlist_partial_limit_below_exchange(spark):
     assert "Exchange hashpartitioning(q_id" in plan[final_pos:partial_pos], plan
     # and the rerank top-3 is two-phase as well
     assert plan.find("row_number(), 3, Final") < plan.find("row_number(), 3, Partial"), plan
+
+
+def test_iterative_rounds_persist_in_plan(spark):
+    """r12 pay-per-round-once law (SCALE.md §Graph): round state referenced
+    more than once must be persist()ed — the physical plan then reads the
+    round from InMemoryTableScan instead of re-deriving the whole chain
+    2^rounds times (k-core measured 13.4 s → 4.8 s at sf0.1 from this
+    alone). Pin the cache nodes so a refactor that drops a persist fails
+    here, not in the next sf1 gate."""
+    for name, min_scans in [
+        ("graph_k_core_peel", 3),          # survivors: src+dst semi-joins x rounds
+        ("graph_shortest_path_bounded", 2),  # frontier: union + relax per round
+        ("graph_hits_hubs_authorities", 3),  # raw MAX + scaled + next round
+    ]:
+        df = registry.QUERIES[name](spark, SF)
+        plan = plan_string(df, mode="simple")
+        n = plan.count("InMemoryTableScan")
+        assert n >= min_scans, f"{name}: {n} InMemoryTableScan nodes\n{plan[:2000]}"

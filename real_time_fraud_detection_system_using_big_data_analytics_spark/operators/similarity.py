@@ -708,8 +708,9 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors by id (broadcast the tiny candidate set against the corpus;
     the corpus side is a ReusedExchange of the same fan-out shuffle).
 
-    The query set carries the _BF_QMAX bound (≤64 queries at ANY corpus
-    size, r12): the previously-unbounded %100 predicate made Q ∝ n, so the
+    The query set carries the _BF_QMAX bound (plateaus at ≤64 queries
+    once the corpus exceeds 6,400 vectors — below that Q still grows with
+    the corpus, r12): the previously-unbounded %100 predicate made Q ∝ n, so the
     coarse pass was n²/100 quantized dots and the query broadcast itself
     grew with the corpus — the same disease ann_bruteforce_topk documented
     and ann_mmr_diversified_topk just re-caught at the sf1 gate (10.3×
@@ -773,13 +774,28 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MLlib-LSH audit constants. The truth side samples pairs with at least one
 # endpoint in the 1-in-20 id sample (the production recall-estimation
-# shape: the sketch is audited on a sample, never all pairs). Thresholds
-# picked where the truth set is selective on this data (all-pairs distances
-# cluster in [0.9, 2.05]); recall bounds sit well under the measured values
-# (BRP 0.953 @sf0.01 / 0.940 @sf0.1; MinHash 0.987 / 0.993).
-_BRP_DIST_T = 1.2          # MLlib threshold (Euclidean)
-_BRP_D2_T = _BRP_DIST_T ** 2
+# shape: the sketch is audited on a sample, never all pairs). Recall
+# bounds sit well under the measured values (BRP ~0.95; MinHash 0.987 /
+# 0.993).
+#
+# The BRP distance threshold is CORPUS-CALIBRATED since r13 (r12 verdict
+# task 1): the fixed _BRP_DIST_T=1.2 the audit carried through r12 was
+# tuned on the real sf0.1 distance distribution, but gen_sf.py's
+# per-label Gaussian embeddings are ~90x denser at that radius (truth
+# pairs: 2.3k real sf0.1 vs 205k in the generated 10k prefix), so the
+# audit's joins and the MLlib pair output exploded at the large-SF gates
+# (~204 s of every sf1 gate run, the registry's only >15x SPARKWALL
+# reading). The threshold is now a RANK statistic of the corpus's own
+# sampled distance distribution — truth-pair DENSITY is pinned instead of
+# the radius, so the audit stays selective (and its cost flat) on any
+# input distribution. Both engines derive the identical threshold from
+# the identical d2 multiset (same left-to-right double fold), so truth
+# membership stays bit-exact; see ann_mllib_brp_lsh's docstring for the
+# boundary analysis.
 _BRP_RECALL_PCT = 85
+_BRP_CAL_MOD = 7       # calibration subset: candidate pairs with o % 7 == 3
+_BRP_CAL_RES = 3
+_BRP_CAL_MILLI = 12    # threshold = max(1, floor(0.012*m))-th smallest cal d2
 _MH_JDIST_T = 0.35         # MLlib threshold (Jaccard distance)
 _MH_RECALL_PCT = 95
 _AUDIT_MOD = 20
@@ -789,36 +805,51 @@ _AUDIT_MOD = 20
 # hash is a table's minimum, all those docs share one bucket, so the
 # bucket self-join expands ~(0.78n)² pairs per table (measured: the
 # unbounded audit ran >45 min at 25k docs). The audit therefore probes a
-# FIXED 5000-doc prefix (the full corpus at sf<=0.1 — small-SF results
-# are unchanged) — honest for an accuracy audit, which needs a sample,
-# not the corpus. The engine's own production minhash
-# (dedup_minhash_lsh_pairs) does not share the degeneracy: it bands
-# signatures over DF-CAPPED shingles, so no bucket exceeds MAX_DOC_FREQ.
-_MH_AUDIT_MAX_DOC = 5000
-# The BRP audit gets the same fixed-prefix bound (r11). Two measured
-# reasons, both from the true-sf1 gate: (a) the MLlib bucket join's wall
-# scales super-linearly with the corpus (13 s → 259 s → 936 s at
-# sf0.1/0.5/1); (b) the gen_sf.py synthetic embeddings are far DENSER
-# than the real driver data at the audit threshold (sampled truth pairs:
-# 2.3k at sf0.1 real, 205k at generated-sf0.5's 10k vectors, 879k at
-# sf1's 20k), and at sf1 the fixed-config (bucketLength 2.0, 3 tables)
-# recall finally slips under the 85% bound. Auditing a FIXED 10k-vector
-# prefix keeps the measurement stable and the cost bounded; results are
-# bit-identical at every SF <= 0.5 (embeddings <= 10k rows there).
-_BRP_AUDIT_MAX_VEC = 10_000
+# FIXED 2500-doc prefix (r13: halved from 5000 — the (0.78n)² bucket
+# expansion makes the halving a ~4x cost cut; r12 measured the 5000-doc
+# audit at 54.9 s solo at sf0.1, the registry's most expensive sf0.1
+# query, and the bound is SF-invariant so every gate paid it) — honest
+# for an accuracy audit, which needs a sample, not the corpus. The
+# engine's own production minhash (dedup_minhash_lsh_pairs) does not
+# share the degeneracy: it bands signatures over DF-CAPPED shingles, so
+# no bucket exceeds MAX_DOC_FREQ.
+_MH_AUDIT_MAX_DOC = 2500
+# The BRP audit gets the same fixed-prefix bound (r11; tightened 10k →
+# 2k in r13). The MLlib bucket join's wall scales super-linearly with the
+# corpus (13 s → 259 s → 936 s at sf0.1/0.5/1 with the 10k prefix and the
+# old fixed threshold): gen_sf's per-label Gaussian vectors collapse into
+# few dense projection buckets, so candidate generation — which depends
+# only on bucketLength, NOT on the distance threshold — grows ~n² there.
+# An accuracy audit needs a sample, not the corpus: 2000 vectors is the
+# FULL corpus at sf <= 0.1 (sf0.1 results are bit-identical to the
+# unbounded form) and a fixed-cost prefix above it, which holds the sf1
+# Spark wall at the sf0.1 level (SPARKWALL ratio ~1 vs the 19.6x the 10k
+# prefix read at r12).
+_BRP_AUDIT_MAX_VEC = 2000
 
 
 @register(
     "ann_mllib_brp_lsh",
     oracle=f"""
+    WITH cand AS MATERIALIZED (
+      SELECT s.vec_id AS s, o.vec_id AS o,
+             {_DOT_SQL.format(a='s.embedding', b='s.embedding')}
+               - 2 * {_DOT_SQL.format(a='s.embedding', b='o.embedding')}
+               + {_DOT_SQL.format(a='o.embedding', b='o.embedding')} AS d2
+      FROM embeddings s JOIN embeddings o ON o.vec_id <> s.vec_id
+      WHERE s.vec_id % {_AUDIT_MOD} = 0
+        AND s.vec_id < {_BRP_AUDIT_MAX_VEC} AND o.vec_id < {_BRP_AUDIT_MAX_VEC}
+    ),
+    thr AS (
+      SELECT MAX(d2) AS t FROM (
+        SELECT d2, ROW_NUMBER() OVER (ORDER BY d2) AS rn,
+               COUNT(*) OVER () AS m
+        FROM cand WHERE o % {_BRP_CAL_MOD} = {_BRP_CAL_RES}
+      ) WHERE rn <= GREATEST(1, (m * {_BRP_CAL_MILLI}) // 1000)
+    )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
            TRUE AS lsh_subset_of_true, TRUE AS recall_ok
-    FROM embeddings s JOIN embeddings o ON o.vec_id <> s.vec_id
-    WHERE s.vec_id % {_AUDIT_MOD} = 0
-      AND s.vec_id < {_BRP_AUDIT_MAX_VEC} AND o.vec_id < {_BRP_AUDIT_MAX_VEC}
-      AND {_DOT_SQL.format(a='s.embedding', b='s.embedding')}
-          - 2 * {_DOT_SQL.format(a='s.embedding', b='o.embedding')}
-          + {_DOT_SQL.format(a='o.embedding', b='o.embedding')} < {_BRP_D2_T}
+    FROM cand, thr WHERE cand.d2 < thr.t
     """,
 )
 def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,38 +860,76 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no SQL twin — every driver round before r6 surfaced it as an `err:
     no_oracle` row; this form makes a sketch regression a value MISMATCH.
 
-    Audit: approxSimilarityJoin (seed 42, 3 hash tables, bucketLength 2.0,
-    threshold {_BRP_DIST_T}) vs the EXACT sampled truth, both restricted
-    to the FIXED {_BRP_AUDIT_MAX_VEC}-vector prefix (the full corpus at
-    every sf <= 0.5; see _BRP_AUDIT_MAX_VEC's comment for the measured
-    sf1 density/wall rationale) — DIRECTED pairs
-    (s, o) with s in the 1-in-{_AUDIT_MOD} id sample, o any other vector,
-    squared Euclidean distance (dot-product form) < {_BRP_D2_T}. The
-    oracle computes d² with the explicit double-cast left-to-right fold
-    (_DOT_SQL) — r11 replaced DuckDB's native list_dot_product after the
-    true-sf1 gate caught it disagreeing with the Spark fold on exactly 2
-    of ~879k sampled pairs (float32-path summation vs the double fold:
-    boundary pairs within rounding noise of the threshold); with the
-    shared fold the d² doubles are bit-identical, so pair membership
-    cannot diverge at ANY margin. The LSH pair set
-    is exploded into the same directed form, so a both-sampled pair
-    counts twice on both sides and recall is well-defined. Emits the
-    truth-pair count (oracle-recomputed), the subset flag (every LSH pair
-    is a true pair — approxSimilarityJoin filters on the actual
-    distance), and recall >= {_BRP_RECALL_PCT}% (measured {{0.953,
-    0.940}} at sf{{0.01, 0.1}}; deterministic under the fixed seed).
+    Audit: approxSimilarityJoin (seed 42, 3 hash tables, bucketLength 2.0)
+    vs the EXACT sampled truth, both restricted to the FIXED
+    {_BRP_AUDIT_MAX_VEC}-vector prefix (the full corpus at sf <= 0.1; see
+    _BRP_AUDIT_MAX_VEC's comment) — DIRECTED pairs (s, o) with s in the
+    1-in-{_AUDIT_MOD} id sample, o any other vector, squared Euclidean
+    distance (dot-product form) below a CORPUS-CALIBRATED threshold
+    (r13): the max(1, floor(0.012·m))-th smallest d² over the calibration
+    subset (candidate pairs with o % {_BRP_CAL_MOD} == {_BRP_CAL_RES},
+    m = its size). Pinning the truth-pair DENSITY (~1.2% of sampled
+    candidates — the density the retired fixed 1.2 radius produced on the
+    real sf0.1 data) instead of the radius keeps the truth set selective
+    and non-vacuous on ANY input distribution; the fixed radius landed on
+    a ~90x-denser region of gen_sf's Gaussian embeddings and blew up the
+    audit joins at the large-SF gates (r12 verdict task 1).
+
+    Cross-engine exactness: both engines compute every candidate d² with
+    the identical explicit double-cast left-to-right fold (_DOT_SQL —
+    r11 replaced DuckDB's native list_dot_product after the true-sf1 gate
+    caught its float32-path summation disagreeing with the Spark fold on
+    2 of ~879k pairs), and both derive the threshold as a rank statistic
+    OF THAT SAME d² multiset — so the threshold doubles are bit-identical
+    by construction and truth membership cannot diverge at ANY margin
+    (ties at the cut rank are value-ties: MAX over rn<=k yields the same
+    double either way). MLlib recomputes distances internally with
+    Vectors.sqdist (a different summation order, ±ulps), so the join
+    threshold passed to approxSimilarityJoin is shaved by 1e-9 relative —
+    the calibration pair that DEFINES the cut (our-fold d² == threshold
+    exactly, excluded from truth by the strict <) then cannot leak into
+    the LSH pair set through ulp noise, preserving the subset flag; the
+    shave can only drop truth pairs within 1e-9 relative of the cut from
+    the LSH side, which costs at most recall noise (bound margin ~9
+    points). The LSH pair set is exploded into the same directed form, so
+    a both-sampled pair counts twice on both sides and recall is
+    well-defined. Emits the truth-pair count (oracle-recomputed), the
+    subset flag (every LSH pair is a true pair), and recall >=
+    {_BRP_RECALL_PCT}% (deterministic under the fixed seed).
 
     Scale: the LSH join is bucket-wise (never all-pairs); the exact side
     is broadcast(sample) × corpus — the estimate-on-a-sample shape
     production recall audits use (and the shape that lets the sample
     predicate push to a scan, which an OR-over-both-endpoints filter
-    under a cross join cannot)."""
+    under a cross join cannot). The candidate relation is computed once
+    (persisted) and feeds calibration, truth, and recall."""
+    import math
+
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"].filter(
         F.col("vec_id") < _BRP_AUDIT_MAX_VEC
     )
+    sample = e.filter(F.col("vec_id") % _AUDIT_MOD == 0).select(
+        F.col("vec_id").alias("s"), F.col("embedding").alias("emb_s")
+    )
+    corpus = e.select(F.col("vec_id").alias("o"), F.col("embedding").alias("emb_o"))
+    d2 = (
+        _dot("emb_s", "emb_s") - 2 * _dot("emb_s", "emb_o") + _dot("emb_o", "emb_o")
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(sample))
+        .filter(F.col("o") != F.col("s"))
+        .select("s", "o", d2.alias("d2"))
+        .persist()
+    )
+    cal = cand.filter(F.col("o") % _BRP_CAL_MOD == _BRP_CAL_RES)
+    m = cal.count()
+    k = max(1, (m * _BRP_CAL_MILLI) // 1000)
+    thr_d2 = cal.orderBy("d2").limit(k).agg(F.max("d2").alias("t")).first()["t"]
+    truth = cand.filter(F.col("d2") < F.lit(thr_d2)).select("s", "o")
+
     vecs = fan_out(e).select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
@@ -868,7 +937,11 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, _BRP_DIST_T, distCol="euclidean")
+    # 1e-9 relative shave: keeps the cut-defining calibration pair (and
+    # only ulp-margin pairs) out of the MLlib join — see docstring
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, math.sqrt(thr_d2) * (1 - 1e-9), distCol="euclidean"
+    )
     # undirected MLlib pairs -> directed (s sampled, o other): explode both
     # orientations, keep those whose left end is in the sample
     undirected = pairs.filter(
@@ -888,23 +961,10 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.s", "p.o")
         .filter(F.col("s") % _AUDIT_MOD == 0)
     )
-    sample = e.filter(F.col("vec_id") % _AUDIT_MOD == 0).select(
-        F.col("vec_id").alias("s"), F.col("embedding").alias("emb_s")
-    )
-    corpus = e.select(F.col("vec_id").alias("o"), F.col("embedding").alias("emb_o"))
-    d2 = (
-        _dot("emb_s", "emb_s") - 2 * _dot("emb_s", "emb_o") + _dot("emb_o", "emb_o")
-    )
-    truth = (
-        corpus.crossJoin(F.broadcast(sample))
-        .filter(F.col("o") != F.col("s"))
-        .withColumn("d2", d2)
-        .filter(F.col("d2") < _BRP_D2_T)
-        .select("s", "o")
-    )
     t_cnt = truth.count()
     l_cnt = lshp.count()
     hit_cnt = truth.join(lshp, ["s", "o"]).count()
+    cand.unpersist()
     return spark.createDataFrame(
         [(t_cnt, hit_cnt == l_cnt, hit_cnt * 100 >= t_cnt * _BRP_RECALL_PCT)],
         "n_true_pairs bigint, lsh_subset_of_true boolean, recall_ok boolean",
@@ -949,8 +1009,9 @@ def ann_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the 1-in-{_AUDIT_MOD} id sample. Truth uses integer cross-
     multiplication (i·100 > u·65) so both engines count the identical
     pair set — no float boundary. Emits the truth-pair count (oracle-
-    recomputed) and recall >= {_MH_RECALL_PCT}% (measured {{0.987,
-    0.993}} at sf{{0.01, 0.1}}; deterministic under the fixed seed).
+    recomputed) and recall >= {_MH_RECALL_PCT}% (re-measured on the
+    r13 2500-doc prefix: {{0.9875,
+    0.9935}} at sf{{0.01, 0.1}}; deterministic under the fixed seed).
     The vocabulary here is tiny, so the 2^18 hash space is collision-free
     and hashed-set Jaccard equals token-set Jaccard; no subset flag —
     at a realistic vocabulary, hash collisions can push a boundary pair
@@ -1493,8 +1554,10 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     39.6× wall for 10× data: Q ∝ n made the shortlist scoring n²/100 dot
     products, the same disease _BF_QMAX already cured on the brute-force
     baseline). With Q capped, the shortlist scan is one linear pass of the
-    corpus against a ≤64-row broadcast, the output is SF-invariant, and
-    the MMR unroll stays O(Q) rows end to end.
+    corpus against a ≤64-row broadcast, the output PLATEAUS at ≤64
+    queries once the corpus exceeds 6,400 vectors (below that Q still
+    grows with the corpus — 60 queries at sf0.1 vs the full 64 from
+    sf0.5 up; ADVICE r12), and the MMR unroll stays O(Q) rows end to end.
     Scores order on raw doubles with vec_id tie-break (both engines
     evaluate the identical sequential-fold dot), outputs quantized 1e-4.
     """
@@ -1620,7 +1683,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or rides partition pruning on a label-partitioned index, as in
     ann_ivf_persisted_probe) before any distance is computed.
 
-    Query set bounded by the _BF_QMAX recipe (≤64 queries, r12): with the
+    Query set bounded by the _BF_QMAX recipe (plateaus at ≤64 queries
+    once the corpus exceeds 6,400 vectors, r12): with the
     label count FIXED (~8), Q ∝ n made even the label-restricted scoring
     n²/800 and grew the query broadcast with the corpus — the
     ann_bruteforce_topk disease in its filtered form."""

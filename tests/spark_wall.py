@@ -100,7 +100,7 @@ def main() -> int:
             except Exception:
                 pass
         for _ in range(runs):
-            for n in active:
+            for n in list(active):
                 # cold-plan convention: Spark's CacheManager matches
                 # persisted data by analyzed plan, so a prior run's
                 # persist() would silently serve the next run (k-core
@@ -111,10 +111,15 @@ def main() -> int:
                 spark.catalog.clearCache()
                 try:
                     walls[n][sf_key].append(run_once(n, sf_dir))
-                except Exception as exc:  # record, keep sweeping
+                except Exception as exc:
+                    # record the failure and keep sweeping — the r12 form
+                    # `break`-ed here, which silently zeroed the samples
+                    # of every query AFTER the failed one in sort order
+                    # (ADVICE r12); dropping only the failed query keeps
+                    # the round's coverage intact
                     walls[n][sf_key] = []
                     results[n] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-                    break
+                    active.remove(n)
         spark.catalog.clearCache()
         print(f"SPARKWALL pass {sf_key} done ({len(active)} queries)", flush=True)
 

@@ -285,45 +285,77 @@ def test_docstring_constants_match_code_constants():
     assert f"orders before {_CUTOFF}" in tt_doc
 
 
-def test_brp_lsh_boundary_margin(spark):
-    """r7 advice: ann_mllib_brp_lsh's oracle equality rests on no sampled
-    pair's squared distance sitting ON the 1.44 threshold — the measured
-    margin on current testdata is >= 7.6e-6, far above the ~1e-15 float
-    fold noise between Spark's and DuckDB's left-to-right dot products.
-    Assert the margin here so a testdata regeneration that lands a pair
-    near the boundary fails THIS test with a clear message instead of
-    surfacing as an opaque driver hash mismatch."""
+def test_brp_lsh_calibrated_threshold_cross_engine_exact(spark):
+    """r13 (replacing the r7 fixed-threshold margin test): the BRP audit's
+    distance threshold is now a rank statistic of the corpus's sampled d²
+    distribution, derived independently by Spark and DuckDB. The oracle
+    equality rests on the two derivations yielding the SAME double — both
+    engines fold d² left-to-right in doubles and pick the k-th smallest
+    of the identical multiset, so the values must match BITWISE, not just
+    approximately. Assert that here at sf0.01 so a fold or rank-selection
+    drift fails with a clear message instead of an opaque driver hash
+    mismatch. (The old fixed-1.44 margin concern is gone by construction:
+    truth membership uses the bit-identical threshold on bit-identical
+    d² values; the MLlib-side ulp boundary is handled by the 1e-9 shave —
+    see ann_mllib_brp_lsh's docstring.)"""
+    import duckdb
     from pyspark.sql import functions as F
 
     from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.similarity import (
         _AUDIT_MOD,
-        _BRP_D2_T,
+        _BRP_AUDIT_MAX_VEC,
+        _BRP_CAL_MILLI,
+        _BRP_CAL_MOD,
+        _BRP_CAL_RES,
+        _DOT_SQL,
         _dot,
     )
     from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
         load_tables,
     )
 
-    e = load_tables(spark, "/root/testdata/sf0.01", names=("embeddings",))[
-        "embeddings"
-    ]
+    sf_dir = "/root/testdata/sf0.01"
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < _BRP_AUDIT_MAX_VEC
+    )
     sample = e.filter(F.col("vec_id") % _AUDIT_MOD == 0).select(
         F.col("vec_id").alias("s"), F.col("embedding").alias("emb_s")
     )
     corpus = e.select(F.col("vec_id").alias("o"), F.col("embedding").alias("emb_o"))
     d2 = _dot("emb_s", "emb_s") - 2 * _dot("emb_s", "emb_o") + _dot("emb_o", "emb_o")
-    margin = (
+    cal = (
         corpus.crossJoin(F.broadcast(sample))
-        .filter(F.col("o") != F.col("s"))
-        .select(F.abs(d2 - F.lit(_BRP_D2_T)).alias("m"))
-        .agg(F.min("m").alias("margin"))
-        .first()["margin"]
+        .filter((F.col("o") != F.col("s")) & (F.col("o") % _BRP_CAL_MOD == _BRP_CAL_RES))
+        .select(d2.alias("d2"))
     )
-    assert margin >= 1e-6, (
-        f"BRP-LSH boundary margin eroded to {margin!r} (< 1e-6): a sampled "
-        f"pair sits too close to the {_BRP_D2_T} threshold and the "
-        "Spark-vs-DuckDB float fold can now disagree on pair membership. "
-        "Regenerate/perturb the embeddings testdata or adjust _BRP_DIST_T."
+    m = cal.count()
+    k = max(1, (m * _BRP_CAL_MILLI) // 1000)
+    thr_spark = cal.orderBy("d2").limit(k).agg(F.max("d2").alias("t")).first()["t"]
+
+    con = duckdb.connect()
+    thr_duck = con.sql(
+        f"""
+        SELECT MAX(d2) FROM (
+          SELECT d2, ROW_NUMBER() OVER (ORDER BY d2) AS rn,
+                 COUNT(*) OVER () AS m
+          FROM (
+            SELECT {_DOT_SQL.format(a='s.embedding', b='s.embedding')}
+                     - 2 * {_DOT_SQL.format(a='s.embedding', b='o.embedding')}
+                     + {_DOT_SQL.format(a='o.embedding', b='o.embedding')} AS d2
+            FROM '{sf_dir}/embeddings.parquet' s
+            JOIN '{sf_dir}/embeddings.parquet' o ON o.vec_id <> s.vec_id
+            WHERE s.vec_id % {_AUDIT_MOD} = 0
+              AND s.vec_id < {_BRP_AUDIT_MAX_VEC}
+              AND o.vec_id < {_BRP_AUDIT_MAX_VEC}
+              AND o.vec_id % {_BRP_CAL_MOD} = {_BRP_CAL_RES}
+          )
+        ) WHERE rn <= GREATEST(1, (m * {_BRP_CAL_MILLI}) // 1000)
+        """
+    ).fetchone()[0]
+    assert thr_spark == thr_duck, (
+        f"calibrated BRP threshold diverged: Spark {thr_spark!r} vs "
+        f"DuckDB {thr_duck!r} — the d² fold or the rank selection no "
+        "longer matches cross-engine"
     )
 
 
@@ -583,3 +615,10 @@ def test_committed_shuffle_audit_is_clean_and_broad():
     q21 = d["queries"]["q21_waiting_suppliers"]
     assert q21["invariant_pass"] is True
     assert q21["shuffle_write_mb"] < 20, q21
+    # README quotes the audit's query count in prose; r11 and r12 both
+    # shipped a stale number, so pin the quoted count to the artifact
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    assert f"({d['n_queries']} heavy queries" in readme, (
+        f"README's shuffle-audit count drifted from SHUFFLE.json "
+        f"n_queries={d['n_queries']}"
+    )

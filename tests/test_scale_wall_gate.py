@@ -43,20 +43,12 @@ MIN_SF1_SEC = 10.0
 
 # query -> documented attribution for a >bound reading that is understood
 # and deliberate. Every entry must point at evidence (docstring, SCALING.md,
-# or a BENCH_NOTES paragraph).
-ATTRIBUTED: dict[str, str] = {
-    "ann_mllib_brp_lsh": (
-        "PLATEAU, not a scale law: the audit input is the FIXED"
-        " 10k-vector prefix (_BRP_AUDIT_MAX_VEC, similarity.py), so the"
-        " wall is SF-invariant above sf0.5 — measured 258.7 s at sf0.5"
-        " (ORACLE_SF05_r10) vs 225.6/238.0 s at sf1 (ORACLE_SF1_r11/r12)."
-        " The ~18x step vs sf0.1 is gen_sf's synthetic embeddings being"
-        " far denser at the distance threshold than the real sf0.1 data"
-        " (~205k truth pairs in the generated 10k prefix vs 2.3k real;"
-        " the _BRP_AUDIT_MAX_VEC comment documents the density series),"
-        " which multiplies the LSH pair output and the audit joins once"
-        " and then stays flat."
-    ),
+# or a BENCH_NOTES paragraph). SPLIT PER GATE (ADVICE r12): an exemption
+# for the conflated Spark+DuckDB artifact must not also blind the
+# Spark-only gate — dedup_levenshtein_blocked's own attribution says the
+# Spark side is linear (1.9x), so a future genuine Spark-side regression
+# there must still trip test_sf1_spark_wall_ratios_attributed.
+ATTRIBUTED_CONFLATED: dict[str, str] = {
     "dedup_levenshtein_blocked": (
         "gen_sf.py replicates customer names VERBATIM (FK-preserving), so at"
         " mult=10 every name has 10 copies and the TRUE near-dup pair output"
@@ -65,9 +57,15 @@ ATTRIBUTED: dict[str, str] = {
         " ratio is output blowup plus oracle cost, not algorithm scaling."
         " The slope twins regenerate names per key (scale_slope.py"
         " build_customer) precisely so slope5 (1.19, SCALING.md) measures"
-        " the algorithm instead."
+        " the algorithm instead. CONFLATED-ONLY: the Spark side is linear"
+        " and stays under the Spark-only gate's bound."
     ),
 }
+# Spark-only gate exemptions. Empty since r13: ann_mllib_brp_lsh left the
+# list when its audit threshold became corpus-calibrated and its prefix
+# dropped to _BRP_AUDIT_MAX_VEC=2000 (similarity.py; r12 verdict task 1) —
+# the 19.6x plateau reading is gone, the ratio is expected ~1.
+ATTRIBUTED_SPARK: dict[str, str] = {}
 
 
 def _latest(pattern: str) -> Path | None:
@@ -111,7 +109,7 @@ def test_sf1_wall_ratios_attributed() -> None:
         sec01 = base.get(name)
         if sec01 is None or sec01 <= 0 or sec1 < MIN_SF1_SEC:
             continue
-        if name in registry.DIAGNOSTIC or name in ATTRIBUTED:
+        if name in registry.DIAGNOSTIC or name in ATTRIBUTED_CONFLATED:
             continue
         ratio = sec1 / sec01
         if ratio > WALL_RATIO_BOUND:
@@ -146,7 +144,7 @@ def test_sf1_spark_wall_ratios_attributed() -> None:
         ratio, sf1 = rec.get("ratio"), rec.get("sf1")
         if ratio is None or sf1 is None or sf1 < MIN_SF1_SEC:
             continue
-        if name in registry.DIAGNOSTIC or name in ATTRIBUTED:
+        if name in registry.DIAGNOSTIC or name in ATTRIBUTED_SPARK:
             continue
         if ratio > WALL_RATIO_BOUND:
             offenders.append(
@@ -157,6 +155,16 @@ def test_sf1_spark_wall_ratios_attributed() -> None:
     )
     errs = {n: r["err"] for n, r in data.items() if r.get("err")}
     assert not errs, f"spark_wall errors: {errs}"
+    # coverage (ADVICE r12): the harness's old failure mode silently
+    # dropped every query after an erroring one from the timed rounds —
+    # require a measured ratio for EVERY non-diagnostic registry query,
+    # so a sweep hole is a test failure, not a silent gate skip
+    missing = sorted(
+        n
+        for n in registry.QUERIES
+        if n not in registry.DIAGNOSTIC and data.get(n, {}).get("ratio") is None
+    )
+    assert not missing, f"SPARKWALL.json lacks ratios for: {missing}"
 
 
 def test_attributed_entries_are_not_stale() -> None:
@@ -173,12 +181,22 @@ def test_attributed_entries_are_not_stale() -> None:
     sf1 = _latest("ORACLE_SF1_r*.json")
     base = _load_secs(sf01) if sf01 else {}
     big = _load_secs(sf1) if sf1 else {}
-    for name in ATTRIBUTED:
+    for name in ATTRIBUTED_CONFLATED:
         assert name in registry.QUERIES, f"ATTRIBUTED entry {name} not in registry"
         sec01, sec1 = base.get(name), big.get(name)
         if sec01 and sec1 and sec1 >= MIN_SF1_SEC:
             assert sec1 / sec01 > WALL_RATIO_BOUND / 2, (
                 f"{name} now reads {sec1 / sec01:.1f}x — exemption stale, remove it"
+            )
+    sw = ROOT / "SPARKWALL.json"
+    sw_data = json.loads(sw.read_text())["queries"] if sw.exists() else {}
+    for name in ATTRIBUTED_SPARK:
+        assert name in registry.QUERIES, f"ATTRIBUTED entry {name} not in registry"
+        rec = sw_data.get(name, {})
+        ratio, sf1_sec = rec.get("ratio"), rec.get("sf1")
+        if ratio is not None and sf1_sec is not None and sf1_sec >= MIN_SF1_SEC:
+            assert ratio > WALL_RATIO_BOUND / 2, (
+                f"{name} Spark-only ratio now {ratio}x — exemption stale, remove it"
             )
 
 

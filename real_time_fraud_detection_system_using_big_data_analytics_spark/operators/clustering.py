@@ -210,7 +210,7 @@ def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cid").cast("bigint").alias("cluster_id"), "n_points", "avg_sq_dist")
 
 
-def _assign_sql(cent: str, this: str) -> str:
+def _assign_sql(cent: str, this: str, src: str = "vecs") -> str:
         return f"""
     {this} AS (
       SELECT v.vec_id, v.e, v.cid, v.dist FROM (
@@ -220,7 +220,7 @@ def _assign_sql(cent: str, this: str) -> str:
                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
                  list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cvec)
                    + list_dot_product(c.cvec, c.cvec), c.cid) AS rn
-        FROM vecs v CROSS JOIN {cent} c
+        FROM {src} v CROSS JOIN {cent} c
       ) AS v(vec_id, e, cid, dist, rn) WHERE rn = 1
     )"""
 
@@ -246,13 +246,15 @@ def _recompute_sql(assigned: str, prev: str, this: str) -> str:
     )"""
 
 
-def centroid_chain_sql() -> tuple[str, str]:
+def centroid_chain_sql(where: str = "") -> tuple[str, str]:
     """(WITH-prefix building the fitted centroids, final centroid CTE name)
-    — shared by the k-means oracle and the IVF-build oracle."""
+    — shared by the k-means oracle and the IVF-build oracle. ``where``
+    restricts the FIT input (seeds + every Lloyd pass) — the incremental
+    oracle fits on the base slice only (r13)."""
     sql = f"""
     WITH vecs AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings {where}
     ),
     seeds AS (
       SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
@@ -1271,5 +1273,175 @@ def ann_ivf_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             q(F.col("d_raw")).alias("l2sq"),
             F.col("rrn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+# --- Incremental IVF index maintenance (r13) ---------------------------------
+#
+# The maintenance half of the persisted-index story ann_ivf_persisted_probe
+# tells: at 100 TB a vector index is never rebuilt per ingest — a batch of
+# NEW vectors is assigned to the EXISTING coarse quantizer (no refit: the
+# centroids are frozen state, exactly as a production store's trained
+# quantizer is) and appended to the cell-partitioned layout; probes then
+# see old+new in one partition-pruned read. The base/new split mirrors
+# dedup.lsh_shard_index's newest-decile convention: base = vec_id*10 <
+# 9*(max+1), new = the rest, both derived from one bounded scalar.
+
+_IVF_BASE_DECILES = 9
+_IVF_INCR_CACHE: dict[str, str] = {}
+_BASE_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _embed_bound(spark: SparkSession, sf_dir: str) -> int:
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return int(base.agg(F.max("vec_id")).first()[0]) + 1
+
+
+def fitted_centroids_base(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The coarse quantizer fitted on the BASE slice only (lowest 9 id
+    deciles) — the frozen state the incremental add assigns against.
+    Cached per (process, sf_dir) like fitted_centroids; deterministic fit
+    + quantized state keeps it bit-identical to the oracle's base-
+    restricted centroid chain."""
+    if sf_dir not in _BASE_CENTROID_CACHE:
+        bound = _embed_bound(spark, sf_dir)
+        base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+        vecs = (
+            fan_out(base.filter(F.col("vec_id") * 10 < _IVF_BASE_DECILES * bound))
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+            )
+            .persist()
+        )
+        _BASE_CENTROID_CACHE[sf_dir] = fit_centroids(vecs)
+        vecs.unpersist()
+    return _BASE_CENTROID_CACHE[sf_dir]
+
+
+def ivf_incremental_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD the persisted IVF index on the base slice, then ADD the new
+    batch: assign new vectors to the FROZEN base centroids (map-only, no
+    refit, no touch of existing files) and append them to the same
+    cell-partitioned parquet layout. Appending to a hive-partitioned
+    directory only creates new files inside the affected cell
+    directories — existing data files are immutable, so concurrent
+    probes stay consistent (the parquet twin of the WAP pattern in
+    etl_wap_publish). tests/test_incremental_index.py proves read-back
+    equality with a from-scratch rebuild on the same data."""
+    if sf_dir not in _IVF_INCR_CACHE:
+        import tempfile
+
+        bound = _embed_bound(spark, sf_dir)
+        cents = fitted_centroids_base(spark, sf_dir)
+        full = _ivf_corpus(spark, sf_dir, cents)
+        path = tempfile.mkdtemp(prefix="ivf_incr_index_")
+        # BUILD: base slice (the filter pushes below the map-only
+        # assignment to the parquet scan)
+        full.filter(F.col("vec_id") * 10 < _IVF_BASE_DECILES * bound).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path)
+        # ADD: new batch, same frozen centroids, append-only
+        full.filter(F.col("vec_id") * 10 >= _IVF_BASE_DECILES * bound).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(path)
+        _IVF_INCR_CACHE[sf_dir] = path
+    return _IVF_INCR_CACHE[sf_dir]
+
+
+def _ivf_incr_oracle() -> str:
+    """Same probe semantics as _ivf_kmeans_oracle, but the centroid chain
+    fits on the BASE slice only while cell assignment covers ALL vectors
+    — the add step's no-refit contract, stated in SQL."""
+    from .similarity import _cosine_sql
+
+    w = (
+        f"WHERE vec_id * 10 < {_IVF_BASE_DECILES} * "
+        "(SELECT MAX(vec_id) + 1 FROM embeddings)"
+    )
+    sql, cent = centroid_chain_sql(where=w)
+    sql += """,
+    vecs_all AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""
+    sql += "," + _assign_sql(cent, "cells", src="vecs_all")
+    cos = _cosine_sql("q.embedding", "v.embedding")
+    sql += f"""
+    , scored AS (
+      SELECT cq.vec_id AS q_id, cv.vec_id, cq.cid AS cell,
+             {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY cq.vec_id
+                                ORDER BY {cos} DESC, cv.vec_id) AS rn
+      FROM cells cq
+      JOIN cells cv ON cv.cid = cq.cid AND cv.vec_id <> cq.vec_id
+      JOIN embeddings q ON q.vec_id = cq.vec_id
+      JOIN embeddings v ON v.vec_id = cv.vec_id
+      WHERE cq.vec_id % 100 = 0
+    )
+    SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell,
+           {q_sql("cosine")} AS cosine, rn
+    FROM scored WHERE rn <= 3
+    """
+    return sql
+
+
+@register("ann_ivf_incremental_add", oracle=_ivf_incr_oracle())
+def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance: nprobe=1 probe against the INCREMENTALLY-built
+    persisted IVF index — base slice indexed at build time, the new batch
+    (newest id decile) assigned to the FROZEN base centroids and appended
+    to the cell-partitioned layout without a refit or rewrite
+    (ivf_incremental_index_path). Queries come from the FULL corpus
+    (vec_id % 100 == 0), so hits land in both old and new files of a
+    probed cell directory — the read-path proof that the append is
+    transparent to consumers. Identical probe plan to
+    ann_ivf_persisted_probe: probe cells declared as a literal IN-filter,
+    partition-pruned scan, broadcast query side (plan pinned in
+    tests/test_plans.py).
+
+    Scale: the add step is map-only assignment + an append of
+    new-batch-sized files into existing cell directories — O(batch), not
+    O(corpus); no existing file is rewritten, so index maintenance cost
+    is decoupled from index size. The no-refit contract is what the
+    oracle checks: its centroid chain fits on the base slice only while
+    assignment covers all vectors — any accidental refit on add (or any
+    drift between the appended files and a fresh assignment) is a value
+    mismatch, and tests/test_incremental_index.py additionally pins
+    read-back equality with a from-scratch rebuild."""
+    from .similarity import _dot
+
+    cents = fitted_centroids_base(spark, sf_dir)
+    path = ivf_incremental_index_path(spark, sf_dir)
+    queries = _ivf_query_side(spark, sf_dir, cents, 1).select(
+        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
+    )
+    probe_cells = [
+        r["probe_cell"] for r in queries.select("probe_cell").distinct().collect()
+    ]
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id", "embedding", "e_norm", F.col("cell").cast("bigint").alias("cell")
+        )
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        index.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            q(F.col("cosine_raw")).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
         )
     )

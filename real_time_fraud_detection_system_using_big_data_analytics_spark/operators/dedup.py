@@ -1553,3 +1553,229 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("span_tokens").cast("bigint").alias("max_run_tokens"),
         F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
     )
+
+
+# --- Incremental new-shard dedup (r13) ---------------------------------------
+#
+# The recurring 100 TB crawl operation none of the batch dedup ops above
+# cover: a NEW shard of documents arrives and must be deduplicated against
+# the EXISTING corpus without recomputing corpus-internal pairs or corpus
+# signatures. The corpus's banded MinHash signature index is PERSISTED on
+# disk (built once per corpus, amortized over every future shard) as a
+# bucketed+sorted table on the band bucket key; the probe join then reads
+# the index CO-LOCATED — zero Exchange on the corpus side, zero signature
+# recompute — and only the (corpus-fraction-sized) shard pays fresh
+# signature computation plus one shuffle into the index's bucket layout.
+# Same build/probe economics as the persisted IVF index
+# (clustering.ivf_index_path): BUILD once, PROBE many.
+#
+# The shard is the newest decile of doc ids (doc_id*10 >= 9*(max+1)) — a
+# deterministic stand-in for "today's crawl": new documents arrive with
+# fresh, higher ids. Both engines derive the boundary from the data (one
+# bounded scalar: MAX(doc_id)), so the slice is identical cross-engine at
+# any SF.
+
+_SHARD_DECILES = 9        # corpus = lowest 9 deciles, shard = newest 1
+_ASSIGN_MIN_EST = 0.5     # cluster-assignment bound on the minhash estimate
+_LSH_INDEX_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, mhs, bucket_key): one row per LSH band. bucket_key =
+    md5(band_id | band minhashes) — unlike dedup_minhash_lsh_pairs'
+    (band_id, band_hash) composite, the band id is EMBEDDED in the hash so
+    the single column is a complete join key, which is what lets the
+    persisted index bucket on ONE column and the probe join run
+    co-located on it."""
+    keys = F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{b}|"), *[F.col(f"mh{s}") for s in band]))
+            for b, band in enumerate(_BANDS)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"mh{s}") for s in range(N_SEEDS)])
+    return sigs.select(
+        "doc_id", sig_arr.alias("mhs"), F.explode(keys).alias("bucket_key")
+    )
+
+
+def lsh_shard_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """(table name, id bound): the persisted corpus signature index for
+    ``sf_dir``, built once per process. The index holds the CORPUS side
+    only (doc_id*10 < 9*bound): band rows (doc_id, full signature,
+    bucket_key) written as a bucketed+sorted table on bucket_key, so every
+    future shard probe sort-merge-joins against it with no Exchange on
+    the index side (pinned in tests/test_plans.py). The signature arrays
+    ride IN the index so the probe can score est_jaccard without touching
+    corpus text — the property that makes incremental dedup O(shard), not
+    O(corpus)."""
+    if sf_dir not in _LSH_INDEX_CACHE:
+        import hashlib
+        import tempfile
+
+        d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+        bound = int(d.agg(F.max("doc_id")).first()[0]) + 1
+        corpus = d.filter(F.col("doc_id") * 10 < _SHARD_DECILES * bound)
+        rows = _band_rows(_signatures_spark(corpus))
+        tbl = "lsh_sig_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        path = tempfile.mkdtemp(prefix="lsh_index_")
+        (
+            rows.write.mode("overwrite")
+            .option("path", f"{path}/{tbl}")
+            .bucketBy(8, "bucket_key")
+            .sortBy("bucket_key")
+            .saveAsTable(tbl)
+        )
+        _LSH_INDEX_CACHE[sf_dir] = (tbl, bound)
+    return _LSH_INDEX_CACHE[sf_dir]
+
+
+def _incremental_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a=corpus, doc_b=shard, est_jaccard) candidate pairs:
+    shard band rows sort-merge-joined against the persisted index on
+    bucket_key, minhash agreement scored from the two signature arrays
+    carried by the join — shared by the pair query and the assignment
+    query."""
+    tbl, bound = lsh_shard_index(spark, sf_dir)
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    shard = d.filter(F.col("doc_id") * 10 >= _SHARD_DECILES * bound)
+    sb = _band_rows(_signatures_spark(shard)).select(
+        F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mhs_b"), "bucket_key"
+    )
+    idx = spark.table(tbl).select(
+        F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"), "bucket_key"
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda u, v: u == v),
+            lambda eq: eq,
+        )
+    )
+    return (
+        idx.hint("merge")
+        .join(sb, "bucket_key")
+        .select("doc_a", "doc_b", q(agree / float(N_SEEDS)).alias("est_jaccard"))
+        .distinct()
+    )
+
+
+def _incremental_pairs_sql() -> str:
+    """Shared WITH-prefix: DuckDB recomputes BOTH sides from scratch
+    (signatures, band bucket keys, the id boundary, the shard-vs-corpus
+    band join, minhash agreement) and ends at a CTE ``scored`` with the
+    distinct (doc_a, doc_b, est_jaccard) pairs."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, md5('{b}|' || {' || '.join(f'mh{s}' for s in band)}) AS bucket_key FROM sigs"
+        for b, band in enumerate(_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(N_SEEDS)
+    )
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_SEEDS))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bnd AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    bands AS ({bands_union}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bucket_key = b.bucket_key
+      WHERE a.doc_id * 10 <  {_SHARD_DECILES} * (SELECT n FROM bnd)
+        AND b.doc_id * 10 >= {_SHARD_DECILES} * (SELECT n FROM bnd)
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             (FLOOR(({agree}) / {N_SEEDS}.0 * 10000.0 + 0.5) / 10000.0) AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+    )
+    """
+
+
+@register(
+    "dedup_incremental_new_shard",
+    oracle=f"""
+    {{PREFIX}}
+    SELECT doc_a, doc_b, est_jaccard FROM scored
+    """.replace("{PREFIX}", _incremental_pairs_sql()),
+)
+def dedup_incremental_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH dedup of a NEW shard against the PERSISTED
+    corpus signature index: emits new-vs-existing candidate pairs
+    (doc_a = existing corpus doc, doc_b = new shard doc) with the banded
+    minhash Jaccard estimate — WITHOUT recomputing corpus-internal pairs
+    or corpus signatures (the index carries band bucket keys AND full
+    signatures from its one-time build; see lsh_shard_index).
+
+    Scale shape — the part that matters at 100 TB, where this op runs per
+    crawl increment: corpus cost is a co-located sort-merge probe of the
+    bucketed index (no Exchange, no signature recompute — pinned in
+    tests/test_plans.py); shard cost is one signature pass over the NEW
+    documents only plus one shuffle of shard band rows into the index's
+    bucket layout. Candidate generation stays band-bucketed (never
+    all-pairs); shard-internal duplicates are intentionally out of scope
+    here (they are the ordinary batch job, dedup_minhash_lsh_pairs, run
+    shard-locally before the merge). The oracle recomputes BOTH sides
+    from the raw text, so the comparison proves the persisted index is
+    byte-faithful to a fresh build."""
+    return _incremental_scored(spark, sf_dir)
+
+
+@register(
+    "dedup_incremental_shard_assign",
+    oracle=f"""
+    {{PREFIX}}
+    SELECT d.doc_id,
+           COALESCE(MIN(s.doc_a) FILTER (WHERE s.est_jaccard >= {_ASSIGN_MIN_EST}),
+                    d.doc_id) AS assigned_cluster,
+           CAST(COUNT(s.doc_a) FILTER (WHERE s.est_jaccard >= {_ASSIGN_MIN_EST})
+                AS BIGINT) AS n_dup_candidates
+    FROM documents d
+    LEFT JOIN scored s ON s.doc_b = d.doc_id
+    WHERE d.doc_id * 10 >= {_SHARD_DECILES} * (SELECT n FROM bnd)
+    GROUP BY d.doc_id
+    """.replace("{PREFIX}", _incremental_pairs_sql()),
+)
+def dedup_incremental_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for every NEW shard document: join the shard onto
+    the incremental candidate pairs (>= 0.5 = _ASSIGN_MIN_EST), assign
+    each new doc to its lowest-id matching corpus document (the keeper
+    convention every dedup_*_clusters op uses), or to itself when nothing
+    in the corpus matches (a genuinely new cluster). n_dup_candidates
+    counts the qualifying corpus matches, so downstream curation can
+    distinguish 'unique', 'one clear duplicate', and 'template-cloud'
+    shard docs. One output row per shard doc — including the unmatched
+    majority, which is what the mix/quota samplers consume.
+
+    The threshold compare is exact cross-engine: est_jaccard values are
+    k/8 quantized through q(), all exact binary doubles, so >= 0.5 cannot
+    straddle a float boundary. Scale: reuses the co-located index probe
+    (see dedup_incremental_new_shard), then one output-sized aggregation
+    keyed on the shard doc id."""
+    _, bound = lsh_shard_index(spark, sf_dir)
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    shard_docs = d.filter(F.col("doc_id") * 10 >= _SHARD_DECILES * bound).select(
+        "doc_id"
+    )
+    matches = (
+        _incremental_scored(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= _ASSIGN_MIN_EST)
+        .groupBy("doc_b")
+        .agg(
+            F.min("doc_a").alias("best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        )
+    )
+    return (
+        shard_docs.join(matches, shard_docs.doc_id == matches.doc_b, "left")
+        .select(
+            "doc_id",
+            F.coalesce("best", "doc_id").alias("assigned_cluster"),
+            F.coalesce("n_m", F.lit(0)).cast("bigint").alias("n_dup_candidates"),
+        )
+    )

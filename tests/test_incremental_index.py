@@ -1,0 +1,124 @@
+"""Incremental-maintenance contracts (r13): the persisted-index ADD paths
+must be byte-faithful to a from-scratch rebuild, and the incremental shard
+dedup must find known cross-boundary duplicates without touching
+corpus-internal pairs.
+
+The oracle gate already value-checks both registered queries end to end;
+these tests pin the two properties the oracle comparison cannot see:
+read-back equality of the APPENDED index files with a full rebuild, and
+cluster semantics on a literal fixture with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_incremental_add_equals_full_rebuild(spark):
+    """The appended index (base build + frozen-centroid add) must hold
+    EXACTLY the rows a from-scratch assignment of the full corpus to the
+    same base-fitted centroids produces — same vectors, same cells, same
+    norms. Any refit-on-add, dropped batch, or double-append shows here."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.clustering import (
+        _ivf_corpus,
+        fitted_centroids_base,
+        ivf_incremental_index_path,
+    )
+
+    path = ivf_incremental_index_path(spark, SF)
+    cents = fitted_centroids_base(spark, SF)
+    got = sorted(
+        (r["vec_id"], r["cell"], r["e_norm"])
+        for r in spark.read.parquet(path)
+        .select("vec_id", F.col("cell").cast("bigint").alias("cell"), "e_norm")
+        .collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], r["e_norm"])
+        for r in _ivf_corpus(spark, SF, cents)
+        .select("vec_id", "cell", "e_norm")
+        .collect()
+    )
+    assert got == want
+    # and the add genuinely contributed: the newest decile is present
+    bound = max(v for v, _, _ in got) + 1
+    n_new = sum(1 for v, _, _ in got if v * 10 >= 9 * bound)
+    assert n_new > 0
+
+
+def test_ivf_incremental_probe_scan_is_partition_pruned(spark):
+    """Same plan contract as ann_ivf_persisted_probe: the incremental
+    index scan must prune to the probed cells at plan time and join the
+    broadcast query side — appending must not cost the scan its
+    pruning."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import (
+        registry,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans.explain import (
+        plan_string,
+    )
+
+    registry.load_all()
+    df = registry.QUERIES["ann_ivf_incremental_add"](spark, SF)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan, plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300], plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.fixture()
+def shard_corpus(spark, tmp_path):
+    """10 docs; ids 0..8 are the corpus (bound = 10, 9 deciles = 9), id 9
+    is the shard. The shard doc is an exact copy of corpus doc 2; corpus
+    docs 0 and 1 are ALSO exact dups of each other — a corpus-internal
+    pair the incremental op must NOT emit."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    uniq = [
+        f"unrelated filler document number {i} with its own words entirely %s {i}"
+        for i in range(6)
+    ]
+    docs = (
+        [(0, base + " alpha"), (1, base + " alpha"), (2, base + " beta")]
+        + [(3 + i, uniq[i]) for i in range(6)]
+        + [(9, base + " beta")]
+    )
+    rows = [(i, t, "en", "src", len(t)) for i, t in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_incremental_shard_dedup_semantics(spark, shard_corpus):
+    """The shard doc (9, an exact copy of corpus doc 2, and a near-dup of
+    corpus docs 0/1 — one word differs) must surface as a (2, 9) pair
+    with est_jaccard 1.0; the corpus-internal dup pair (0, 1) must NOT
+    appear (doc_a is always corpus, doc_b always shard); the assignment
+    query must send doc 9 to the LOWEST-id qualifying corpus match (the
+    keeper convention) with the matching candidate count."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        dedup_incremental_new_shard,
+        dedup_incremental_shard_assign,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup_incremental_new_shard(spark, shard_corpus).collect()
+    }
+    assert pairs.get((2, 9)) == 1.0, pairs
+    assert all(b == 9 for (_, b) in pairs), pairs  # shard side only
+    assert (0, 1) not in pairs and (1, 0) not in pairs
+
+    assign = {
+        r["doc_id"]: (r["assigned_cluster"], r["n_dup_candidates"])
+        for r in dedup_incremental_shard_assign(spark, shard_corpus).collect()
+    }
+    assert set(assign) == {9}
+    cluster, n = assign[9]
+    qualifying = {a for (a, _), est in pairs.items() if est >= 0.5}
+    assert 2 in qualifying  # the planted exact dup qualifies
+    assert cluster == min(qualifying)
+    assert n == len(qualifying)

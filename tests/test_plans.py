@@ -1388,3 +1388,25 @@ def test_iterative_rounds_persist_in_plan(spark):
         plan = plan_string(df, mode="simple")
         n = plan.count("InMemoryTableScan")
         assert n >= min_scans, f"{name}: {n} InMemoryTableScan nodes\n{plan[:2000]}"
+
+
+def test_incremental_shard_dedup_probe_is_colocated(spark):
+    """dedup_incremental_new_shard: the persisted signature index must be
+    read as a BUCKETED scan feeding the sort-merge probe join with no
+    Exchange on the index side (the corpus never shuffles — the whole
+    point of the incremental op); the only bucket_key Exchange allowed is
+    the shard side shuffling into the index's layout. The shard slice
+    predicate must reach the documents scan, and documents must be
+    scanned exactly once (a second scan would mean corpus signatures were
+    recomputed)."""
+    df = registry.QUERIES["dedup_incremental_new_shard"](spark, SF)
+    plan = plan_string(df, mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange hashpartitioning(bucket_key") == 1, plan
+    assert plan.count("documents.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # shard slice pushed into the scan's data filters
+    assert "* 10)" in plan.split("documents.parquet")[0][-2000:] or (
+        "* 10)" in plan
+    ), plan

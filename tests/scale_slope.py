@@ -75,6 +75,8 @@ QUERIES = [
     "dedup_embedding_cosine_cells",
     "ann_mmr_diversified_topk",
     "graph_k_core_peel",
+    "dedup_incremental_new_shard",
+    "ann_ivf_incremental_add",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -110,6 +112,8 @@ EXPECTED = {
     "dedup_embedding_cosine_cells": "~linear: corpus-scaled sign-bit cells, Σ|cell|² ≈ n·target_cell (same law as dedup_semdedup)",
     "ann_mmr_diversified_topk": "linear: ≤64 broadcast queries × one corpus scan for the shortlist; MMR unroll is O(Q) rows",
     "graph_k_core_peel": "~linear in edges: persisted edge list, one degree aggregate per round (r11 sf1 superlinearity was the DuckDB oracle's inlined CTEs, fixed via AS MATERIALIZED)",
+    "dedup_incremental_new_shard": "linear: index build is one corpus signature pass (amortized: cached per process); probe cost is shard-sized band rows + co-located index merge join",
+    "ann_ivf_incremental_add": "~linear in vectors: map-only assignment + appended cell files; probe scans only the pruned cells (fixed query count)",
 }
 
 

@@ -110,6 +110,11 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     # candidate set; the cell-blocked radius search mirrors semdedup's
     # in-cell pair law; the recall audit is ≤64 broadcast anchors.
     "dedup_levenshtein_blocked": ("hashed variants: shuffle_write < 12 MB", "m['shuffle_write_mb'] < 12"),
+    # r13 incremental ops: the corpus index side is co-located (bucketed
+    # scan, no Exchange) / partition-pruned (IVF), so only shard-sized
+    # band rows / new-batch rows plus output pairs move.
+    "dedup_incremental_new_shard": ("shard bands only, index co-located: shuffle_write < 6 MB", "m['shuffle_write_mb'] < 6"),
+    "ann_ivf_incremental_add": ("pruned probe, partial top-k: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
     "ann_range_search_cells": ("in-cell pairs: shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
     "ann_range_search_recall": ("broadcast anchors: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
     # binary quantization: 8-byte signatures map-only, 10xQ shortlist rows

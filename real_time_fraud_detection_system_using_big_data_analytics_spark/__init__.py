@@ -17,4 +17,18 @@ Layout:
 from .session import get_session
 from .sources.tables import TABLE_NAMES, load_tables
 
+# Wire up a vendored protobuf runtime (if one exists on this host) BEFORE
+# any SparkSession is built: the TWS state client's python-worker side
+# needs google.protobuf on PYTHONPATH at JVM-launch time, and every
+# harness imports this package before creating its session. No-op where
+# protobuf is properly installed or no vendored copy exists; the TWS
+# query registration re-verifies against the live JVM's env either way
+# (streaming/tws.py).
+from .session import bootstrap_vendored_protobuf as _pb_boot
+
+try:  # pragma: no cover - best-effort environment shim
+    _pb_boot()
+except Exception:
+    pass
+
 __all__ = ["get_session", "load_tables", "TABLE_NAMES"]

@@ -26,6 +26,60 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+# Vendored pure-python protobuf runtimes this host happens to carry
+# (Google's public protobuf, shipped inside a google-cloud-sdk install).
+# Used by the transformWithStateInPandas surface (streaming/tws.py) when
+# the protobuf PACKAGE is absent: no install and no network — the path is
+# appended to sys.path for the driver and exported via PYTHONPATH for the
+# python workers a future JVM will launch (the JVM inherits this process's
+# env at launch and passes it to the workers it forks). The
+# gencode/runtime version gap (Spark's StateMessage_pb2 is gencode 6.33,
+# the vendored runtime 6.32.0-dev) is bridged with protobuf's own
+# documented escape hatch (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) —
+# same-major, one minor apart, and the TWS replay is value-checked end to
+# end against the batch GROUP BY, so a wire-format incompatibility cannot
+# pass silently.
+VENDORED_PROTOBUF_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+_used_vendored_protobuf = False
+
+
+def bootstrap_vendored_protobuf() -> bool:
+    """Make google.protobuf importable from a vendored runtime, for the
+    driver (sys.path) AND future python workers (PYTHONPATH env). Called
+    at package import — i.e. before any harness can build a session — and
+    idempotent. Returns True when google.protobuf is importable (however
+    that came to be)."""
+    global _used_vendored_protobuf
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for root in VENDORED_PROTOBUF_DIRS:
+        builder = os.path.join(root, "google", "protobuf", "internal", "builder.py")
+        if not os.path.isfile(builder):
+            continue
+        if root not in sys.path:
+            sys.path.append(root)
+        os.environ["PYTHONPATH"] = (
+            root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        try:
+            import google.protobuf  # noqa: F401
+
+            _used_vendored_protobuf = True
+            return True
+        except ImportError:
+            continue
+    return False
+
+
 def get_session(app_name: str = "fraud-engine", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a local SparkSession with scale-sane defaults."""
     n = cpus or default_parallelism()

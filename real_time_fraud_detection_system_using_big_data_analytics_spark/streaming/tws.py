@@ -16,15 +16,24 @@ exercises:
   transformWithState exposes — timers/TTL are deliberately NOT used
   here so the replay stays deterministic and oracle-checkable.
 
-ENVIRONMENT GATE: the PySpark-side TWS state client speaks protobuf to
-the JVM state server (pyspark.sql.streaming.proto.StateMessage_pb2 ->
-google.protobuf), and the protobuf package is absent from this sandbox
-(no network installs). The operator therefore registers itself ONLY
-when protobuf imports (the same loud-gate policy as the Kafka broker
-surface: streaming/topics.py); tests/test_tws.py importorskips, so a
-deployment WITH protobuf runs the full oracle-checked replay and this
-sandbox records a documented skip, not a silent absence. Deploy fix:
-`pip install protobuf` — nothing else is needed.
+ENVIRONMENT GATE (unlocked r13): the PySpark-side TWS state client
+speaks protobuf to the JVM state server
+(pyspark.sql.streaming.proto.StateMessage_pb2 -> google.protobuf); the
+protobuf PACKAGE is absent from this sandbox (no network installs), but
+the host carries a vendored pure-python protobuf runtime inside its
+google-cloud-sdk install, and _bootstrap_vendored_protobuf() wires it
+up for the driver (sys.path) and the python workers (PYTHONPATH env,
+inherited by the JVM at launch) — see its comment for the
+gencode/runtime version-gap handling. The operator still registers
+itself ONLY when protobuf actually imports AND no JVM predates the env
+bootstrap (the same loud-gate policy as the Kafka broker surface:
+streaming/topics.py), so it is never registered unrunnable; a
+deployment with a real `pip install protobuf` needs none of this. Since
+the unlock, tests/test_tws.py runs the full multi-batch replay in this
+sandbox (2 passed, previously 1 skip), and the query is oracle-checked
+by the registry gates. TWS additionally REQUIRES the RocksDB state
+store provider (multiple state variables = column families, which the
+HDFS-backed provider rejects) — the query pins and restores it.
 
 Scale posture: identical to every keyed-state operator in this package —
 state lives in the state store (RocksDB at scale; the provider tests
@@ -117,12 +126,30 @@ def account_type_profile_stream(stream: DataFrame) -> DataFrame:
 
 
 def _protobuf_available() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
+    """True when the TWS state client can run end to end: google.protobuf
+    imports (possibly from the vendored runtime session.py wires up at
+    package import), AND — when the vendored path is in play — any
+    already-running JVM was launched with the bootstrap env, so the
+    python workers it forks can import it too. Never registers the query
+    unrunnable."""
+    from .. import session as _session
 
-        return True
-    except ImportError:
+    if not _session.bootstrap_vendored_protobuf():
         return False
+    if _session._used_vendored_protobuf:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            try:
+                jvm_pp = sc._jvm.java.lang.System.getenv("PYTHONPATH") or ""
+            except Exception:
+                return False
+            if not any(root in jvm_pp for root in _session.VENDORED_PROTOBUF_DIRS):
+                # JVM predates the env bootstrap: its workers cannot see
+                # the vendored runtime — skip registration (loud gate)
+                return False
+    return True
 
 
 def _maybe_register(fn):
@@ -160,13 +187,35 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MapState contributes two oracle columns the ValueState cannot
     produce: the per-user distinct-type count (n_types = number of map
     sub-keys) and the 'purchase' counter (a point lookup) — so a MapState
-    regression is a value mismatch, not just a latency change."""
+    regression is a value mismatch, not just a latency change.
+
+    The replay PINS the RocksDB state store provider (restored after):
+    multiple named state variables map to state-store COLUMN FAMILIES,
+    which HDFSBackedStateStoreProvider does not implement — on the
+    default provider the query fails with
+    STATE_STORE_MULTIPLE_COLUMN_FAMILIES. At 100 TB that is the right
+    constraint, not a workaround: composite keyed state belongs on
+    executor-local RocksDB, the posture stream_account_profile_rocksdb
+    already carries for single-variable state."""
     from .replay import chunked_replay
 
-    tbl, batches = chunked_replay(
-        spark, sf_dir, account_type_profile_stream, n_chunks=4, output_mode="update"
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
-    assert batches >= 4, f"expected a multi-batch replay, got {batches}"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocksdb)
+    try:
+        tbl, batches = chunked_replay(
+            spark, sf_dir, account_type_profile_stream, n_chunks=4, output_mode="update"
+        )
+        assert batches >= 4, f"expected a multi-batch replay, got {batches}"
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

@@ -1,9 +1,12 @@
 """transformWithStateInPandas (Spark 4 next-gen stateful API) — env-gated
 like the Kafka broker surface: the TWS Python state client requires
 protobuf (pyspark.sql.streaming.proto.StateMessage_pb2 imports
-google.protobuf), absent from this sandbox. Where protobuf exists these
-tests run the full multi-batch replay against the batch GROUP BY; here
-they record a documented skip and pin the gate itself."""
+google.protobuf). Since r13 the gate is UNLOCKED in this sandbox: the
+package bootstraps the host's vendored google-cloud-sdk protobuf runtime
+(session.bootstrap_vendored_protobuf) for driver and workers, so these
+tests run the full multi-batch replay against the batch GROUP BY here
+too; on a host with neither a protobuf install nor a vendored copy they
+record a documented skip and pin the gate itself."""
 
 from __future__ import annotations
 

@@ -21,9 +21,9 @@ speaks protobuf to the JVM state server
 (pyspark.sql.streaming.proto.StateMessage_pb2 -> google.protobuf); the
 protobuf PACKAGE is absent from this sandbox (no network installs), but
 the host carries a vendored pure-python protobuf runtime inside its
-google-cloud-sdk install, and _bootstrap_vendored_protobuf() wires it
-up for the driver (sys.path) and the python workers (PYTHONPATH env,
-inherited by the JVM at launch) — see its comment for the
+google-cloud-sdk install, and session.bootstrap_vendored_protobuf()
+wires it up for the driver (sys.path) and the python workers (PYTHONPATH
+env, inherited by the JVM at launch) — see its docstring for the
 gencode/runtime version-gap handling. The operator still registers
 itself ONLY when protobuf actually imports AND no JVM predates the env
 bootstrap (the same loud-gate policy as the Kafka broker surface:
@@ -219,6 +219,134 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- ListState: the third typed state variable (r13) -------------------------
+
+TOPK_K = 3
+TOPK_SCHEMA = "user_id bigint, n_seen bigint, topk_sum_cents bigint, n_kept bigint"
+
+
+class TopValuesProfile(StatefulProcessor):
+    """Per-user bounded top-K tracker in a ListState — the typed state
+    variable AccountTypeProfile doesn't exercise, completing the TWS
+    surface (ValueState + MapState + ListState). The list holds AT MOST
+    TOPK_K rows (the K largest integer-cents values seen so far): a
+    bounded-state design — state per key is O(K) forever, however many
+    events stream through — which is exactly what ListState is for at
+    100 TB (an unbounded list would be a state-store memory leak). A
+    ValueState carries the exact seen-count so the emitted row proves
+    the processor consumed every event, not just the survivors.
+
+    The top-K of a multiset is order-free, so the availableNow replay is
+    bit-exact against the batch ROW_NUMBER oracle regardless of batch
+    boundaries — same determinism contract as AccountTypeProfile."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.topv = handle.getListState("topv", "c bigint")
+        self.seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(
+        self, key, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        kept = [t[0] for t in self.topv.get()] if self.topv.exists() else []
+        n = (self.seen.get() or (0,))[0] if self.seen.exists() else 0
+        for batch in rows:
+            n += len(batch)
+            cents = (batch["value"] * 100 + 0.5).astype("int64")
+            kept = sorted(kept + cents.tolist(), reverse=True)[:TOPK_K]
+        self.topv.put([(c,) for c in kept])
+        self.seen.update((n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "topk_sum_cents": [sum(kept)],
+                "n_kept": [len(kept)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def top_values_profile_stream(stream: DataFrame) -> DataFrame:
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopValuesProfile(),
+        outputStructType=TOPK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_TWS_TOPK_ORACLE = f"""
+    WITH cents AS (
+      SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+             WHERE e.user_id = cents.user_id) AS n_seen,
+           CAST(SUM(CASE WHEN rn <= {TOPK_K} THEN c ELSE 0 END) AS BIGINT)
+             AS topk_sum_cents,
+           CAST(SUM(CASE WHEN rn <= {TOPK_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM cents GROUP BY user_id
+"""
+
+
+def _maybe_register_topk(fn):
+    if _protobuf_available():
+        return register("stream_tws_topk_liststate", oracle=_TWS_TOPK_ORACLE)(fn)
+    return fn
+
+
+@_maybe_register_topk
+def stream_tws_topk_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with a BOUNDED ListState: per-user top-3
+    integer-cents values maintained across 4 genuine micro-batches (plus
+    a seen-count ValueState), last emitted row per user checked bit-exact
+    against the batch ROW_NUMBER top-K — the multiset top-K is order-free,
+    so batch boundaries cannot change the answer and the oracle
+    hash-checks. Completes the TWS typed-state triple
+    (stream_transform_with_state covers ValueState + MapState).
+
+    Same environment gate and RocksDB-provider pin as
+    stream_transform_with_state (multiple state variables = column
+    families). Scale: state per key is O(K) by construction — the
+    bounded-list discipline that keeps ListState from becoming the
+    100 TB state-store leak."""
+    from .replay import chunked_replay
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocksdb)
+    try:
+        tbl, batches = chunked_replay(
+            spark, sf_dir, top_values_profile_stream, n_chunks=4, output_mode="update"
+        )
+        assert batches >= 4, f"expected a multi-batch replay, got {batches}"
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
     return (
         tbl.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

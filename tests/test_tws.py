@@ -19,13 +19,13 @@ from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.t
 
 
 def test_gate_matches_environment():
-    """The registry must contain the TWS query exactly when its protobuf
-    dependency is importable — never a silent absence, never an
+    """The registry must contain the TWS queries exactly when their
+    protobuf dependency is importable — never a silent absence, never an
     unrunnable registration."""
     registry.load_all()
-    assert ("stream_transform_with_state" in registry.QUERIES) == (
-        _protobuf_available()
-    )
+    avail = _protobuf_available()
+    assert ("stream_transform_with_state" in registry.QUERIES) == avail
+    assert ("stream_tws_topk_liststate" in registry.QUERIES) == avail
 
 
 def test_tws_cumulative_profile_matches_batch(spark):
@@ -51,6 +51,45 @@ def test_tws_cumulative_profile_matches_batch(spark):
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
             .cast("bigint")
             .alias("purchase_n"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_tws_liststate_topk_matches_batch(spark):
+    """The bounded-ListState top-K replay (r13) must equal the batch
+    ROW_NUMBER top-K — multiset top-K is order-free, so this holds for
+    any micro-batch partitioning, and n_seen pins that every event was
+    consumed, not just the survivors."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state client needs protobuf (deploy: pip install protobuf)",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.tws import (
+        TOPK_K,
+    )
+
+    registry.load_all()
+    got = registry.QUERIES["stream_tws_topk_liststate"](spark, "/root/testdata/sf0.001")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc())
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seen"),
+            F.sum(F.when(F.col("rn") <= TOPK_K, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("topk_sum_cents"),
+            F.sum(F.when(F.col("rn") <= TOPK_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
         )
     )
     assert got.exceptAll(want).count() == 0

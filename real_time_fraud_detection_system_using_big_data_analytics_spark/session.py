@@ -43,6 +43,7 @@ VENDORED_PROTOBUF_DIRS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 _used_vendored_protobuf = False
+_vendored_pythonpath_entry: "str | None" = None
 
 
 def bootstrap_vendored_protobuf() -> bool:
@@ -51,7 +52,7 @@ def bootstrap_vendored_protobuf() -> bool:
     at package import — i.e. before any harness can build a session — and
     idempotent. Returns True when google.protobuf is importable (however
     that came to be)."""
-    global _used_vendored_protobuf
+    global _used_vendored_protobuf, _vendored_pythonpath_entry
     import sys
 
     try:
@@ -64,16 +65,30 @@ def bootstrap_vendored_protobuf() -> bool:
         builder = os.path.join(root, "google", "protobuf", "internal", "builder.py")
         if not os.path.isfile(builder):
             continue
-        if root not in sys.path:
-            sys.path.append(root)
+        # Expose ONLY the vendored google/ package through a symlink shim
+        # dir, not the whole SDK root — the SDK root carries other
+        # top-level modules (api_server, wrapper_util, ...) that must not
+        # become importable, least of all on the workers' PYTHONPATH
+        # where they would precede site-packages.
+        shim = "/tmp/spark_graft_pb_shim"
+        link = os.path.join(shim, "google")
+        try:
+            os.makedirs(shim, exist_ok=True)
+            if not os.path.islink(link):
+                os.symlink(os.path.join(root, "google"), link)
+        except OSError:
+            shim = root  # shim unavailable: fall back to the SDK root
+        if shim not in sys.path:
+            sys.path.append(shim)
         os.environ["PYTHONPATH"] = (
-            root + os.pathsep + os.environ.get("PYTHONPATH", "")
+            shim + os.pathsep + os.environ.get("PYTHONPATH", "")
         )
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
         try:
             import google.protobuf  # noqa: F401
 
             _used_vendored_protobuf = True
+            _vendored_pythonpath_entry = shim
             return True
         except ImportError:
             continue

@@ -145,7 +145,8 @@ def _protobuf_available() -> bool:
                 jvm_pp = sc._jvm.java.lang.System.getenv("PYTHONPATH") or ""
             except Exception:
                 return False
-            if not any(root in jvm_pp for root in _session.VENDORED_PROTOBUF_DIRS):
+            entry = _session._vendored_pythonpath_entry
+            if not entry or entry not in jvm_pp:
                 # JVM predates the env bootstrap: its workers cannot see
                 # the vendored runtime — skip registration (loud gate)
                 return False

@@ -233,6 +233,11 @@ HEADLINE = [
     "udf_holt_winters_stateful",
     "text_hashing_trick_tf",
     "fraud_interarrival_profile",
+    # r13 incremental-maintenance ops (the recurring 100 TB operations):
+    # probe cost against the process-cached persisted indexes, same
+    # amortized convention as ann_ivf_persisted_probe
+    "dedup_incremental_new_shard",
+    "ann_ivf_incremental_add",
 ]
 
 
@@ -550,7 +555,7 @@ def sustained_streaming_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         # state posture (keyed state on local disk, not executor heap)
         # measured, not asserted. Stateless rule alerts carry no state, so
         # only the stateful lines get a RocksDB twin.
-        for name, transform, provider in (
+        sustained_lines = [
             ("stream_rule_alerts_sustained", rule_alerts, None),
             ("stream_velocity_stateful_sustained", velocity_features_stream, None),
             (
@@ -560,8 +565,33 @@ def sustained_streaming_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
             ),
             ("stream_windowed_agg_sustained", windowed_agg, None),
             ("stream_windowed_agg_sustained_rocksdb", windowed_agg, ROCKSDB),
-        ):
-            mode = "complete" if transform is windowed_agg else "append"
+        ]
+        # transformWithStateInPandas sustained line (r13 unlock): the SAME
+        # per-user profile semantics as the applyInPandasWithState velocity
+        # family, through the Spark-4 typed-state API — the two stateful
+        # Python APIs A/B'd on one replay. TWS requires RocksDB (multiple
+        # state variables = column families), so there is no hdfs twin.
+        tws_transform = None
+        try:
+            from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.tws import (
+                _protobuf_available,
+                account_type_profile_stream,
+            )
+
+            if _protobuf_available():
+                tws_transform = account_type_profile_stream
+                sustained_lines.append(
+                    ("stream_tws_profile_sustained", tws_transform, ROCKSDB)
+                )
+        except Exception:
+            pass
+        for name, transform, provider in sustained_lines:
+            if transform is windowed_agg:
+                mode = "complete"
+            elif transform is tws_transform:
+                mode = "update"
+            else:
+                mode = "append"
             if provider:
                 spark.conf.set(PROVIDER_CONF, provider)
             try:

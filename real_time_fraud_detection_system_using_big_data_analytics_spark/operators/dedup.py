@@ -1779,3 +1779,160 @@ def dedup_incremental_shard_assign(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("n_m", F.lit(0)).cast("bigint").alias("n_dup_candidates"),
         )
     )
+
+
+_LSH_MERGED_CACHE: dict[str, str] = {}
+# positional hex arithmetic shared by both engines: value of the first 8
+# hex chars of an md5, summed row-wise into an order-free digest. 16^7 *
+# 15 * row_count stays far under int64 even at sf1 band-row counts.
+_HEX16 = "0123456789abcdef"
+_HEX_POW = [16 ** (8 - i) for i in range(1, 9)]
+
+
+def _row_digest_spark(s: "F.Column") -> "F.Column":
+    h = F.md5(s)
+    val = F.lit(0).cast("long")
+    for i, p in enumerate(_HEX_POW, start=1):
+        val = val + (F.instr(F.lit(_HEX16), F.substring(h, i, 1)) - 1).cast(
+            "long"
+        ) * F.lit(p)
+    return val
+
+
+def _row_digest_sql(s: str) -> str:
+    h = f"md5({s})"
+    return " + ".join(
+        f"CAST((strpos('{_HEX16}', substr({h}, {i}, 1)) - 1) AS BIGINT) * {p}"
+        for i, p in enumerate(_HEX_POW, start=1)
+    )
+
+
+def _index_digest_spark(rows: DataFrame) -> DataFrame:
+    """16-row full-fidelity digest of a band-row set (doc_id, mhs,
+    bucket_key): grouped by the bucket key's first hex char, carrying
+    count / distinct-doc / id-sum / an order-free row-hash sum. Any
+    single-row difference between two indexes moves at least one digest
+    value with overwhelming probability."""
+    s = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit("|"),
+        F.col("bucket_key"),
+        F.lit("|"),
+        F.array_join(F.col("mhs"), ""),
+    )
+    return (
+        rows.groupBy(F.substring("bucket_key", 1, 1).alias("bucket_prefix"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(_row_digest_spark(s)).cast("bigint").alias("digest"),
+        )
+    )
+
+
+def lsh_merged_index(spark: SparkSession, sf_dir: str) -> str:
+    """The MERGED persisted signature index for ``sf_dir``: the corpus
+    build (lowest 9 id deciles) plus the new shard's band rows APPENDED
+    as additional bucketed files — built once per process, like
+    lsh_shard_index. The append goes through the same
+    bucketBy/sortBy/saveAsTable spec, so Spark routes the shard rows into
+    the existing 8-bucket layout as NEW files per bucket; nothing already
+    on disk is rewritten (tests/test_incremental_index.py pins the
+    pre-append file set byte-identical) and the catalog keeps the
+    bucketed metadata, so post-merge probes still join Exchange-free."""
+    if sf_dir not in _LSH_MERGED_CACHE:
+        import hashlib
+        import tempfile
+
+        tbl = "lsh_merged_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = tempfile.mkdtemp(prefix="lsh_merged_")
+        write_corpus_index(spark, sf_dir, tbl, f"{path}/{tbl}")
+        append_shard_index(spark, sf_dir, tbl)
+        _LSH_MERGED_CACHE[sf_dir] = tbl
+    return _LSH_MERGED_CACHE[sf_dir]
+
+
+def write_corpus_index(spark: SparkSession, sf_dir: str, tbl: str, path: str) -> None:
+    """Step 1 of the merge: the corpus slice's band rows as a fresh
+    bucketed+sorted table (same spec as lsh_shard_index)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    bound = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    corpus = d.filter(F.col("doc_id") * 10 < _SHARD_DECILES * bound)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        _band_rows(_signatures_spark(corpus))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(8, "bucket_key")
+        .sortBy("bucket_key")
+        .saveAsTable(tbl)
+    )
+
+
+def append_shard_index(spark: SparkSession, sf_dir: str, tbl: str) -> None:
+    """Step 2 of the merge: the shard slice's band rows appended into the
+    existing bucket layout — new files per bucket, nothing rewritten."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    bound = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    shard = d.filter(F.col("doc_id") * 10 >= _SHARD_DECILES * bound)
+    (
+        _band_rows(_signatures_spark(shard))
+        .write.mode("append")
+        .bucketBy(8, "bucket_key")
+        .sortBy("bucket_key")
+        .saveAsTable(tbl)
+    )
+
+
+@register(
+    "dedup_incremental_index_merge",
+    oracle=f"""
+    WITH shingles AS ({{SHINGLES}}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_SEEDS))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, md5('{b}|' || {' || '.join(f'mh{s}' for s in band)}) AS bucket_key, "
+        f"{' || '.join(f'mh{s}' for s in range(N_SEEDS))} AS sig_cat FROM sigs"
+        for b, band in enumerate(_BANDS)
+      )}
+    )
+    SELECT substr(bucket_key, 1, 1) AS bucket_prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM({_row_digest_sql("CAST(doc_id AS VARCHAR) || '|' || bucket_key || '|' || sig_cat")}) AS BIGINT) AS digest
+    FROM bands
+    GROUP BY 1
+    """.replace("{SHINGLES}", _SHINGLES_SQL),
+)
+def dedup_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE for incremental dedup — the write half that
+    dedup_incremental_new_shard's probe half assumes: the new shard's
+    band rows are APPENDED into the persisted bucketed signature index
+    (new files inside the existing 8-bucket layout; no rewrite of what's
+    on disk), and the merged index is then READ BACK and digested. The
+    oracle recomputes the FULL corpus-plus-shard index from raw text and
+    digests identically — so the comparison proves the append-maintained
+    index is row-for-row equal to a from-scratch rebuild: nothing lost,
+    nothing duplicated, signatures byte-faithful.
+
+    The digest is 16 rows (bucket-key first hex char): count, distinct
+    docs, id-sum, and an order-free row-hash sum over
+    md5(doc_id|bucket_key|signature) evaluated with identical positional
+    hex arithmetic in both engines — a single dropped, duplicated, or
+    corrupted band row moves it.
+
+    Scale: this is the O(batch) crawl-increment operation — per shard,
+    signature cost is the NEW documents only, the append shuffles just
+    the shard's band rows into the bucket layout, and existing index
+    files are immutable (the compaction trigger at 100 TB is file-count
+    per bucket, not data rewritten). The read-back digest here is the
+    audit; production probes keep joining the merged table Exchange-free
+    (tests/test_incremental_index.py pins both properties)."""
+    tbl = lsh_merged_index(spark, sf_dir)
+    return _index_digest_spark(spark.table(tbl))

@@ -13,8 +13,14 @@ exercises:
   state schema is part of the operator contract (checkpoint-evolvable),
   not a positional tuple convention;
 - the same lifecycle (timers, TTL, initial state) the Scala
-  transformWithState exposes — timers/TTL are deliberately NOT used
-  here so the replay stays deterministic and oracle-checkable.
+  transformWithState exposes. The profile/top-K operators deliberately
+  run timer-free (timeMode="None") so their replays are trivially
+  deterministic; stream_tws_session_timers covers the TIMER lifecycle
+  (timeMode="EventTime", registerTimer/deleteTimer/listTimers +
+  handleExpiredTimer) and stays oracle-checkable through the sentinel
+  watermark-flush idiom (replay.spool_event_chunks sentinel_chunks) —
+  every session provably closes, so the oracle is the plain batch
+  gaps-and-islands SQL with no open-session boundary condition.
 
 ENVIRONMENT GATE (unlocked r13): the PySpark-side TWS state client
 speaks protobuf to the JVM state server
@@ -353,3 +359,237 @@ def stream_tws_topk_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --- Event-time timers: the TWS lifecycle surface (r13) ----------------------
+
+# 6-hour inactivity gap: at the generated event density (~67 events/user
+# over 30 days at every SF — user count scales with data, per-user density
+# does not) this yields several multi-event sessions per user, so both the
+# island-merge path and the timer path carry real weight in the oracle.
+SESSION_GAP_US = 6 * 3600 * 1_000_000
+SESSION_GAP_MS = SESSION_GAP_US // 1_000
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, total_cents bigint"
+)
+
+
+class GapSessionizer(StatefulProcessor):
+    """Per-user inactivity-gap sessionizer driven by EVENT-TIME TIMERS —
+    the TWS lifecycle member the state-only processors above never touch.
+
+    State: one ValueState holding the OPEN session (start_us, end_us,
+    n_events, cents) — O(1) per key forever. Each input batch folds its
+    rows into islands (vectorized numpy cumsum over the sorted gap
+    breaks); islands closed by a successor gap are emitted immediately
+    from handleInputRows, and the trailing open island goes back to state
+    with an event-time timer registered at end_us/1000 + gap. When the
+    watermark passes that expiry, handleExpiredTimer closes and emits the
+    session — the "no more data ever arrives" half of sessionization that
+    pure input-driven folding cannot express.
+
+    Timer hygiene: handleInputRows deletes every still-listed timer
+    before registering the session's current expiry (listTimers +
+    deleteTimer — the full timer API), and handleExpiredTimer validates
+    the fired expiry against the CURRENT open session's expected expiry
+    before emitting. A stale timer (its session already closed by a
+    successor island, or extended to a later expiry) therefore no-ops
+    regardless of Spark's fire-vs-input ordering within the batch —
+    every session is emitted exactly once, with no dependence on
+    undocumented ordering.
+
+    Determinism contract (why the oracle can hash-check this): the replay
+    is in-order (contiguous event-time chunks), so a timer can never fire
+    for a session that later data would have extended — any row arriving
+    after the watermark passed end+gap is by construction more than one
+    gap away. The harness's two far-future sentinel batches advance and
+    then apply a watermark past every real expiry, so ALL sessions close
+    and the oracle is the complete batch gaps-and-islands partition."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.open = handle.getValueState(
+            "open", "start_us bigint, end_us bigint, n bigint, cents bigint"
+        )
+
+    @staticmethod
+    def _row(key, s) -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_us": [s[0]],
+                "session_end_us": [s[1]],
+                "n_events": [s[2]],
+                "total_cents": [s[3]],
+            }
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        df = pd.concat(list(rows)).sort_values("ts_us")
+        us = df["ts_us"].to_numpy(dtype="int64")
+        cents = df["cents"].to_numpy(dtype="int64")
+
+        brk = np.empty(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
+        # islands are CONTIGUOUS runs of the ts-sorted rows, so reduceat
+        # segments keep the arithmetic int64-exact end to end (no float
+        # accumulator anywhere)
+        idx = np.flatnonzero(brk)
+        starts = us[idx]
+        ends = np.maximum.reduceat(us, idx)
+        counts = np.diff(np.append(idx, len(us)))
+        sums = np.add.reduceat(cents, idx)
+        islands = [
+            (int(starts[i]), int(ends[i]), int(counts[i]), int(sums[i]))
+            for i in range(len(idx))
+        ]
+
+        closed = []
+        if self.open.exists():
+            cur = tuple(self.open.get())
+            if islands[0][0] - cur[1] <= SESSION_GAP_US:
+                first = islands[0]
+                islands[0] = (
+                    cur[0],
+                    max(cur[1], first[1]),
+                    cur[2] + first[2],
+                    cur[3] + first[3],
+                )
+            else:
+                closed.append(cur)
+        closed.extend(islands[:-1])
+        cur = islands[-1]
+        self.open.update(cur)
+        for expiry in list(self.handle.listTimers()):
+            self.handle.deleteTimer(
+                expiry[0] if isinstance(expiry, tuple) else expiry
+            )
+        self.handle.registerTimer(cur[1] // 1_000 + SESSION_GAP_MS)
+        for s in closed:
+            yield self._row(key, s)
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo
+    ) -> Iterator["pd.DataFrame"]:
+        if self.open.exists():
+            s = tuple(self.open.get())
+            if s[1] // 1_000 + SESSION_GAP_MS == expiredTimerInfo.getExpiryTimeInMs():
+                self.open.clear()
+                yield self._row(key, s)
+
+    def close(self) -> None:
+        pass
+
+
+def gap_session_stream(stream: DataFrame) -> DataFrame:
+    """stream-DF -> stream-DF wrapper. The event-time column stays `ts`
+    (watermarked); the processor consumes pre-computed JVM-side columns
+    only — epoch-µs ints and quantized integer cents — so the pandas side
+    never touches timezone/unit conversions."""
+    return (
+        stream.withWatermark("ts", "10 seconds")
+        .select(
+            "ts",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=GapSessionizer(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+_TWS_SESSION_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), m AS (
+      SELECT user_id, us, cents,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us, cents,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM g GROUP BY user_id, sid
+"""
+
+
+def _maybe_register_sessions(fn):
+    if _protobuf_available():
+        return register(
+            "stream_tws_session_timers", oracle=_TWS_SESSION_ORACLE
+        )(fn)
+    return fn
+
+
+@_maybe_register_sessions
+def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas in EVENT-TIME mode with registered
+    timers: per-user 6-hour-gap sessions replayed over 4 genuine
+    micro-batches plus the two sentinel watermark-flush batches, checked
+    bit-exact against the batch gaps-and-islands SQL. Sessions closed by
+    a successor island are emitted from handleInputRows; each user's LAST
+    session can only be emitted by handleExpiredTimer firing when the
+    sentinel-advanced watermark passes end+gap — so a silent timer
+    regression is a missing-rows hash mismatch, not a latency change
+    (tests/test_tws.py additionally proves the no-sentinel replay emits
+    exactly the non-final sessions).
+
+    Same environment gate and RocksDB-provider pin as the other TWS
+    queries. Scale: O(1) state per key (one open session + one timer);
+    the sentinel batches are harness plumbing — a production stream
+    always has a next batch to advance the watermark."""
+    import shutil as _shutil
+
+    from .replay import chunked_replay, spool_event_chunks
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    spool = spool_event_chunks(spark, sf_dir, n_chunks=4, sentinel_chunks=2)
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocksdb)
+    try:
+        tbl, batches = chunked_replay(
+            spark, sf_dir, gap_session_stream, output_mode="append", spool=spool
+        )
+        assert batches >= 6, f"expected >=6 micro-batches, got {batches}"
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+        _shutil.rmtree(spool, ignore_errors=True)
+    # Sentinel users (negative ids) are harness clock-movers; dropped on
+    # the BATCH result, never inside the streaming transform (a filter
+    # there is pushed below withWatermark and freezes the clock — see
+    # stream_stream_left_outer_join).
+    return tbl.where(F.col("user_id") >= 0)

@@ -122,3 +122,82 @@ def test_incremental_shard_dedup_semantics(spark, shard_corpus):
     assert 2 in qualifying  # the planted exact dup qualifies
     assert cluster == min(qualifying)
     assert n == len(qualifying)
+
+def test_lsh_index_merge_is_append_only_and_rebuild_equal(spark, tmp_path):
+    """dedup_incremental_index_merge's two on-disk contracts, observed
+    between the build steps: (1) appending the shard's band rows leaves
+    every pre-existing index file byte-identical (O(batch) maintenance —
+    no corpus rewrite), adding new files; (2) the merged table read back
+    digests EQUAL to a from-scratch full-corpus index built in one pass
+    (the Spark-side complement of the DuckDB oracle, which recomputes the
+    digest from raw text)."""
+    import glob
+    import hashlib
+    import os
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        _band_rows,
+        _index_digest_spark,
+        _signatures_spark,
+        append_shard_index,
+        write_corpus_index,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    tbl = "lsh_merge_test_tbl"
+    path = str(tmp_path / tbl)
+    try:
+        write_corpus_index(spark, SF, tbl, path)
+
+        def snapshot():
+            out = {}
+            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True):
+                if os.path.isfile(f) and not f.endswith("_SUCCESS"):
+                    out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+            return out
+
+        before = snapshot()
+        assert before, "corpus build wrote no files?"
+        append_shard_index(spark, SF, tbl)
+        after = snapshot()
+        for f, digest in before.items():
+            assert f in after and after[f] == digest, f"rewrote {f}"
+        assert len(after) > len(before), "append added no files"
+
+        docs = load_tables(spark, SF, names=("documents",))["documents"]
+        full = _index_digest_spark(_band_rows(_signatures_spark(docs)))
+        merged = _index_digest_spark(spark.table(tbl))
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_merged_index_probe_stays_colocated(spark):
+    """Appending must not cost the index its bucketed-join property: a
+    probe joined against the MERGED table (multiple files per bucket)
+    still reads a bucketed scan with no Exchange on the index side."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        _band_rows,
+        _signatures_spark,
+        lsh_merged_index,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans.explain import (
+        plan_string,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    tbl = lsh_merged_index(spark, SF)
+    d = load_tables(spark, SF, names=("documents",))["documents"]
+    probe = _band_rows(_signatures_spark(d.limit(20))).select(
+        F.col("doc_id").alias("doc_b"), "bucket_key"
+    )
+    idx = spark.table(tbl).select(F.col("doc_id").alias("doc_a"), "bucket_key")
+    joined = idx.hint("merge").join(probe, "bucket_key")
+    plan = plan_string(joined, mode="simple")
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange hashpartitioning(bucket_key") == 1, plan

@@ -26,6 +26,7 @@ def test_gate_matches_environment():
     avail = _protobuf_available()
     assert ("stream_transform_with_state" in registry.QUERIES) == avail
     assert ("stream_tws_topk_liststate" in registry.QUERIES) == avail
+    assert ("stream_tws_session_timers" in registry.QUERIES) == avail
 
 
 def test_tws_cumulative_profile_matches_batch(spark):
@@ -94,3 +95,135 @@ def test_tws_liststate_topk_matches_batch(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+def _batch_sessions(spark, sf_dir):
+    """Batch gaps-and-islands formulation of the 6h-gap sessions (the
+    Spark-side mirror of the DuckDB oracle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.tws import (
+        SESSION_GAP_US,
+    )
+
+    e = load_tables(spark, sf_dir, names=("events",))["events"].select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    brk = (
+        F.col("us") - F.lag("us").over(w) > SESSION_GAP_US
+    ) | F.lag("us").over(w).isNull()
+    return (
+        e.withColumn("brk", brk.cast("int"))
+        .withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").cast("bigint").alias("session_start_us"),
+            F.max("us").cast("bigint").alias("session_end_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .drop("sid")
+    )
+
+
+def test_tws_session_timers_matches_batch(spark):
+    """Event-time-timer sessionization replayed over 4 data + 2 sentinel
+    micro-batches equals the batch gaps-and-islands partition exactly —
+    only possible if (a) open-session state carried across batches, (b)
+    every timer fired exactly once when the watermark passed end+gap, and
+    (c) stale timers (sessions closed by a successor island or extended
+    to a later expiry) no-op'd."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state client needs protobuf (deploy: pip install protobuf)",
+    )
+    registry.load_all()
+    got = registry.QUERIES["stream_tws_session_timers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    want = _batch_sessions(spark, "/root/testdata/sf0.001")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_tws_timer_path_is_what_flushes_final_sessions(spark):
+    """Negative control proving handleExpiredTimer carries real weight:
+    WITHOUT the sentinel watermark-flush batches the replay must emit a
+    strict SUBSET — everything it emits is a genuine session, every
+    missing session is some user's LAST one (only a final flush can close
+    those), and the user holding the globally-latest event is always
+    among the missing (nothing can ever advance the watermark past their
+    expiry)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state client needs protobuf (deploy: pip install protobuf)",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.replay import (
+        chunked_replay,
+        spool_event_chunks,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.streaming.tws import (
+        gap_session_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    spool = spool_event_chunks(spark, sf_dir, n_chunks=4, sentinel_chunks=0)
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocksdb)
+    try:
+        tbl, _ = chunked_replay(
+            spark, sf_dir, gap_session_stream, output_mode="append", spool=spool
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+        import shutil
+
+        shutil.rmtree(spool, ignore_errors=True)
+    partial = tbl.where(F.col("user_id") >= 0)
+    full = _batch_sessions(spark, sf_dir)
+
+    # (a) no spurious emissions: partial ⊆ full
+    assert partial.exceptAll(full).count() == 0
+    missing = full.exceptAll(partial)
+    n_missing = missing.count()
+    assert n_missing > 0, "sentinel-free replay flushed everything?"
+
+    # (b) every missing session is some user's LAST session
+    w = Window.partitionBy("user_id").orderBy(F.col("session_end_us").desc())
+    last = (
+        full.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert missing.exceptAll(last).count() == 0
+
+    # (c) the globally-latest user's final session can never self-flush
+    top = (
+        full.orderBy(F.col("session_end_us").desc()).limit(1).collect()[0]
+    )
+    assert (
+        missing.filter(F.col("user_id") == top["user_id"])
+        .filter(F.col("session_end_us") == top["session_end_us"])
+        .count()
+        == 1
+    )

@@ -238,6 +238,7 @@ HEADLINE = [
     # amortized convention as ann_ivf_persisted_probe
     "dedup_incremental_new_shard",
     "ann_ivf_incremental_add",
+    "dedup_incremental_index_merge",
 ]
 
 

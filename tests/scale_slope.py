@@ -77,6 +77,7 @@ QUERIES = [
     "graph_k_core_peel",
     "dedup_incremental_new_shard",
     "ann_ivf_incremental_add",
+    "dedup_incremental_index_merge",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -114,6 +115,7 @@ EXPECTED = {
     "graph_k_core_peel": "~linear in edges: persisted edge list, one degree aggregate per round (r11 sf1 superlinearity was the DuckDB oracle's inlined CTEs, fixed via AS MATERIALIZED)",
     "dedup_incremental_new_shard": "linear: index build is one corpus signature pass (amortized: cached per process); probe cost is shard-sized band rows + co-located index merge join",
     "ann_ivf_incremental_add": "~linear in vectors: map-only assignment + appended cell files; probe scans only the pruned cells (fixed query count)",
+    "dedup_incremental_index_merge": "linear: one signature pass each side, shuffle-free bucketed writes (amortized: table cached per process); the measured cost is the read-back digest scan",
 }
 
 

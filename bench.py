@@ -239,6 +239,7 @@ HEADLINE = [
     "dedup_incremental_new_shard",
     "ann_ivf_incremental_add",
     "dedup_incremental_index_merge",
+    "ann_ivf_delete_compact",
 ]
 
 

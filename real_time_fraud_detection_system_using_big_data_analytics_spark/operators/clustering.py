@@ -1445,3 +1445,191 @@ def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# --- IVF index maintenance: DELETE via tombstones + targeted compaction ------
+
+_IVF_DEL_CACHE: dict[str, str] = {}
+_DELETE_MOD = 10
+_DELETE_RES = 7   # delete set = vec_id % 10 == 7 (~10% of the index)
+
+
+def ivf_delete_compact_path(spark: SparkSession, sf_dir: str) -> str:
+    """The incremental index COPIED, then a delete batch (vec_id % 10 == 7
+    — the GDPR-shaped erasure slice) applied in the two production
+    phases, both observable from tests:
+
+    1. TOMBSTONE — the deleted (vec_id, cell) rows land in a sidecar
+       parquet next to the index: O(deletes) and immediate; a probe
+       anti-joins the sidecar until compaction runs (both read paths are
+       proven equal in tests/test_incremental_index.py).
+    2. COMPACT — ONLY cells containing at least one tombstone are
+       rewritten: survivors are staged cell-partitioned and each
+       affected cell directory is swapped for its staged replacement
+       (see ivf_compact_deletes for why the swap is explicit rather
+       than partitionOverwriteMode=dynamic); cells with no deletions
+       keep their original files byte-identical, a fully-deleted cell's
+       directory is removed, and the tombstone sidecar is cleared last.
+
+    At 100 TB this is the erasure cost model to design for: deletes are
+    metadata-sized until compaction, and compaction I/O is proportional
+    to AFFECTED data, never index size."""
+    if sf_dir not in _IVF_DEL_CACHE:
+        import shutil
+        import tempfile
+
+        src = ivf_incremental_index_path(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="ivf_del_index_")
+        shutil.rmtree(path)
+        shutil.copytree(src, path)
+        tomb_path = ivf_apply_tombstones(spark, path)
+        ivf_compact_deletes(spark, path, tomb_path)
+        _IVF_DEL_CACHE[sf_dir] = path
+    return _IVF_DEL_CACHE[sf_dir]
+
+
+def ivf_apply_tombstones(spark: SparkSession, path: str) -> str:
+    """Phase 1: write the delete slice's (vec_id, cell) rows to the
+    sidecar next to ``path``; returns the sidecar path. O(deletes) —
+    the index itself is untouched."""
+    tomb_path = path + "_tombstones"
+    idx = spark.read.parquet(path)
+    tomb = idx.filter(
+        F.col("vec_id") % _DELETE_MOD == _DELETE_RES
+    ).select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+    tomb.coalesce(1).write.mode("overwrite").parquet(tomb_path)
+    return tomb_path
+
+
+def ivf_compact_deletes(spark: SparkSession, path: str, tomb_path: str) -> None:
+    """Phase 2: rewrite ONLY the cells holding at least one tombstone.
+    Survivors of affected cells are written to a STAGING directory
+    (cell-partitioned), then each affected cell directory is swapped for
+    its staged replacement — the write-audit-publish discipline
+    partitionOverwriteMode=dynamic implements internally, done explicitly
+    here because the survivors are computed FROM the directory being
+    replaced (a same-path overwrite would race its own scan). An
+    affected cell with zero survivors simply has no staged replacement
+    and its directory is removed; untouched cells keep their files
+    byte-identical. The sidecar is cleared last, so a reader applying
+    tombstones stays correct at every instant of the swap."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tomb = spark.read.parquet(tomb_path)
+    affected = [int(r["cell"]) for r in tomb.select("cell").distinct().collect()]
+    staging = tempfile.mkdtemp(prefix="ivf_compact_staging_")
+    try:
+        survivors = (
+            spark.read.parquet(path)
+            .filter(F.col("cell").cast("bigint").isin(affected))
+            .join(tomb.select("vec_id"), "vec_id", "left_anti")
+        )
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        for cell in affected:
+            for d in glob.glob(os.path.join(path, f"cell={cell}")):
+                shutil.rmtree(d, ignore_errors=True)
+            staged = os.path.join(staging, f"cell={cell}")
+            if os.path.isdir(staged):
+                shutil.move(staged, os.path.join(path, f"cell={cell}"))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+
+
+def _ivf_delete_oracle() -> str:
+    """The incremental-add probe oracle with the delete slice excluded
+    from the INDEX side (queries are vec_id % 100 == 0, never in the
+    % 10 == 7 delete set) — ranks recomputed over the survivors, so a
+    deleted vector surviving compaction OR a survivor lost with it is a
+    value mismatch."""
+    from .similarity import _cosine_sql
+
+    w = (
+        f"WHERE vec_id * 10 < {_IVF_BASE_DECILES} * "
+        "(SELECT MAX(vec_id) + 1 FROM embeddings)"
+    )
+    sql, cent = centroid_chain_sql(where=w)
+    sql += """,
+    vecs_all AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""
+    sql += "," + _assign_sql(cent, "cells", src="vecs_all")
+    cos = _cosine_sql("q.embedding", "v.embedding")
+    sql += f"""
+    , scored AS (
+      SELECT cq.vec_id AS q_id, cv.vec_id, cq.cid AS cell,
+             {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY cq.vec_id
+                                ORDER BY {cos} DESC, cv.vec_id) AS rn
+      FROM cells cq
+      JOIN cells cv ON cv.cid = cq.cid AND cv.vec_id <> cq.vec_id
+                   AND cv.vec_id % {_DELETE_MOD} <> {_DELETE_RES}
+      JOIN embeddings q ON q.vec_id = cq.vec_id
+      JOIN embeddings v ON v.vec_id = cv.vec_id
+      WHERE cq.vec_id % 100 = 0
+    )
+    SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell,
+           {q_sql("cosine")} AS cosine, rn
+    FROM scored WHERE rn <= 3
+    """
+    return sql
+
+
+@register("ann_ivf_delete_compact", oracle=_ivf_delete_oracle())
+def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance, the erasure half: nprobe=1 probe against the
+    persisted IVF index AFTER a ~10% delete batch (vec_id % 10 == 7) was
+    tombstoned and compacted (ivf_delete_compact_path) — completing the
+    maintenance pair with ann_ivf_incremental_add (grow) on the same
+    frozen-quantizer index. The probe carries NO delete filter of its
+    own: correctness comes entirely from the compacted files, so the
+    oracle (which recomputes the probe over survivors from raw
+    embeddings, ranks included) catches a deleted vector surviving
+    compaction, a survivor lost with it, or a cell whose rewrite drifted
+    the stored embeddings/norms.
+
+    Scale: deletes are tombstone-sidecar-sized until compaction;
+    compaction rewrites only cells containing deletions (staged
+    survivors swapped in per affected cell directory), so erasure I/O is
+    proportional to affected cells, never index size. Probe plan identical to ann_ivf_persisted_probe
+    (partition-pruned scan + broadcast query side, pinned in
+    tests/test_incremental_index.py)."""
+    from .similarity import _dot
+
+    cents = fitted_centroids_base(spark, sf_dir)
+    path = ivf_delete_compact_path(spark, sf_dir)
+    queries = _ivf_query_side(spark, sf_dir, cents, 1).select(
+        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
+    )
+    probe_cells = [
+        r["probe_cell"] for r in queries.select("probe_cell").distinct().collect()
+    ]
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id", "embedding", "e_norm", F.col("cell").cast("bigint").alias("cell")
+        )
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        index.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            q(F.col("cosine_raw")).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -20,7 +20,11 @@ exercises:
   handleExpiredTimer) and stays oracle-checkable through the sentinel
   watermark-flush idiom (replay.spool_event_chunks sentinel_chunks) —
   every session provably closes, so the oracle is the plain batch
-  gaps-and-islands SQL with no open-session boundary condition.
+  gaps-and-islands SQL with no open-session boundary condition;
+  stream_tws_initial_state covers the BOOTSTRAP lifecycle
+  (handleInitialState + a batch initialState relation — keyed state
+  warm-started from a batch profile, the migration shape), proven as a
+  full-history value equality.
 
 ENVIRONMENT GATE (unlocked r13): the PySpark-side TWS state client
 speaks protobuf to the JVM state server
@@ -593,3 +597,174 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there is pushed below withWatermark and freezes the clock — see
     # stream_stream_left_outer_join).
     return tbl.where(F.col("user_id") >= 0)
+
+
+# --- Initial state: the TWS bootstrap surface (r13) ---------------------------
+
+BOOT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+
+
+class BootstrappedProfile(StatefulProcessor):
+    """Per-user cumulative (count, integer-cents) profile whose state is
+    WARM-STARTED from a batch DataFrame via handleInitialState — the TWS
+    lifecycle member the timer/typed-state operators don't touch, and the
+    production migration shape: cut a streaming pipeline over from a
+    batch system by bootstrapping its keyed state from the batch profile
+    instead of replaying history.
+
+    handleInitialState receives one pandas DataFrame per key (invoked in
+    the first batch only) and seeds the ValueState; handleInputRows then
+    accumulates exactly like a long-running stream would. The final
+    emitted row per user therefore equals the batch GROUP BY over
+    history + stream — only possible if the bootstrap loaded every
+    initial row exactly and the accumulation never double-counted it."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.totals = handle.getValueState("totals", "n bigint, cents bigint")
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self.totals.update(
+            (int(initialState["n_events"].iloc[0]),
+             int(initialState["total_cents"].iloc[0]))
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, cents = (
+            tuple(self.totals.get()) if self.totals.exists() else (0, 0)
+        )
+        for batch in rows:
+            n += len(batch)
+            cents += int((batch["value"] * 100 + 0.5).astype("int64").sum())
+        self.totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+_TWS_BOOT_ORACLE = """
+    WITH ranked AS (
+      SELECT user_id, ntile(4) OVER (ORDER BY ts, event_id) AS q
+      FROM events
+    ),
+    stream_users AS (SELECT DISTINCT user_id FROM ranked WHERE q > 2)
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e
+    JOIN stream_users s ON s.user_id = e.user_id
+    GROUP BY e.user_id
+"""
+
+
+def _maybe_register_boot(fn):
+    if _protobuf_available():
+        return register(
+            "stream_tws_initial_state", oracle=_TWS_BOOT_ORACLE
+        )(fn)
+    return fn
+
+
+@_maybe_register_boot
+def stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with INITIAL STATE — the batch-to-stream
+    migration: the first two event-time quartiles of events (the
+    'history' a batch system owns) are aggregated into a per-user batch
+    profile and handed to the operator as initialState; the stream then
+    replays ONLY the last two quartiles as genuine micro-batches. Each
+    user's final emitted row must equal the batch GROUP BY over the FULL
+    table — bit-exact — which is only possible if handleInitialState
+    seeded every bootstrapped key exactly once and accumulation started
+    from the seeded values, not zero (oracle scope: users with at least
+    one stream-half event, since a pure-history key never passes through
+    handleInputRows and TWS emits nothing for it).
+
+    The history/stream boundary is the same rank statistic in both
+    engines (ntile(4) OVER (ORDER BY ts, event_id) — the exact split
+    spool_event_chunks uses), so the cut is deterministic cross-engine.
+    Scale: the bootstrap is a one-time co-grouped pass over the initial
+    state relation in batch 0 — O(keys), shuffled once on the grouping
+    key like any keyed state; after that the operator is the ordinary
+    O(1)-state profile. Same protobuf gate and RocksDB pin as the other
+    TWS queries."""
+    import glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from .replay import chunked_replay, spool_event_chunks
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    spool = spool_event_chunks(spark, sf_dir, n_chunks=4)
+    stream_spool = tempfile.mkdtemp(prefix="replay_boot_")
+    try:
+        # history = quartiles 1-2 (chunk files), stream = quartiles 3-4
+        # renamed into a fresh spool (chunk order preserved via utime)
+        history = spark.read.parquet(
+            _os.path.join(spool, "chunk_0001.parquet"),
+            _os.path.join(spool, "chunk_0002.parquet"),
+        )
+        profile = (
+            history.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+        for i, src in enumerate(
+            sorted(glob.glob(_os.path.join(spool, "chunk_000[34].parquet"))),
+            start=1,
+        ):
+            dest = _os.path.join(stream_spool, f"chunk_{i:04d}.parquet")
+            _shutil.copy(src, dest)
+            _os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
+
+        def transform(stream: DataFrame) -> DataFrame:
+            return stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=BootstrappedProfile(),
+                outputStructType=BOOT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+                initialState=profile.groupBy("user_id"),
+            )
+
+        prev = spark.conf.get(conf, None)
+        spark.conf.set(conf, rocksdb)
+        try:
+            tbl, batches = chunked_replay(
+                spark, sf_dir, transform, output_mode="update", spool=stream_spool
+            )
+            assert batches >= 2, f"expected a multi-batch replay, got {batches}"
+        finally:
+            if prev is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prev)
+    finally:
+        _shutil.rmtree(spool, ignore_errors=True)
+        _shutil.rmtree(stream_spool, ignore_errors=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

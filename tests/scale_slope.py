@@ -78,6 +78,7 @@ QUERIES = [
     "dedup_incremental_new_shard",
     "ann_ivf_incremental_add",
     "dedup_incremental_index_merge",
+    "ann_ivf_delete_compact",
 ]
 # expected asymptotics per query (documented, so a "super-linear" reading
 # of the exact radius search isn't mistaken for a regression)
@@ -116,6 +117,7 @@ EXPECTED = {
     "dedup_incremental_new_shard": "linear: index build is one corpus signature pass (amortized: cached per process); probe cost is shard-sized band rows + co-located index merge join",
     "ann_ivf_incremental_add": "~linear in vectors: map-only assignment + appended cell files; probe scans only the pruned cells (fixed query count)",
     "dedup_incremental_index_merge": "linear: one signature pass each side, shuffle-free bucketed writes (amortized: table cached per process); the measured cost is the read-back digest scan",
+    "ann_ivf_delete_compact": "~linear in vectors: tombstone scan + affected-cell staged rewrite (amortized: index cached per process); probe scans only the pruned cells (fixed query count)",
 }
 
 

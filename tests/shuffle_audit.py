@@ -118,6 +118,7 @@ AUDIT: dict[str, tuple[str, str] | None] = {
     # r13 merge half: signature aggs for both slices + the 16-row digest;
     # the bucketed writes themselves are shuffle-free (in-task sort).
     "dedup_incremental_index_merge": ("sigs + digest only: shuffle_write < 6 MB", "m['shuffle_write_mb'] < 6"),
+    "ann_ivf_delete_compact": ("pruned probe, partial top-k: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
     "ann_range_search_cells": ("in-cell pairs: shuffle_write < 4 MB", "m['shuffle_write_mb'] < 4"),
     "ann_range_search_recall": ("broadcast anchors: shuffle_write < 2 MB", "m['shuffle_write_mb'] < 2"),
     # binary quantization: 8-byte signatures map-only, 10xQ shortlist rows

@@ -201,3 +201,97 @@ def test_merged_index_probe_stays_colocated(spark):
     plan = plan_string(joined, mode="simple")
     assert "Bucketed: true" in plan, plan
     assert plan.count("Exchange hashpartitioning(bucket_key") == 1, plan
+
+
+def test_ivf_delete_compact_two_phase_contracts(spark, tmp_path):
+    """The erasure pair's on-disk contracts, observed between phases on a
+    private index copy: (1) tombstoning leaves every index file
+    untouched and the tombstone-aware read path (anti-join) already
+    serves the post-delete answer; (2) compaction rewrites EXACTLY the
+    affected cell directories (unaffected files byte-identical, every
+    pre-compaction file of an affected cell gone), removes the sidecar,
+    and the read-back equals the anti-join view row-for-row — i.e. the
+    original index minus the delete slice, nothing else."""
+    import glob
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.clustering import (
+        _DELETE_MOD,
+        _DELETE_RES,
+        ivf_apply_tombstones,
+        ivf_compact_deletes,
+        ivf_incremental_index_path,
+    )
+
+    src = ivf_incremental_index_path(spark, SF)
+    path = str(tmp_path / "ivf_idx")
+    shutil.copytree(src, path)
+
+    def rows():
+        return sorted(
+            (r["vec_id"], r["cell"], r["e_norm"])
+            for r in spark.read.parquet(path)
+            .select("vec_id", F.col("cell").cast("bigint").alias("cell"), "e_norm")
+            .collect()
+        )
+
+    def snapshot():
+        out = {}
+        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True):
+            if os.path.isfile(f) and not f.endswith("_SUCCESS"):
+                out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    def cell_of(f):
+        m = re.search(r"cell=(\d+)", f)
+        return int(m.group(1)) if m else None
+
+    before = rows()
+    snap0 = snapshot()
+    tomb_path = ivf_apply_tombstones(spark, path)
+    assert snapshot() == snap0, "tombstoning touched index files"
+
+    tomb = spark.read.parquet(tomb_path)
+    tomb_ids = {r["vec_id"] for r in tomb.select("vec_id").collect()}
+    affected = {int(r["cell"]) for r in tomb.select("cell").distinct().collect()}
+    assert tomb_ids == {v for v, _, _ in before if v % _DELETE_MOD == _DELETE_RES}
+    via_anti = sorted(
+        (r["vec_id"], r["cell"], r["e_norm"])
+        for r in spark.read.parquet(path)
+        .join(tomb.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.col("cell").cast("bigint").alias("cell"), "e_norm")
+        .collect()
+    )
+
+    ivf_compact_deletes(spark, path, tomb_path)
+    snap1 = snapshot()
+    for f, dig in snap0.items():
+        if cell_of(f) not in affected:
+            assert snap1.get(f) == dig, f"unaffected file changed: {f}"
+        else:
+            assert f not in snap1, f"affected-cell file survived compaction: {f}"
+    assert not os.path.exists(tomb_path), "sidecar not cleared"
+    after = rows()
+    assert after == via_anti
+    assert after == [t for t in before if t[0] not in tomb_ids]
+
+
+def test_ivf_delete_compact_probe_is_partition_pruned(spark):
+    """Same plan contract as the add twin: the compacted index scan must
+    prune to the probed cells at plan time and broadcast the query side."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans import (
+        registry,
+    )
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.plans.explain import (
+        plan_string,
+    )
+
+    registry.load_all()
+    df = registry.QUERIES["ann_ivf_delete_compact"](spark, SF)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan, plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300], plan
+    assert "CartesianProduct" not in plan, plan

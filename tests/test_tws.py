@@ -27,6 +27,7 @@ def test_gate_matches_environment():
     assert ("stream_transform_with_state" in registry.QUERIES) == avail
     assert ("stream_tws_topk_liststate" in registry.QUERIES) == avail
     assert ("stream_tws_session_timers" in registry.QUERIES) == avail
+    assert ("stream_tws_initial_state" in registry.QUERIES) == avail
 
 
 def test_tws_cumulative_profile_matches_batch(spark):
@@ -227,3 +228,61 @@ def test_tws_timer_path_is_what_flushes_final_sessions(spark):
         .count()
         == 1
     )
+
+
+def test_tws_initial_state_bootstrap_matches_full_history(spark):
+    """The warm-start replay (history quartiles 1-2 as initialState,
+    stream = quartiles 3-4 only) must equal the batch GROUP BY over the
+    FULL events table for every user with a stream-half event — only
+    possible if handleInitialState seeded each bootstrapped key exactly
+    once and accumulation continued from the seed. A zero-seeded or
+    double-seeded bootstrap shifts every bootstrapped user's totals."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state client needs protobuf (deploy: pip install protobuf)",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.sources.tables import (
+        load_tables,
+    )
+
+    registry.load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    got = registry.QUERIES["stream_tws_initial_state"](spark, sf_dir)
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.orderBy("ts", "event_id")
+    stream_users = (
+        ev.withColumn("q", F.ntile(4).over(w))
+        .filter(F.col("q") > 2)
+        .select("user_id")
+        .distinct()
+    )
+    want = (
+        ev.join(stream_users, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the bootstrap carried real weight: at least one user's total exceeds
+    # what the stream half alone could produce
+    half = (
+        ev.withColumn("q", F.ntile(4).over(w))
+        .filter(F.col("q") > 2)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_stream"))
+    )
+    boosted = (
+        got.join(half, "user_id")
+        .filter(F.col("n_events") > F.col("n_stream"))
+        .count()
+    )
+    assert boosted > 0

@@ -1936,3 +1936,116 @@ def dedup_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     (tests/test_incremental_index.py pins both properties)."""
     tbl = lsh_merged_index(spark, sf_dir)
     return _index_digest_spark(spark.table(tbl))
+
+
+@register(
+    "stream_incremental_dedup_ingest",
+    oracle=f"""
+    {{PREFIX}}
+    SELECT doc_a, doc_b, est_jaccard FROM scored
+    """.replace("{PREFIX}", _incremental_pairs_sql()),
+)
+def stream_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingestion pipeline AS A STREAM: new documents arrive in
+    micro-batches (the shard decile split into 2 genuine file-source
+    batches) and each batch is probed against the PERSISTED corpus
+    signature index inside foreachBatch — signatures computed for the
+    batch only, sort-merge-joined co-located against the bucketed index
+    table, duplicate pairs appended to the sink. This is the streaming
+    twin of dedup_incremental_new_shard and shares its ORACLE verbatim:
+    each shard doc lands in exactly one batch, so the union of per-batch
+    probes must equal the one-shot batch probe — a dropped batch, a
+    double-probed file, or any divergence between the streaming and
+    batch read paths of the index is a hash mismatch.
+
+    Why foreachBatch (T1's micro-batch-apply surface) and not a stream-
+    static join: the probe needs the batch side SHINGLED, signed, and
+    banded before the join — a multi-stage batch transformation per
+    micro-batch, exactly the shape foreachBatch exists for; the index
+    side stays a catalog table so the co-located bucketed join is
+    preserved batch after batch. At 100 TB this is the continuous
+    ingestion posture: the crawler ships document files, each trigger
+    probes only its increment, the corpus index is read-only and never
+    recomputed. Output is collected to an output-sized local relation
+    (pairs, not documents) so the temp sink can be reclaimed — the same
+    bounded-result convention as the audit queries."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    tbl, bound = lsh_shard_index(spark, sf_dir)
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    shard = d.filter(F.col("doc_id") * 10 >= _SHARD_DECILES * bound)
+
+    spool = tempfile.mkdtemp(prefix="doc_ingest_spool_")
+    sink = tempfile.mkdtemp(prefix="doc_ingest_sink_")
+    ckpt = tempfile.mkdtemp(prefix="doc_ingest_ckpt_")
+    try:
+        w = Window.orderBy("doc_id")
+        chunked = shard.withColumn("_chunk", F.ntile(2).over(w))
+        for i in (1, 2):
+            part_dir = os.path.join(spool, f"_stage_{i}")
+            (
+                chunked.filter(F.col("_chunk") == i)
+                .drop("_chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dest = os.path.join(spool, f"chunk_{i:04d}.parquet")
+            shutil.move(part_file, dest)
+            shutil.rmtree(part_dir)
+            os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
+
+        schema = spark.read.parquet(os.path.join(spool, "chunk_0001.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(spool)
+        )
+        idx = spark.table(tbl).select(
+            F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mhs_a"), "bucket_key"
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("mhs_a"), F.col("mhs_b"), lambda u, v: u == v),
+                lambda eq: eq,
+            )
+        )
+
+        def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sb = _band_rows(_signatures_spark(batch_df)).select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("mhs").alias("mhs_b"),
+                "bucket_key",
+            )
+            (
+                idx.hint("merge")
+                .join(sb, "bucket_key")
+                .select(
+                    "doc_a", "doc_b", q(agree / float(N_SEEDS)).alias("est_jaccard")
+                )
+                .distinct()
+                .write.mode("append")
+                .parquet(sink)
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        batches = len(query.recentProgress)
+        assert batches >= 2, f"expected a multi-batch ingest, got {batches}"
+        res = spark.read.parquet(sink)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

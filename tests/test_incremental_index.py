@@ -295,3 +295,19 @@ def test_ivf_delete_compact_probe_is_partition_pruned(spark):
     assert "PartitionFilters" in plan, plan
     assert "cell" in plan.split("PartitionFilters")[1][:300], plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_ingest_equals_batch_probe(spark):
+    """The streaming crawl-ingest (2 foreachBatch probes against the
+    persisted index) must emit EXACTLY the one-shot batch probe's pairs —
+    the streaming and batch read paths of the same index agree, and no
+    batch was dropped or double-probed."""
+    from real_time_fraud_detection_system_using_big_data_analytics_spark.operators.dedup import (
+        dedup_incremental_new_shard,
+        stream_incremental_dedup_ingest,
+    )
+
+    got = stream_incremental_dedup_ingest(spark, SF)
+    want = dedup_incremental_new_shard(spark, SF)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

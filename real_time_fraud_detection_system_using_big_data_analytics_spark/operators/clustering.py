@@ -1633,3 +1633,153 @@ def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# --- Refit-drift audit: WHEN to refit the frozen quantizer (r13) -------------
+
+
+def _renamed_base_chain() -> tuple[str, str]:
+    """The base-slice centroid chain with every CTE identifier suffixed
+    `_b`, so it can live in the same WITH clause as the full-corpus
+    chain (both chains otherwise emit identical CTE names — vecs, seeds,
+    c0..c2, a0..a1 and the c{i}_m / c{i}_new recompute helpers, which
+    must be renamed longest-first so `c1` does not clobber `c1_m`)."""
+    import re
+
+    w = (
+        f"WHERE vec_id * 10 < {_IVF_BASE_DECILES} * "
+        "(SELECT MAX(vec_id) + 1 FROM embeddings)"
+    )
+    sql, cent = centroid_chain_sql(where=w)
+    sql = sql.replace("WITH ", "", 1)
+    toks = (
+        [f"c{i}_m" for i in range(1, ITERATIONS + 1)]
+        + [f"c{i}_new" for i in range(1, ITERATIONS + 1)]
+        + [f"c{i}" for i in range(ITERATIONS + 1)]
+        + [f"a{i}" for i in range(ITERATIONS)]
+        + ["vecs", "seeds"]
+    )
+    for tok in toks:
+        sql = re.sub(rf"\b{tok}\b", f"{tok}_b", sql)
+    return sql, f"{cent}_b"
+
+
+def _refit_drift_oracle() -> str:
+    from .similarity import _cosine_sql
+
+    full_sql, cent_f = centroid_chain_sql()
+    base_sql, cent_b = _renamed_base_chain()
+    sql = full_sql + "," + base_sql
+    sql += "," + _assign_sql(cent_f, "cells_f", src="vecs")
+    sql += "," + _assign_sql(cent_b, "cells_bb", src="vecs")
+    cos = _cosine_sql("q.embedding", "v.embedding")
+
+    def top(cells: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT cq.vec_id AS q_id, cv.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cq.vec_id
+                                  ORDER BY {cos} DESC, cv.vec_id) AS rn
+        FROM {cells} cq
+        JOIN {cells} cv ON cv.cid = cq.cid AND cv.vec_id <> cq.vec_id
+        JOIN embeddings q ON q.vec_id = cq.vec_id
+        JOIN embeddings v ON v.vec_id = cv.vec_id
+        WHERE cq.vec_id % 100 = 0
+      ) t WHERE rn <= 3
+    )"""
+
+    sql += "," + top("cells_f", "top_f")
+    sql += "," + top("cells_bb", "top_bb")
+    sql += """
+    , qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT qs.q_id,
+           CAST(COALESCE(nf.n, 0) AS BIGINT) AS n_full,
+           CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_common
+    FROM qs
+    LEFT JOIN (SELECT q_id, COUNT(*) AS n FROM top_f GROUP BY 1) nf
+      ON nf.q_id = qs.q_id
+    LEFT JOIN (SELECT q_id, COUNT(*) AS n FROM top_bb GROUP BY 1) nb
+      ON nb.q_id = qs.q_id
+    LEFT JOIN (
+      SELECT f.q_id, COUNT(*) AS n
+      FROM top_f f JOIN top_bb b ON b.q_id = f.q_id AND b.vec_id = f.vec_id
+      GROUP BY 1
+    ) nc ON nc.q_id = qs.q_id
+    """
+    return sql
+
+
+def _incell_top3(corpus: DataFrame) -> DataFrame:
+    """(q_id, vec_id): each query's in-cell exact top-3 under the given
+    cell assignment — queries are the standard vec_id % 100 == 0 sample,
+    broadcast against the corpus restricted to their cells."""
+    from .similarity import _dot
+
+    q_side = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        corpus.join(
+            F.broadcast(q_side),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+
+
+@register("ann_ivf_refit_drift", oracle=_refit_drift_oracle())
+def ann_ivf_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHEN-TO-REFIT audit for the frozen-quantizer policy the
+    incremental add/delete ops depend on: per probe query, the in-cell
+    exact top-3 under the BASE-fitted centroids (what the incrementally-
+    maintained index routes with) vs under centroids refit on the FULL
+    corpus, and the overlap between the two answer sets. n_common close
+    to n_full means the frozen quantizer still routes queries to cells
+    carrying the same neighbors — keep appending; a falling overlap is
+    the measured signal that enough distribution drift has accumulated
+    to schedule a reindex. Both centroid chains, both assignments, both
+    top-3 sets, and the overlap are recomputed independently by the
+    DuckDB oracle (two fully-renamed Lloyd chains in one WITH clause),
+    so the audit itself is value-checked, not narrated — pure BIGINT
+    counts, no float columns.
+
+    Scale: two map-only assignments (K=8 broadcast centroids) + two
+    in-cell top-3 joins over the bounded query sample — the audit costs
+    two probe passes, nothing corpus-quadratic; at 100 TB it runs on a
+    sampled query panel exactly like this one (vec_id % 100)."""
+    cents_full = fitted_centroids(spark, sf_dir)
+    cents_base = fitted_centroids_base(spark, sf_dir)
+    top_f = _incell_top3(_ivf_corpus(spark, sf_dir, cents_full))
+    top_b = _incell_top3(_ivf_corpus(spark, sf_dir, cents_base))
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    qs = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id")
+    )
+    nf = top_f.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
+    nb = top_b.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
+    nc = (
+        top_f.join(top_b, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        qs.join(nf.withColumnRenamed("n", "n_full"), "q_id", "left")
+        .join(nb.withColumnRenamed("n", "n_base"), "q_id", "left")
+        .join(nc.withColumnRenamed("n", "n_common"), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_full", F.lit(0)).cast("bigint").alias("n_full"),
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        )
+    )

@@ -240,6 +240,10 @@ HEADLINE = [
     "ann_ivf_incremental_add",
     "dedup_incremental_index_merge",
     "ann_ivf_delete_compact",
+    # r13 opt round: the refit-drift audit joins the measured harness (the
+    # lambda-sweep gate requires every lambda-filter lead to be banded by a
+    # measured Spark wall; its ORACLE_SF01 wall is DuckDB-dominated)
+    "ann_ivf_refit_drift",
 ]
 
 

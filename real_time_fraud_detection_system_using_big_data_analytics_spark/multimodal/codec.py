@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.tables import fan_out
+
 REAL_DECODERS_AVAILABLE = False  # no PIL/cv2 in this image (image/video)
 AUDIO_DECODER_AVAILABLE = True  # stdlib `wave` — real RIFF/WAVE round-trip
 PPM_DECODER_AVAILABLE = True  # P6 PPM needs no libraries — real image decode
@@ -67,6 +69,12 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Turn the documents table into a multimodal-shaped table: the text
     becomes an opaque binary payload plus typed metadata — the layout an
     image/audio table would have (payload, mime, size)."""
+    # NO fan_out here (measured, r13 opt round): the downstream consumers
+    # of the generic binary payload are cheap per-row extractors (sha256
+    # stub, header slicing) — not compute-dense — and the repartition's
+    # extra stage costs more than the single-task python work it
+    # parallelizes (~0.5 s vs ~0.8 s at sf0.1). The REAL codecs below
+    # (wav/ppm/png/jpeg) are compute-dense and do fan out.
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -241,8 +249,13 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
+    # fan the narrow (doc_id, n_chars) projection across all cores before
+    # the pure-Python encoder: the single-file parquet scan is ONE task,
+    # and without the repartition the whole codec runs on one core
+    # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
+    # bytes per row — payloads are synthesized AFTER it).
+    return fan_out(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
 
@@ -351,8 +364,13 @@ def attach_ppm_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
+    # fan the narrow (doc_id, n_chars) projection across all cores before
+    # the pure-Python encoder: the single-file parquet scan is ONE task,
+    # and without the repartition the whole codec runs on one core
+    # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
+    # bytes per row — payloads are synthesized AFTER it).
+    return fan_out(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
 
@@ -597,8 +615,13 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
+    # fan the narrow (doc_id, n_chars) projection across all cores before
+    # the pure-Python encoder: the single-file parquet scan is ONE task,
+    # and without the repartition the whole codec runs on one core
+    # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
+    # bytes per row — payloads are synthesized AFTER it).
+    return fan_out(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
 
@@ -703,8 +726,13 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
+    # fan the narrow (doc_id, n_chars) projection across all cores before
+    # the pure-Python encoder: the single-file parquet scan is ONE task,
+    # and without the repartition the whole codec runs on one core
+    # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
+    # bytes per row — payloads are synthesized AFTER it).
+    return fan_out(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
 
@@ -827,8 +855,13 @@ def attach_jpeg_color_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
+    # fan the narrow (doc_id, n_chars) projection across all cores before
+    # the pure-Python encoder: the single-file parquet scan is ONE task,
+    # and without the repartition the whole codec runs on one core
+    # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
+    # bytes per row — payloads are synthesized AFTER it).
+    return fan_out(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
 

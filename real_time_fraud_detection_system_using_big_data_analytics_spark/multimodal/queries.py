@@ -404,9 +404,11 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_bits", "phash", "n_set_bits"]
             )
 
+    # persisted: the a/b pair sides below consume `hashes` twice — uncached,
+    # the whole PPM encode + phash pipeline runs once per side (guide §5)
     hashes = mm.select("doc_id", "payload").mapInPandas(
         phash, "doc_id bigint, n_bits bigint, phash bigint, n_set_bits bigint"
-    )
+    ).persist()
     a = hashes.where(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("doc_a"),
         F.col("phash").alias("phash_a"),
@@ -528,9 +530,12 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
                     rows.append((doc_id, fi // FRAME, int(chunk.sum())))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
 
+    # persisted: `frames` feeds both the threshold aggregate and the
+    # voiced join — uncached, the WAV encode + frame-energy python
+    # pipeline runs once per consumer (guide §5)
     frames = wav.select("doc_id", "payload").mapInPandas(
         frame_energy, "doc_id bigint, frame_idx bigint, energy bigint"
-    )
+    ).persist()
     from pyspark.sql import Window as W
 
     thr = frames.groupBy("doc_id").agg(
@@ -555,7 +560,9 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             W.unboundedPreceding, 0
         )
     )
-    runs = voiced.withColumn("seg_id", F.sum("is_onset").over(w_run))
+    # persisted: `runs` feeds both the segment rollup and the per-doc
+    # totals — uncached, the join + two window passes run twice
+    runs = voiced.withColumn("seg_id", F.sum("is_onset").over(w_run)).persist()
     segs = (
         runs.where(F.col("is_voiced") == 1)
         .groupBy("doc_id", "seg_id")

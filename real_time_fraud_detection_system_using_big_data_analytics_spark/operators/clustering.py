@@ -691,6 +691,46 @@ def _pq_sub(col: Column, m: int) -> Column:
     return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
+def _pq_lut(qe: Column, books: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table: PQ_M × PQ_KSUB subdistances, entry
+    m*PQ_KSUB+k = ||q_m||² − 2·q_m·c_mk + ||c_mk||², laid out exactly as
+    the element_at() consumers below index it.
+
+    Built as ONE transform-over-sequence expression with the codebooks as
+    two flat numpy literals instead of a Python loop of per-(m,k) column
+    expressions: the loop spelling cost ~2.5 s of py4j round trips per
+    call (measured, r13 opt round — the dominant cost of every PQ query's
+    build phase); this form is ~40 driver calls. The arithmetic per entry
+    is UNCHANGED (same slices, same left-to-right _fold_dot, same
+    constants), so the values are bit-identical to the loop form and the
+    oracle needs no change."""
+    m_books = len(books)
+    flat = F.lit(
+        np.array(
+            [v for m in range(m_books) for c in books[m] for v in c],
+            dtype=np.float64,
+        )
+    )
+    cc = F.lit(
+        np.array(
+            [_seq_dot(c, c) for m in range(m_books) for c in books[m]],
+            dtype=np.float64,
+        )
+    )
+
+    def entry(i: Column) -> Column:
+        m = F.floor(i / F.lit(PQ_KSUB)).cast("int")
+        sub = F.slice(qe, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        book = F.slice(flat, i.cast("int") * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return (
+            _fold_dot(sub, sub)
+            - 2 * _fold_dot(sub, book)
+            + F.element_at(cc, i.cast("int") + 1)
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m_books * PQ_KSUB - 1)), entry)
+
+
 def _pq_candidates(codebook: list[list[float]], sub: Column) -> Column:
     """(dist, cid) structs for one subspace codebook over ``sub`` — the
     same flat-literal + dot-identity machinery as _candidates, on the
@@ -956,25 +996,10 @@ def _pq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     corpus = vecs.select("vec_id", codes.alias("codes"))
-    lut = F.array(
-        *[
-            (
-                _fold_dot(_pq_sub(F.col("qe"), m), _pq_sub(F.col("qe"), m))
-                - 2
-                * _fold_dot(
-                    _pq_sub(F.col("qe"), m),
-                    F.lit(np.array(books[m][k], dtype=np.float64)),
-                )
-                + F.lit(_seq_dot(books[m][k], books[m][k]))
-            )
-            for m in range(PQ_M)
-            for k in range(PQ_KSUB)
-        ]
-    )
     queries = (
         vecs.filter(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
-        .select("q_id", lut.alias("lut"))
+        .select("q_id", _pq_lut(F.col("qe"), books).alias("lut"))
     )
     adc = None
     for m in range(PQ_M):
@@ -1204,12 +1229,17 @@ def ann_ivf_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = fitted_centroids(spark, sf_dir)
     books = fitted_pq(spark, sf_dir)
     base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    # persisted: vecs feeds the assignment AND the exact rerank join;
+    # assigned feeds the corpus (PQ encode) AND the query side — uncached,
+    # the K-way centroid-distance expression re-evaluates once per
+    # consumer (guide §5; higher-order array folds are interpreted, so a
+    # re-pass is the single most expensive thing in this plan).
     vecs = fan_out(base).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    ).persist()
     assigned = with_assignment(vecs, centroids).select(
         "vec_id", "e", F.col("best.cid").cast("bigint").alias("cell")
-    )
+    ).persist()
     codes = F.array(
         *[
             F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
@@ -1222,22 +1252,7 @@ def ann_ivf_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("qcell"),
         F.col("e").alias("qe"),
     )
-    lut = F.array(
-        *[
-            (
-                _fold_dot(_pq_sub(F.col("qe"), m), _pq_sub(F.col("qe"), m))
-                - 2
-                * _fold_dot(
-                    _pq_sub(F.col("qe"), m),
-                    F.lit(np.array(books[m][k], dtype=np.float64)),
-                )
-                + F.lit(_seq_dot(books[m][k], books[m][k]))
-            )
-            for m in range(PQ_M)
-            for k in range(PQ_KSUB)
-        ]
-    )
-    queries = q0.select("q_id", "qcell", lut.alias("lut"))
+    queries = q0.select("q_id", "qcell", _pq_lut(F.col("qe"), books).alias("lut"))
     adc = None
     for m in range(PQ_M):
         term = F.element_at(

@@ -73,9 +73,12 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many distinct shingles leak. The benchmark shingle set broadcasts;
     the corpus side never shuffles before its per-doc count."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _shingles_spark(d)
+    # persist the shared subtrees: `filtered` feeds both the broadcast
+    # bench side and the train side, `sh` feeds hot + filtered — uncached
+    # plans re-run the shingle pipeline once per consumer (guide §5).
+    sh = _shingles_spark(d).persist()
     hot = sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
-    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     bench = (
         filtered.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select("shingle")
@@ -541,11 +544,15 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     FPR (the benchmark side is the small, bounded one by construction —
     that is exactly why it blooms well)."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _shingles_spark(d)
+    # persist the shared shingle subtrees: `filtered` feeds the bitmap
+    # build (collected eagerly below), the stage-2 broadcast side AND the
+    # train side — uncached it re-runs the shingle+hot pipeline once per
+    # consumer (guide §5); `sh` itself has two consumers (hot, filtered).
+    sh = _shingles_spark(d).persist()
     hot = (
         sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
     )
-    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     bench = (
         filtered.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select("shingle")
@@ -571,7 +578,10 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = [0] * _DBLOOM_WORDS
     for r in words:
         bitmap[r["w"]] = r["bits"]
-    lit_bitmap = F.array(*[F.lit(b).cast("long") for b in bitmap])
+    # ONE parsed expression, not 1024 py4j lit().cast() round trips
+    # (same measured ~2.7 s -> ~4 ms driver-side win as
+    # join_bloom_filter_pruned)
+    lit_bitmap = F.expr("array(" + ",".join(f"{b}L" for b in bitmap) + ")")
 
     train = filtered.filter(F.col("doc_id") % _BENCH_MOD != 0).withColumn(
         "_bm", lit_bitmap
@@ -907,12 +917,15 @@ def curation_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     base = fan_out(
         d.select("doc_id", "source", F.split(F.col("text"), " ").alias("t"))
     ).select("doc_id", "source", _kgram_array_from("t", _OVERLAP_K).alias("gs"))
+    # persisted: `grams` feeds both the bench side (broadcast) and the
+    # train side — uncached, the fan-out + gram expansion runs twice
+    # (guide §5).
     grams = base.select(
         "doc_id",
         "source",
         F.size("gs").cast("bigint").alias("n_grams"),
         F.explode_outer("gs").alias("g"),
-    ).filter(F.col("g").isNotNull())
+    ).filter(F.col("g").isNotNull()).persist()
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
     )

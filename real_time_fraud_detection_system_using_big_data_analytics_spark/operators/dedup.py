@@ -584,39 +584,51 @@ def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> Data
     )
     # both directions in ONE pass — a self-union would execute the whole
     # MinHash+LSH candidate pipeline once per branch (uncached plans run
-    # per consumer; persist() below only caches the union's OUTPUT)
+    # per consumer). localCheckpoint (not persist): it also TRUNCATES the
+    # logical plan, so each round below plans against a leaf instead of
+    # the ever-deeper label lineage — before this, the unrolled plan of a
+    # downstream consumer (curation_leakage_safe_split) carried ~800
+    # Exchange nodes and Catalyst re-optimized the whole history every
+    # round (guide §3.3/§5: materialize to cut planning cost).
     both = F.explode(
         F.array(
             F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")),
             F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")),
         )
     )
-    edges = pairs.select(both.alias("e")).select("e.*").persist()
-    labels = edges.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    edges = pairs.select(both.alias("e")).select("e.*").localCheckpoint()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
     )
     for _ in range(20):
-        labels = labels.persist()
         prop = (
             edges.join(labels, edges["s"] == labels["node"])
             .select(F.col("t").alias("node"), "lbl")
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        # one aggregation carries BOTH the new label and the node's old
+        # label (labels are monotonically non-increasing, so min-over-own
+        # rows IS the old label); the convergence check is then a cheap
+        # count over the checkpointed round output instead of a second
+        # join job per round.
+        merged = labels.withColumn("own", F.lit(True)).unionByName(
+            prop.withColumn("own", F.lit(False))
         )
-        labels.unpersist()
-        labels = new_labels
+        agg = (
+            merged.groupBy("node")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = agg.filter(F.col("lbl") < F.col("old_lbl")).count()
+        labels = agg.select("node", "lbl")
         if changed == 0:
             break
-    result = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-    edges.unpersist()
-    return result
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 @register(
@@ -833,7 +845,7 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.md5(F.array_join(F.slice(F.col("t"), F.col("i"), 8), " ")).alias("wh"),
-    )
+    ).persist()  # two consumers (shared census + left join): don't re-explode
     shared = (
         wins.groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1413,9 +1425,14 @@ def dedup_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("in_s").isNotNull().alias("in_simhash"),
         )
     )
-    sh = _shingles_spark(d)
+    # the shingle pipeline (fan_out + split + explode + md5) is the most
+    # expensive subtree here and feeds THREE consumers (sizes, fa, fb) —
+    # uncached plans run once per consumer, so persist both the raw
+    # shingle table (read twice: hot + filtered) and the filtered table
+    # (read three times). Guide §5: reuse > recompute for a hot subtree.
+    sh = _shingles_spark(d).persist()
     hot = sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
-    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    filtered = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
     fa, fb = filtered.alias("fa"), filtered.alias("fb")
     pair_inter = (
@@ -1533,7 +1550,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "i",
         F.md5(F.array_join(F.slice(F.col("t"), F.col("i"), SUBSTR_K), " ")).alias("wh"),
-    )
+    ).persist()  # two consumers (shared census + sw join): don't re-explode
     shared = (
         wins.groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -139,7 +139,10 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded rank, node id): double summation order differs between
     engines (and between AQE re-plans), so the raw float must never be
     the sort key of a cross-engine-checked top-k."""
-    edges = _edges(spark, sf_dir)
+    # persist the edge list itself: it has TWO consumers (the outw
+    # aggregate and the edges_n join below), and uncached plans re-run the
+    # lineitem⋈orders aggregate once per consumer (guide §5).
+    edges = _edges(spark, sf_dir).persist()
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).persist()
     # materialize the edge list ONCE: every iteration (and the node set)
     # reads the persisted copy instead of re-running the fact-table join —

@@ -255,9 +255,11 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     baskets = baskets.persist()
     n_orders = baskets.count()
+    # persisted: item feeds both the antecedent and consequent join sides —
+    # uncached, the explode + aggregate runs once per side (guide §5)
     item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
         "l_partkey"
-    ).agg(F.count("*").alias("n_item"))
+    ).agg(F.count("*").alias("n_item")).persist()
     pair_expand = F.expr(
         "flatten(transform(parts, x ->"
         " transform(filter(parts, y -> y <> x),"

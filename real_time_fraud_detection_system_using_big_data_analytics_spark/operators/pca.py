@@ -124,7 +124,6 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns one row per dimension: the mean vector, the component
     loadings, and the component's variance (Rayleigh quotient, q4)."""
     vecs = _prepare_vecs(spark, sf_dir)
-    dim = vecs.select(F.size("e")).first()[0]
 
     mu_rows = (
         vecs.select(F.posexplode("e").alias("pos", "x"))
@@ -134,6 +133,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     mu = [r["m"] for r in mu_rows]
+    # one row per position == the dimensionality: no separate first() job
+    dim = len(mu_rows)
     v = [_qpy(1.0 / math.sqrt(dim))] * dim
 
     def s_col(vec: list[float]):
@@ -160,5 +161,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, mu[i], v[i]) for i in range(dim)],
         "pos bigint, mu double, loading double",
     )
-    vecs.unpersist()
+    # NOTE: no unpersist here — `ev` is lazy and still reads `vecs`; an
+    # eager unpersist forced the returned plan to recompute the fan-out
+    # from parquet when the consumer finally ran it.
     return rows.crossJoin(F.broadcast(ev))

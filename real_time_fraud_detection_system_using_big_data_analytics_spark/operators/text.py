@@ -742,7 +742,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-stats side). Nothing is quadratic in document length.
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    toks = d.select(
+    toks = fan_out(d).select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
     ).where(F.col("word") != "")
@@ -755,16 +755,19 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     runs = flagged.withColumn("run_id", F.sum("is_stop").over(w_run))
+    # persisted: phrase_words feeds THREE consumers (phrases, word_stats,
+    # phrase_scored) and phrases two — uncached, each re-runs the explode
+    # + prefix-sum window chain (guide §5).
     phrase_words = runs.where(F.col("is_stop") == 0).select(
         "doc_id", "run_id", "pos", "word"
-    )
+    ).persist()
     phrases = phrase_words.groupBy("doc_id", "run_id").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(pos, word))),"
             " s -> s.word), ' ')"
         ).alias("phrase"),
         F.count("*").alias("plen"),
-    )
+    ).persist()
     word_stats = (
         phrase_words.join(phrases, ["doc_id", "run_id"])
         .groupBy("word")
@@ -1012,11 +1015,18 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    edges0 = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("w"))
+    # persist the two multiply-consumed aggregates: edges0 feeds both und
+    # branches (else the whole tokenize→window→co-occur pipeline runs once
+    # per branch) and wdeg feeds trans + the score init + the final join
+    # (else that pipeline runs twice MORE). Guide §5: cache hot subtrees
+    # that are genuinely reused within one query.
+    edges0 = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("w")
+    ).persist()
     und = edges0.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionAll(edges0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-    wdeg = und.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    wdeg = und.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd")).persist()
     trans = und.join(wdeg, "src").persist()
     scores = wdeg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("s")

@@ -614,6 +614,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionAll(twins)
+    # NOT persisted (measured, r13 opt round): the three consumers re-run
+    # only a map-only sign-bit assignment — the cache write of the
+    # array-typed rows costs more than the recompute it saves (~1.7 s vs
+    # ~1.3 s at sf0.1)
     bucketed = _semdedup_cells(corpus, "embedding").withColumn(
         "nrm", _norm("embedding")
     )
@@ -1978,7 +1982,8 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e"))
+    # persisted: both pair-join sides read it (guide §5)
+    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e")).persist()
     a = bucketed.select(
         F.col("vec_id").alias("src"),
         F.col("cell").alias("a_cell"),
@@ -1996,11 +2001,13 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         bb, (F.col("b_cell") == F.col("a_cell")) & (F.col("dst") != F.col("src"))
     ).select("src", "dst", cos.alias("c"))
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    # persisted: the mutual check reads edges twice (forward + reversed) —
+    # uncached, the in-cell pair join + top-k window runs once per side
     edges = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KNN_K)
         .select("src", "rn", "dst", "c")
-    )
+    ).persist()
     rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
     return (
         edges.join(
@@ -2096,7 +2103,10 @@ def curation_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    bucketed = _semdedup_cells(corpus, "e")
+    # persisted: three consumers (centroid means, cell sizes, scoring
+    # join) — uncached, the fan-out + sign-bit cell assignment runs once
+    # per consumer (guide §5)
+    bucketed = _semdedup_cells(corpus, "e").persist()
     cents = (
         bucketed.select("cell", F.posexplode("e").alias("pos", "x"))
         .groupBy("cell", "pos")

@@ -1620,7 +1620,9 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     ADVICE: this docstring used to claim a lexicographic tie-break). All
     outputs BIGINT."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    docs = fan_out(d).select("doc_id", F.split("text", " ").alias("ws"))
+    # persisted: the tokenized doc table feeds the char total, the token
+    # position table AND five n-gram window expansions (guide §5)
+    docs = fan_out(d).select("doc_id", F.split("text", " ").alias("ws")).persist()
     total = docs.select(
         "doc_id",
         (F.length(F.array_join("ws", " ")) - (F.size("ws") - 1))
@@ -1642,56 +1644,81 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
             "doc_id", F.posexplode(grams).alias("i0", "g")
         ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
 
-    def top_chars(n: int) -> DataFrame:
-        # md5-prefix grouping + integer char count — see the oracle comment
-        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "gh")
-        return (
-            windows(n)
-            .select(
-                "doc_id",
-                F.substring(F.md5("g"), 1, 16).alias("gh"),
-                (F.length("g") - (n - 1)).alias("glen"),
-            )
-            .groupBy("doc_id", "gh", "glen")
-            .agg(F.count("*").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "doc_id",
-                (F.col("c") * F.col("glen")).cast("bigint").alias(f"top{n}_chars"),
-            )
+    # ONE unioned window table over all five gram widths (r13 opt round):
+    # the per-n formulation planned 5 separate explode→aggregate→window
+    # chains (each its own exchange family, ~27 Exchanges total) and 5
+    # doc_id joins; tagging each row with its `n` collapses that to one
+    # chain per family (top / dup) and 2 joins. Per-row expressions (md5
+    # prefix, glen, window orders) are byte-identical to the per-n form,
+    # so every output value — and the oracle — is unchanged.
+    wins_all = None
+    for n in list(_REP_TOP_PCT) + list(_REP_DUP_PCT):
+        part = windows(n).select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            "i",
+            F.substring(F.md5("g"), 1, 16).alias("gh"),
+            (F.length("g") - (n - 1)).alias("glen"),
         )
+        wins_all = part if wins_all is None else wins_all.unionByName(part)
+    wins_all = wins_all.persist()
+
+    w_top = Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "gh")
+    tops = (
+        wins_all.filter(F.col("n").isin(*_REP_TOP_PCT))
+        .groupBy("doc_id", "n", "gh", "glen")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        (F.col("c") * F.col("glen")).cast("bigint"),
+                    )
+                ).alias(f"top{n}_chars")
+                for n in _REP_TOP_PCT
+            ]
+        )
+    )
 
     toks = docs.select(
         "doc_id", F.posexplode("ws").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tlen"))
 
-    def dup_chars(n: int) -> DataFrame:
-        # 16-hex md5 prefix instead of the gram string through the exchange
-        # (see the oracle comment: identical on both engines, 16 bytes)
-        cw = Window.partitionBy("doc_id", "gh")
-        covered = (
-            windows(n)
-            .select("doc_id", "i", F.substring(F.md5("g"), 1, 16).alias("gh"))
-            .withColumn("c", F.count("*").over(cw))
-            .filter(F.col("c") >= 2)
-            .select(
-                "doc_id",
-                F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),
-            )
-            .distinct()
+    # dup coverage: same count-over-(doc, n, gram) window and position
+    # explode as the per-n form (within one n the extra `n` key is a
+    # no-op), deduped per (doc, n, position)
+    cw = Window.partitionBy("doc_id", "n", "gh")
+    covered = (
+        wins_all.filter(F.col("n").isin(*_REP_DUP_PCT))
+        .withColumn("c", F.count("*").over(cw))
+        .filter(F.col("c") >= 2)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (F.col("n") - 1))).alias("p"),
         )
-        return (
-            covered.join(toks, ["doc_id", "p"])
-            .groupBy("doc_id")
-            .agg(F.sum("tlen").cast("bigint").alias(f"dup{n}_chars"))
+        .distinct()
+    )
+    dups = (
+        covered.join(toks, ["doc_id", "p"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("tlen").cast("bigint").alias("chars"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("chars"))).alias(
+                    f"dup{n}_chars"
+                )
+                for n in _REP_DUP_PCT
+            ]
         )
+    )
 
-    out = total
-    for n in _REP_TOP_PCT:
-        out = out.join(top_chars(n), "doc_id", "left")
-    for n in _REP_DUP_PCT:
-        out = out.join(dup_chars(n), "doc_id", "left")
+    out = total.join(tops, "doc_id", "left").join(dups, "doc_id", "left")
     cols = [F.col("doc_id"), F.col("total_chars")]
     flags = []
     for n, pct in list(_REP_TOP_PCT.items()) + list(_REP_DUP_PCT.items()):

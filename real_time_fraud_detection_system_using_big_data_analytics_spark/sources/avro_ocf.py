@@ -635,7 +635,11 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, names=("events",))["events"]
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     out = tempfile.mkdtemp(prefix="avro_rt_")
-    events.select(*cols).repartition(8).write.format("avro_ocf").mode(
+    # repartition to the core count, not a fixed 8: the python-worker Avro
+    # encode is the cost here, and 8 tasks left 3/4 of local[32] idle
+    # (guide §2.6 idle capacity; scale-adaptive, not a tuned constant)
+    n_files = spark.sparkContext.defaultParallelism
+    events.select(*cols).repartition(n_files).write.format("avro_ocf").mode(
         "overwrite"
     ).save(out)
     assert os.path.exists(os.path.join(out, "_SUCCESS")), "avro commit missing"

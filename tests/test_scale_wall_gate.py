@@ -60,6 +60,22 @@ ATTRIBUTED_CONFLATED: dict[str, str] = {
         " the algorithm instead. CONFLATED-ONLY: the Spark side is linear"
         " and stays under the Spark-only gate's bound."
     ),
+    "ann_pq_recall_at_k": (
+        "The recall audit's EXACT-truth side is Q x N BY DESIGN (queries"
+        " grow with the corpus: vec_id % 100 == 0), so the truth pair set"
+        " is 100x at 10x data (40k -> 4M pairs) — that is the audit's"
+        " documented cost, not an engine defect. Spark absorbs it across"
+        " cores with the partial WindowGroupLimit (Spark-only SPARKWALL"
+        " ratio 2.4, sf1 wall 7.8s); the conflated wall is dominated by"
+        " the DuckDB truth recomputation, which additionally runs 2-3x"
+        " slower inside the harness process than solo (measured r13 opt"
+        " round: 24.8s solo vs 52-84s next to the Spark JVM at sf1)."
+        " The entry appeared in r13's opt round because the Spark-side"
+        " sf0.1 denominator SHRANK (8.8 -> 5.3s conflated) when the PQ"
+        " LUT construction was optimized — the ratio crossed 15x on a"
+        " faster engine. CONFLATED-ONLY: the Spark-only gate still"
+        " covers the engine side."
+    ),
 }
 # Spark-only gate exemptions. Empty since r13: ann_mllib_brp_lsh left the
 # list when its audit threshold became corpus-calibrated and its prefix

@@ -1402,9 +1402,11 @@ def dedup_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(2 * odd - n >= 0, F.lit("1")).otherwise(F.lit("0"))
 
+    # persisted: the collision self-join consumes simhashed twice —
+    # uncached, the per-token md5 + 16 bit-vote filters run once per side
     simhashed = hashed.select(
         "doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash")
-    )
+    ).persist()
     sa_, sb_ = simhashed.alias("sa"), simhashed.alias("sb")
     sim_pairs = sa_.join(
         sb_,

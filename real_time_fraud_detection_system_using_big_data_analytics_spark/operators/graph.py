@@ -1295,9 +1295,11 @@ def graph_jaccard_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFram
     und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    # persisted: deg feeds both the x and y sides of the final join —
+    # uncached, the degree aggregate runs once per side (guide §5)
     deg = und.groupBy(F.col("v").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
-    )
+    ).persist()
     keepmid = (
         und.groupBy("u")
         .agg(F.count("*").alias("d"))

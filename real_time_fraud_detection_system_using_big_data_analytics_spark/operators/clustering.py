@@ -106,24 +106,39 @@ def _candidates(centroids: list[list[float]]) -> Column:
     )
 
 
-def with_assignment(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Attach ``best`` = (dist, cid) of the nearest centroid (argmin via
-    array_min — lexicographic, so centroid id breaks distance ties
-    deterministically). Map-only: one in-row expression, no join, no
-    shuffle."""
-    return df.withColumn("best", F.array_min(_candidates(centroids)))
+def with_assignment(
+    df: DataFrame, centroids: list[list[float]], keep: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Attach ``best`` = (dist, cid) of the nearest centroid (argmin with
+    distance ties broken by centroid id, exactly array_min's (d, cid)
+    struct order). Since r14 this runs as an Arrow kernel
+    (functions/arrowvec.assign_cells) instead of the interpreted
+    `_candidates` fold expression: the K-way dot-identity distances are
+    numerically IDENTICAL (per-dimension left-to-right fold, see the
+    arrowvec module docstring and the A/B pin in tests) but vectorized
+    over rows — the expression form evaluated ~2K+1 interpreted 64-step
+    lambda folds per row, the single most expensive expression in every
+    IVF plan (SPARKWALL r13: nprobe2 ratio 3.86). Still map-only: no join,
+    no shuffle. ``keep`` bounds the columns that cross the Arrow boundary
+    back (the node is opaque to column pruning, guide §4.1)."""
+    from ..functions.arrowvec import assign_cells
+
+    return assign_cells(df, centroids, vec_col="e", keep=keep)
 
 
-def with_top_cells(df: DataFrame, centroids: list[list[float]], n: int) -> DataFrame:
+def with_top_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n: int,
+    keep: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Attach ``probe_cells`` = the ``n`` nearest centroid ids, nearest
-    first — the query-side probe list for nprobe>1 IVF. Same candidate
-    structs, sorted instead of min'd; still map-only."""
-    return df.withColumn(
-        "probe_cells",
-        F.transform(
-            F.slice(F.array_sort(_candidates(centroids)), 1, n), lambda s: s["cid"]
-        ),
-    )
+    first — the query-side probe list for nprobe>1 IVF. Same Arrow kernel
+    family as with_assignment (stable argsort of the distance row =
+    array_sort over (d, cid) structs); still map-only."""
+    from ..functions.arrowvec import assign_top_cells
+
+    return assign_top_cells(df, centroids, n, vec_col="e", keep=keep)
 
 
 def _prepare_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,9 +166,16 @@ def fit_centroids(vecs: DataFrame) -> list[list[float]]:
     centroids = [list(r["c"]) for r in seeds]
 
     for _ in range(ITERATIONS):
-        assigned = with_assignment(vecs, centroids).select(
-            "vec_id", "e", F.col("best.cid").alias("cid")
-        )
+        # MEASURED REVERT (r14): the Lloyd fit keeps the `_candidates`
+        # EXPRESSION assignment — the fit is collect/job-overhead bound
+        # (K=8, bounded iteration count), and the Arrow kernel's per-stage
+        # Python round trips made the fit SLOWER at both sf0.1 and sf1
+        # (kmeans total 1.42 -> 1.84 s sf0.1, 1.69 -> 1.95 s sf1, A/B'd
+        # in-session). The kernel wins where N x K work dominates — the
+        # probes and corpus encodes, which use it.
+        assigned = vecs.withColumn(
+            "best", F.array_min(_candidates(centroids))
+        ).select("vec_id", "e", F.col("best.cid").alias("cid"))
         # mean per (cluster, dim): one partial-aggregated shuffle of K×dim
         # sums (an A/B against 64 per-dim avg(element_at) aggregates showed
         # the explode form ~1.5× faster here — the wide-agg buffer loses)
@@ -199,7 +221,8 @@ def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _prepare_vecs(spark, sf_dir)
     centroids = fit_centroids(vecs)
-    final = with_assignment(vecs, centroids).select(
+    # expression assignment, same measured-revert rationale as the fit loop
+    final = vecs.withColumn("best", F.array_min(_candidates(centroids))).select(
         "vec_id", F.col("best.d").alias("d"), F.col("best.cid").alias("cid")
     )
     out = final.groupBy("cid").agg(
@@ -336,6 +359,7 @@ def _ivf_corpus(spark: SparkSession, sf_dir: str, centroids: list[list[float]]) 
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         ),
         centroids,
+        keep=("vec_id", "embedding", "e_norm"),
     ).select(
         "vec_id",
         "embedding",
@@ -360,6 +384,7 @@ def _ivf_query_side(
         ),
         centroids,
         nprobe,
+        keep=("vec_id", "embedding"),
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -368,26 +393,70 @@ def _ivf_query_side(
     )
 
 
-def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """The shared probe plan: explode each query to its nprobe cells,
-    broadcast onto the corpus as one cell equi-join, exact-cosine top-3
-    within the probed candidates."""
-    from .similarity import _dot
+def _collect_probe_queries(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[list[float]]]:
+    """The standard %100 probe sample collected to the driver (broadcast-
+    sized by the same argument that let the old plan broadcast it as a
+    query relation — the driver already held it inside the broadcast)."""
+    from ..functions.arrowvec import collect_query_vectors
 
-    centroids = fitted_centroids(spark, sf_dir)
-    corpus = _ivf_corpus(spark, sf_dir, centroids)
-    queries = _ivf_query_side(spark, sf_dir, centroids, nprobe).select(
-        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return collect_query_vectors(
+        base.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding"
     )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+
+
+def _kernel_probe_top3(
+    index: DataFrame,
+    q_ids: list[int],
+    q_vecs: list[list[float]],
+    q_cells: list[list[int]],
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Shared cell-probed exact-cosine top-3 (r14): ONE Arrow pass over the
+    corpus scores each row against the driver-held query sample, masked to
+    the query's probe cells — replacing the broadcast cell equi-join + the
+    interpreted per-pair fold (the scaling term of every IVF probe,
+    SPARKWALL r13 nprobe2 ratio 3.86). With ``centroids`` the kernel ALSO
+    derives each row's cell in the same pass (the in-memory probes:
+    assignment + probe masking + scoring + cut fused over the plain scan);
+    without, the index's stored cell/e_norm columns are the contract (the
+    persisted probes, where a drifted stored column must stay a value
+    mismatch). Each batch emits only its local top-3 per query (superset
+    of the global top-3 — see arrowvec), so the q_id window shuffles
+    O(3 x Q x partitions) rows exactly as the old partial WindowGroupLimit
+    did. Values bit-identical: same fold order, same norms, same
+    (cosine desc, vec_id) total order."""
+    from ..functions.arrowvec import score_bounded_queries
+
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    return (
-        corpus.join(
-            F.broadcast(queries),
-            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+    if centroids is not None:
+        scored = score_bounded_queries(
+            index,
+            q_ids,
+            q_vecs,
+            3,
+            vec_col="embedding",
+            q_cells=q_cells,
+            assign_centroids=centroids,
+            cell_out="cell",
+            out_col="cosine_raw",
         )
-        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
+    else:
+        scored = score_bounded_queries(
+            index,
+            q_ids,
+            q_vecs,
+            3,
+            vec_col="embedding",
+            keep=("cell",),
+            q_cells=q_cells,
+            row_norm_col="e_norm",
+            out_col="cosine_raw",
+        )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
             "q_id",
@@ -399,6 +468,22 @@ def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             q(F.col("cosine_raw")).alias("cosine"),
             F.col("rn").cast("bigint").alias("rn"),
         )
+    )
+
+
+def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The shared probe plan: each query scored within its nprobe nearest
+    cells (driver-derived probe list — same argsort as with_top_cells),
+    assignment + exact-cosine top-3 fused in the shared Arrow probe
+    kernel over the plain corpus scan."""
+    from ..functions.arrowvec import probe_cells_driver
+
+    centroids = fitted_centroids(spark, sf_dir)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    q_cells = probe_cells_driver(q_vecs, centroids, nprobe)
+    return _kernel_probe_top3(
+        base.select("vec_id", "embedding"), q_ids, q_vecs, q_cells, centroids
     )
 
 
@@ -543,41 +628,37 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     set); both probe sides are the same broadcast cell equi-joins as the
     ann_ivf_kmeans* queries; the final hit-join touches 3 rows per
     (method, query)."""
-    from .similarity import _dot
+    from ..functions.arrowvec import probe_cells_driver, score_bounded_queries
 
     centroids = fitted_centroids(spark, sf_dir)
-    corpus = _ivf_corpus(spark, sf_dir, centroids)
-    queries = _ivf_query_side(spark, sf_dir, centroids, 2)
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    # exact truth side: the same bounded-query Arrow scorer as the ANN
+    # brute-force baseline, over a plain scan (no cell assignment needed)
     exact3 = (
-        corpus.crossJoin(F.broadcast(queries.select("q_id", "q_emb", "q_norm")))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cosine_raw"))
+        score_bounded_queries(
+            base.select("vec_id", "embedding"),
+            q_ids,
+            q_vecs,
+            3,
+            vec_col="embedding",
+            out_col="cosine_raw",
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", F.lit(1).alias("hit"))
     )
+    q_cells2 = probe_cells_driver(q_vecs, centroids, 2)
 
     def probe(nprobe: int) -> DataFrame:
-        qx = queries.select(
-            "q_id",
-            "q_emb",
-            "q_norm",
-            F.explode(F.slice("probe_cells", 1, nprobe)).alias("pc"),
-        )
-        return (
-            corpus.join(
-                F.broadcast(qx),
-                (F.col("cell") == F.col("pc")) & (F.col("vec_id") != F.col("q_id")),
-            )
-            .select("q_id", "vec_id", cos.alias("cosine_raw"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
-            .select(
-                F.lit(f"ivf_nprobe{nprobe}").alias("method"), "q_id", "vec_id"
-            )
-        )
+        return _kernel_probe_top3(
+            base.select("vec_id", "embedding"),
+            q_ids,
+            q_vecs,
+            [row[:nprobe] for row in q_cells2],
+            centroids,
+        ).select(F.lit(f"ivf_nprobe{nprobe}").alias("method"), "q_id", "vec_id")
 
     ivf = probe(1).unionByName(probe(2))
     return (
@@ -628,39 +709,19 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct cells reads ~1.2% of the corpus; the in-memory variant's
     equi-join must still SCAN everything. That scan-vs-prune gap is the
     entire economics of a disk-resident vector index."""
-    from .similarity import _dot
+    from ..functions.arrowvec import probe_cells_driver
 
     centroids = fitted_centroids(spark, sf_dir)
     path = ivf_index_path(spark, sf_dir)
-    queries = _ivf_query_side(spark, sf_dir, centroids, 1).select(
-        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
-    )
-    probe_cells = [
-        r["probe_cell"] for r in queries.select("probe_cell").distinct().collect()
-    ]
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    q_cells = probe_cells_driver(q_vecs, centroids, 1)
+    probe_cells = sorted({c for row in q_cells for c in row})
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probe_cells))
         .select("vec_id", "embedding", "e_norm", F.col("cell").cast("bigint").alias("cell"))
     )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    return (
-        index.join(
-            F.broadcast(queries),
-            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "q_id",
-            "vec_id",
-            "cell",
-            q(F.col("cosine_raw")).alias("cosine"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-    )
+    return _kernel_probe_top3(index, q_ids, q_vecs, q_cells)
 
 
 # --- Product quantization (PQ) with ADC scoring ------------------------------
@@ -770,14 +831,13 @@ def fit_pq_codebooks(vecs: DataFrame) -> list[list[list[float]]]:
         [list(r["c"])[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in seeds]
         for m in range(PQ_M)
     ]
+    from ..functions.arrowvec import pq_encode
+
     for _ in range(PQ_ITER):
-        cids = F.array(
-            *[
-                F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
-                for m in range(PQ_M)
-            ]
-        )
-        assigned = vecs.select("vec_id", "e", cids.alias("cids"))
+        # r14: all PQ_M subspace argmins in ONE Arrow kernel pass (same
+        # dot-identity distances and (d, cid) tie order as the
+        # _pq_candidates expression — see functions/arrowvec.pq_encode)
+        assigned = pq_encode(vecs, books, keep=("vec_id", "e"), out_col="cids")
         means = (
             assigned.select("cids", F.posexplode("e").alias("pos", "x"))
             .withColumn("m", F.floor(F.col("pos") / PQ_SUBDIM).cast("int"))
@@ -984,18 +1044,14 @@ def _pq_recall_oracle() -> str:
 def _pq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, vec_id, adc_raw, rn): the shared PQ-ADC ranking plan —
     corpus codes × broadcast queries-with-LUT, ranked per query."""
+    from ..functions.arrowvec import pq_encode
+
     books = fitted_pq(spark, sf_dir)
     base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     vecs = fan_out(base).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    codes = F.array(
-        *[
-            F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
-            for m in range(PQ_M)
-        ]
-    )
-    corpus = vecs.select("vec_id", codes.alias("codes"))
+    corpus = pq_encode(vecs, books, keep=("vec_id",), out_col="codes")
     queries = (
         vecs.filter(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
@@ -1105,24 +1161,27 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist-rerank composition (ann_pq_shortlist_rerank, depth 100).
     Both methods appear as rows here, so the trade-off itself is
     value-checked, not narrated."""
+    from ..functions.arrowvec import score_bounded_queries
+
     base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    vecs = fan_out(base).select(
+    vecs = base.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    queries = vecs.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
-    )
-    # same operand order as the oracle's _pq_dist_sql(q.e, v.e)
-    dist = (
-        _fold_dot(F.col("qe"), F.col("qe"))
-        - 2 * _fold_dot(F.col("qe"), F.col("e"))
-        + _fold_dot(F.col("e"), F.col("e"))
-    )
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    # exact truth side via the Arrow scorer, metric l2sq — the same
+    # operand order as the oracle's _pq_dist_sql(q.e, v.e)
     w = Window.partitionBy("q_id").orderBy(F.col("d_raw").asc(), F.col("vec_id"))
     exact3 = (
-        vecs.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", dist.alias("d_raw"))
+        score_bounded_queries(
+            vecs,
+            q_ids,
+            q_vecs,
+            3,
+            vec_col="e",
+            metric="l2sq",
+            ascending=True,
+            out_col="d_raw",
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", F.lit(1).alias("hit"))
@@ -1237,16 +1296,12 @@ def ann_ivf_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = fan_out(base).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).persist()
-    assigned = with_assignment(vecs, centroids).select(
+    assigned = with_assignment(vecs, centroids, keep=("vec_id", "e")).select(
         "vec_id", "e", F.col("best.cid").cast("bigint").alias("cell")
     ).persist()
-    codes = F.array(
-        *[
-            F.array_min(_pq_candidates(books[m], _pq_sub(F.col("e"), m)))["cid"]
-            for m in range(PQ_M)
-        ]
-    )
-    corpus = assigned.select("vec_id", "cell", codes.alias("codes"))
+    from ..functions.arrowvec import pq_encode
+
+    corpus = pq_encode(assigned, books, keep=("vec_id", "cell"), out_col="codes")
     q0 = assigned.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("cell").alias("qcell"),
@@ -1425,16 +1480,13 @@ def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift between the appended files and a fresh assignment) is a value
     mismatch, and tests/test_incremental_index.py additionally pins
     read-back equality with a from-scratch rebuild."""
-    from .similarity import _dot
+    from ..functions.arrowvec import probe_cells_driver
 
     cents = fitted_centroids_base(spark, sf_dir)
     path = ivf_incremental_index_path(spark, sf_dir)
-    queries = _ivf_query_side(spark, sf_dir, cents, 1).select(
-        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
-    )
-    probe_cells = [
-        r["probe_cell"] for r in queries.select("probe_cell").distinct().collect()
-    ]
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    q_cells = probe_cells_driver(q_vecs, cents, 1)
+    probe_cells = sorted({c for row in q_cells for c in row})
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probe_cells))
@@ -1442,24 +1494,7 @@ def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", "e_norm", F.col("cell").cast("bigint").alias("cell")
         )
     )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    return (
-        index.join(
-            F.broadcast(queries),
-            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "q_id",
-            "vec_id",
-            "cell",
-            q(F.col("cosine_raw")).alias("cosine"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-    )
+    return _kernel_probe_top3(index, q_ids, q_vecs, q_cells)
 
 
 # --- IVF index maintenance: DELETE via tombstones + targeted compaction ------
@@ -1613,16 +1648,13 @@ def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to affected cells, never index size. Probe plan identical to ann_ivf_persisted_probe
     (partition-pruned scan + broadcast query side, pinned in
     tests/test_incremental_index.py)."""
-    from .similarity import _dot
+    from ..functions.arrowvec import probe_cells_driver
 
     cents = fitted_centroids_base(spark, sf_dir)
     path = ivf_delete_compact_path(spark, sf_dir)
-    queries = _ivf_query_side(spark, sf_dir, cents, 1).select(
-        "q_id", "q_emb", "q_norm", F.explode("probe_cells").alias("probe_cell")
-    )
-    probe_cells = [
-        r["probe_cell"] for r in queries.select("probe_cell").distinct().collect()
-    ]
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    q_cells = probe_cells_driver(q_vecs, cents, 1)
+    probe_cells = sorted({c for row in q_cells for c in row})
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probe_cells))
@@ -1630,24 +1662,7 @@ def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", "e_norm", F.col("cell").cast("bigint").alias("cell")
         )
     )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    return (
-        index.join(
-            F.broadcast(queries),
-            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", "cell", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "q_id",
-            "vec_id",
-            "cell",
-            q(F.col("cosine_raw")).alias("cosine"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-    )
+    return _kernel_probe_top3(index, q_ids, q_vecs, q_cells)
 
 
 # --- Refit-drift audit: WHEN to refit the frozen quantizer (r13) -------------
@@ -1726,30 +1741,22 @@ def _refit_drift_oracle() -> str:
     return sql
 
 
-def _incell_top3(corpus: DataFrame) -> DataFrame:
+def _incell_top3(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
     """(q_id, vec_id): each query's in-cell exact top-3 under the given
-    cell assignment — queries are the standard vec_id % 100 == 0 sample,
-    broadcast against the corpus restricted to their cells."""
-    from .similarity import _dot
+    quantizer — queries are the standard vec_id % 100 == 0 sample, each
+    probing exactly its OWN cell (nprobe=1 against its own assignment,
+    derived driver-side with the same argmin the corpus assignment uses)
+    via the shared Arrow probe kernel."""
+    from ..functions.arrowvec import probe_cells_driver
 
-    q_side = corpus.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("e_norm").alias("q_norm"),
-        F.col("cell").alias("q_cell"),
-    )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
-    return (
-        corpus.join(
-            F.broadcast(q_side),
-            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("q_id", "vec_id")
-    )
+    base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    q_ids, q_vecs = _collect_probe_queries(spark, sf_dir)
+    q_cells = probe_cells_driver(q_vecs, centroids, 1)
+    return _kernel_probe_top3(
+        base.select("vec_id", "embedding"), q_ids, q_vecs, q_cells, centroids
+    ).select("q_id", "vec_id")
 
 
 @register("ann_ivf_refit_drift", oracle=_refit_drift_oracle())
@@ -1774,8 +1781,8 @@ def ann_ivf_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled query panel exactly like this one (vec_id % 100)."""
     cents_full = fitted_centroids(spark, sf_dir)
     cents_base = fitted_centroids_base(spark, sf_dir)
-    top_f = _incell_top3(_ivf_corpus(spark, sf_dir, cents_full))
-    top_b = _incell_top3(_ivf_corpus(spark, sf_dir, cents_base))
+    top_f = _incell_top3(spark, sf_dir, cents_full)
+    top_b = _incell_top3(spark, sf_dir, cents_base)
     base = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     qs = base.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id")

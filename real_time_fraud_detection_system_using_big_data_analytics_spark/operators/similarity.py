@@ -138,24 +138,37 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties broken by vec_id for determinism (same total order in the partial
     cut and the final merge, so the cut can never drop a global top-5 row).
 
-    Norms are precomputed per side BEFORE the cross (corpus norm once per
-    vector, not once per pair — at Q queries that's a Q× saving on a third
-    of the vector math; the doubles are identical, the fold is the same)."""
+    r14: the N x Q scoring pass runs as an Arrow kernel
+    (functions/arrowvec.score_bounded_queries) over the fanned-out corpus
+    — the bounded query set is collected to the driver (the same O(Q<=64)
+    material the old plan broadcast), the per-pair cosine is the
+    order-preserving numpy fold (bit-identical to the `_dot`/`_norm`
+    expressions, pinned by tests), and each batch emits only its local
+    top-5 per query (a superset of the global top-5 under the identical
+    (cosine desc, vec_id) total order), so the q_id Exchange still carries
+    <= 5 x Q rows per partition — the same partial-cut economics, with the
+    interpreted 64-step lambda folds (the query's scaling term, SPARKWALL
+    r13) replaced by vectorized batch math."""
+    from ..functions.arrowvec import collect_query_vectors, score_bounded_queries
+
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = fan_out(e).select("vec_id", "embedding", _norm("embedding").alias("e_norm"))
-    queries = e.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("q_norm"),
-    )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    qpred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    q_ids, q_vecs = collect_query_vectors(e.filter(qpred), "vec_id", "embedding")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cosine_raw"))
+        score_bounded_queries(
+            # plain scan, no fan_out: the kernel's per-row work is light
+            # vectorized math, so the scan's natural splits (which grow
+            # with data via maxPartitionBytes) are the right parallelism;
+            # a fixed 32-way repartition only added per-task Arrow
+            # round-trip overhead at small SF (measured 0.51 -> 0.27 s)
+            e.select("vec_id", "embedding"),
+            q_ids,
+            q_vecs,
+            5,
+            vec_col="embedding",
+            out_col="cosine_raw",
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
@@ -732,21 +745,33 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
         ).cast("double"),
     )
-    base = fan_out(scaled.select("vec_id", "embedding", q8.alias("q8")))
-    coarse_side = base.select("vec_id", "q8", _norm("q8").alias("q8_norm"))
-    coarse_queries = coarse_side.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("q8").alias("q_q8"),
-        F.col("q8_norm").alias("q_q8_norm"),
+    base = scaled.select("vec_id", "embedding", q8.alias("q8"))
+    # r14: the N x Q coarse scoring (the query's scaling term — SPARKWALL
+    # r13 measured ratio 4.83 at 10x data, all interpreted fold lambdas)
+    # runs as the Arrow bounded-query scorer; the <= 64 query q8 rows are
+    # collected from the same pre-fan-out quantization expression the
+    # corpus branch materializes, so query and corpus codes stay the
+    # product of ONE floor expression. Per-batch top-20 cut keeps the
+    # q_id Exchange at <= 20 x Q rows per partition, as before.
+    from ..functions.arrowvec import collect_query_vectors, score_bounded_queries
+
+    q_ids, q_q8s = collect_query_vectors(
+        scaled.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+        ).select("vec_id", q8.alias("q8")),
+        "vec_id",
+        "q8",
     )
-    coarse_cos = _dot("q_q8", "q8") / (F.col("q_q8_norm") * F.col("q8_norm"))
     w_coarse = Window.partitionBy("q_id").orderBy(F.col("coarse_raw").desc(), F.col("vec_id"))
     candidates = (
-        coarse_side.crossJoin(F.broadcast(coarse_queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", coarse_cos.alias("coarse_raw"))
+        score_bounded_queries(
+            base.select("vec_id", "q8"),
+            q_ids,
+            q_q8s,
+            20,
+            vec_col="q8",
+            out_col="coarse_raw",
+        )
         .withColumn("rn_coarse", F.row_number().over(w_coarse))
         .filter(F.col("rn_coarse") <= 20)
         .select("q_id", "vec_id")
@@ -1565,20 +1590,27 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores order on raw doubles with vec_id tie-break (both engines
     evaluate the identical sequential-fold dot), outputs quantized 1e-4.
     """
+    from ..functions.arrowvec import collect_query_vectors, score_bounded_queries
+
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    base = fan_out(e).select("vec_id", "embedding", _norm("embedding").alias("nrm"))
-    qs = base.where(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    rel = _dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    qpred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    q_ids, q_vecs = collect_query_vectors(e.filter(qpred), "vec_id", "embedding")
     w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    # r14: corpus-wide shortlist scoring via the Arrow bounded-query kernel
+    # (batch-local top-8 cut; the greedy MMR unroll below stays pure
+    # relational algebra over <= 8 rows per query). nrm re-derives on the
+    # surviving shortlist rows only — same fold, same doubles.
     cand = (
-        base.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "embedding", "nrm", rel.alias("rel"))
+        score_bounded_queries(
+            e.select("vec_id", "embedding"),
+            q_ids,
+            q_vecs,
+            _MMR_SHORTLIST,
+            vec_col="embedding",
+            keep=("embedding",),
+            out_col="rel",
+        )
+        .withColumn("nrm", _norm("embedding"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_SHORTLIST)
         .persist()
@@ -1692,26 +1724,32 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     label count FIXED (~8), Q ∝ n made even the label-restricted scoring
     n²/800 and grew the query broadcast with the corpus — the
     ann_bruteforce_topk disease in its filtered form."""
+    from ..functions.arrowvec import score_bounded_queries
+
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = fan_out(e).select(
-        "vec_id", "label", "embedding", _norm("embedding").alias("e_norm")
-    )
-    queries = e.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
-        _norm("embedding").alias("q_norm"),
-    )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    qpred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    qrows = e.filter(qpred).select("vec_id", "embedding", "label").collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_vecs = [list(r["embedding"]) for r in qrows]
+    q_labels = [int(r["label"]) for r in qrows]
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    # r14: the label predicate applies INSIDE the Arrow scorer (per-query
+    # equality mask before the cut — the restriction still precedes
+    # ranking, so the filtered-ANN no-under-fill property is intact)
     return (
-        corpus.join(
-            F.broadcast(queries),
-            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        score_bounded_queries(
+            e.select("vec_id", "label", "embedding"),
+            q_ids,
+            q_vecs,
+            5,
+            vec_col="embedding",
+            keep=("label",),
+            match_col="label",
+            match_vals=q_labels,
+            match_op="eq",
+            out_col="cosine_raw",
         )
-        .select("q_id", "vec_id", "label", cos.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
@@ -1785,35 +1823,26 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the truncated pass is the one you'd run over the whole
     collection — this audit is how you justify that with a measured
     recall, on a query sample, before committing to the index layout."""
+    from ..functions.arrowvec import collect_query_vectors, score_bounded_two_metrics
+
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = fan_out(e).select(
-        "vec_id",
-        "embedding",
-        _norm("embedding").alias("e_norm"),
-        F.sqrt(_slice_dot("embedding", "embedding", _TRUNC_D)).alias("e_norm_t"),
-    )
-    queries = e.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("q_norm"),
-        F.sqrt(_slice_dot("embedding", "embedding", _TRUNC_D)).alias("q_norm_t"),
-    )
-    cos_full = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
-    cos_trunc = _slice_dot("q_emb", "embedding", _TRUNC_D) / (
-        F.col("q_norm_t") * F.col("e_norm_t")
-    )
+    qpred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    q_ids, q_vecs = collect_query_vectors(e.filter(qpred), "vec_id", "embedding")
     w_full = Window.partitionBy("q_id").orderBy(F.col("c_full").desc(), "vec_id")
     w_trunc = Window.partitionBy("q_id").orderBy(F.col("c_trunc").desc(), "vec_id")
+    # r14: both cosines per pair in ONE Arrow pass (the truncated dot is a
+    # prefix slice of the same fold); each batch keeps the UNION of its
+    # per-order top-3 sets, which preserves every rn_full/rn_trunc <= 3
+    # verdict exactly (see arrowvec.score_bounded_two_metrics for the
+    # rank-safety argument).
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            cos_full.alias("c_full"),
-            cos_trunc.alias("c_trunc"),
+        score_bounded_two_metrics(
+            e.select("vec_id", "embedding"),
+            q_ids,
+            q_vecs,
+            3,
+            vec_col="embedding",
+            trunc_dims=_TRUNC_D,
         )
         .withColumn("rn_full", F.row_number().over(w_full))
         .withColumn("rn_trunc", F.row_number().over(w_trunc))
@@ -1878,33 +1907,53 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (thousands), still broadcast-sized; the labeled brute-force scan is
     the exactness baseline, with the IVF/LSH paths as the approximate
     drop-ins."""
+    from ..functions.arrowvec import score_bounded_queries
+
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    corpus = fan_out(e).select(
-        "vec_id", "label", "embedding", _norm("embedding").alias("e_norm")
-    )
-    anchors = e.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
-        _norm("embedding").alias("q_norm"),
-    )
-    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm"))
+    qpred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _BF_QMAX)
+    qrows = e.filter(qpred).select("vec_id", "embedding", "label").collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_vecs = [list(r["embedding"]) for r in qrows]
+    q_labels = [int(r["label"]) for r in qrows]
+    corpus = e.select("vec_id", "label", "embedding")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    # r14: both passes through the Arrow bounded-query scorer. The
+    # negative scan keeps its per-batch top-3 cut (label != anchor label
+    # masked inside the kernel); the positive side cuts each batch to its
+    # single best row per anchor — MAX over batch maxima IS the global
+    # MAX (order-free), so the aggregate below is unchanged.
     negs = (
-        corpus.join(F.broadcast(anchors), F.col("label") != F.col("q_label"))
-        .select("q_id", "vec_id", "label", cos.alias("cosine_raw"))
+        score_bounded_queries(
+            corpus,
+            q_ids,
+            q_vecs,
+            3,
+            vec_col="embedding",
+            keep=("label",),
+            match_col="label",
+            match_vals=q_labels,
+            match_op="ne",
+            exclude_self=False,
+            out_col="cosine_raw",
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
     pos = (
-        corpus.join(
-            F.broadcast(anchors),
-            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        score_bounded_queries(
+            corpus,
+            q_ids,
+            q_vecs,
+            1,
+            vec_col="embedding",
+            match_col="label",
+            match_vals=q_labels,
+            match_op="eq",
+            out_col="cosine_raw",
         )
         .groupBy("q_id")
-        .agg(F.max(cos).alias("best_pos"))
+        .agg(F.max("cosine_raw").alias("best_pos"))
     )
     return (
         negs.join(pos, "q_id")

@@ -269,7 +269,11 @@ def test_bruteforce_topk_partial_limit_below_exchange(spark):
     """ann_bruteforce_topk must be two-phase: the partial WindowGroupLimit
     (map-side per-query top-5 cut) sits BELOW the q_id Exchange, so the
     shuffle carries ≤ 5×Q rows per partition — never the Q×N scored cross.
-    The tree prints root-first, so Final < Exchange < Partial positionally."""
+    The tree prints root-first, so Final < Exchange < Partial positionally.
+    Since r14 the scoring itself is the Arrow kernel (MapInArrow below the
+    partial cut — the bounded query set is driver-held, so no join node of
+    any kind may appear), and the kernel's input scan must stay pruned to
+    (vec_id, embedding)."""
     df = registry.QUERIES["ann_bruteforce_topk"](spark, SF)
     plan = plan_string(df, mode="simple")
     assert plan.count("WindowGroupLimit") == 2, plan
@@ -277,25 +281,25 @@ def test_bruteforce_topk_partial_limit_below_exchange(spark):
     exch_pos = plan.find("Exchange hashpartitioning(q_id")
     partial_pos = plan.find("row_number(), 5, Partial")
     assert 0 <= final_pos < exch_pos < partial_pos, plan
-    # scoring stays a broadcast cross below the partial cut (no SMJ detour)
-    assert "BroadcastNestedLoopJoin" in plan[partial_pos:], plan
-    # the broadcast query side is a BOUNDED relation (Q <= 64 at any corpus
-    # size): the vec_id < 6400 cap must be pushed to the queries-side scan,
-    # keeping the broadcast O(Q) and the post-cut shuffle O(k*Q)
+    assert "MapInArrow" in plan[partial_pos:], plan
+    assert "Join" not in plan, plan
     full = plan_string(df)
-    assert "LessThan(vec_id,6400)" in full, full
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in full, full
 
 
 def test_int8_quantization_materialized_below_exchange(spark):
     """The int8 copy must be computed once per vector below the fan-out
-    exchange — FLOOR appears exactly twice in the plan (corpus branch +
-    broadcast query branch), never inlined into the per-pair coarse dot
-    (the CollapseProject trap). Both top-k windows must carry partial
-    WindowGroupLimit so the per-partition top-20 is cut before the
-    shuffle."""
+    exchange — FLOOR appears exactly once in the plan (the corpus branch;
+    since r14 the bounded query side's q8 is collected by a separate tiny
+    job from the SAME quantization expression, so it no longer appears
+    here), never inlined into the per-pair coarse dot (the CollapseProject
+    trap). The coarse scoring is the Arrow kernel with its per-batch
+    top-20 cut; the rank windows must still carry a partial
+    WindowGroupLimit below the q_id exchange."""
     df = registry.QUERIES["ann_int8_rerank"](spark, SF)
     plan = plan_string(df)
-    assert plan.upper().count("FLOOR") == 2, plan
+    assert plan.upper().count("FLOOR") == 1, plan
+    assert "MapInArrow" in plan, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
@@ -437,26 +441,28 @@ def test_shard_assignment_balanced(spark):
 
 
 def test_ivf_kmeans_probe_is_broadcast_equijoin(spark):
-    """The IVF probe joins queries to their cell via broadcast — the corpus
-    side must never shuffle for the probe, and no cartesian may appear
-    (the cell equi-join is what makes IVF sub-linear at scale)."""
+    """The IVF probe restricts each query to its probe cells INSIDE the
+    Arrow scorer (r14 — the probe-cell mask replaced the broadcast cell
+    equi-join; the driver already held both the queries and the
+    centroids), cut to the per-batch top-3 before the q_id exchange. The
+    corpus side must never shuffle for the probe and no join node of any
+    kind may appear."""
     df = registry.QUERIES["ann_ivf_kmeans"](spark, SF)
     plan = plan_string(df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
 def test_ivf_nprobe2_probe_is_broadcast_equijoin(spark):
-    """nprobe=2 must keep the exact nprobe=1 plan shape: the query-side
-    explode happens before the broadcast, so the corpus still sees one
-    broadcast-hash equi-join on the cell id — no cartesian, no corpus
-    shuffle."""
+    """nprobe=2 must keep the exact nprobe=1 plan shape: the wider probe
+    list is purely a wider per-query cell mask inside the same Arrow
+    scorer — no cartesian, no corpus shuffle, no join."""
     df = registry.QUERIES["ann_ivf_kmeans_nprobe2"](spark, SF)
     plan = plan_string(df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
 def test_etl_prune_registry_query_has_partition_filters(spark):
@@ -499,13 +505,14 @@ def test_market_basket_self_join_is_equi_not_cartesian(spark):
 
 def test_persisted_ivf_probe_scan_is_partition_pruned(spark):
     """ann_ivf_persisted_probe: the index scan must carry the probe-cell
-    IN-filter as a PartitionFilter (plan-time directory pruning), and the
-    probe join must be the broadcast equi-join, not a cartesian."""
+    IN-filter as a PartitionFilter (plan-time directory pruning); scoring
+    is the Arrow probe kernel (r14), so no join node may appear."""
     df = registry.QUERIES["ann_ivf_persisted_probe"](spark, SF)
     plan = plan_string(df)
     assert "PartitionFilters" in plan, plan
     assert "cell" in plan.split("PartitionFilters")[1][:300], plan
-    assert "CartesianProduct" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_dynamic_partition_pruning_subquery_on_fact_scan(spark):
@@ -842,13 +849,15 @@ def test_join_ivm_delta_sides_broadcast(spark):
 
 
 def test_filtered_topk_restricts_before_scoring(spark):
-    """The label predicate must be a join condition on the broadcast
-    (restriction before ranking — post-filtering under-fills k), and the
-    partial WindowGroupLimit must still cut below the q_id Exchange."""
+    """The label restriction applies BEFORE ranking (post-filtering
+    under-fills k): since r14 it is the per-query equality mask inside the
+    Arrow scorer (the kernel cuts each batch top-5 AMONG matching rows
+    only), and the partial WindowGroupLimit must still cut below the q_id
+    Exchange."""
     df = registry.QUERIES["ann_filtered_topk"](spark, SF)
     simple = plan_string(df, mode="simple")
-    assert "BroadcastHashJoin [label" in simple or "BroadcastHashJoin [q_label" in simple \
-        or ("BroadcastHashJoin" in simple and "label" in simple.split("BroadcastHashJoin")[1][:120]), simple
+    assert "MapInArrow" in simple, simple
+    assert "Join" not in simple, simple
     assert "WindowGroupLimit" in simple, simple
     assert simple.index("Exchange hashpartitioning(q_id") < simple.rindex("WindowGroupLimit"), simple
 
@@ -961,12 +970,15 @@ def test_cms_audit_sketch_is_broadcast_relation(spark):
 
 def test_dim_truncation_recall_bounded_query_side(spark):
     """ann_dim_truncation_recall shares ann_bruteforce_topk's bounded-Q
-    discipline: the vec_id < 6400 cap must be pushed to the broadcast
-    query-side scan."""
+    discipline: since r14 the bounded query set is driver-held and both
+    cosines come from ONE Arrow pass — the plan must carry the kernel and
+    no join node, and the kernel scan stays pruned to (vec_id,
+    embedding)."""
     df = registry.QUERIES["ann_dim_truncation_recall"](spark, SF)
     full = plan_string(df)
-    assert "LessThan(vec_id,6400)" in full, full
-    assert "BroadcastNestedLoopJoin" in plan_string(df, mode="simple")
+    assert "MapInArrow" in full, full
+    assert "Join" not in full, full
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in full, full
 
 
 def test_approx_percentile_audit_broadcasts_group_medians(spark):

@@ -141,7 +141,9 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort key of a cross-engine-checked top-k."""
     # persist the edge list itself: it has TWO consumers (the outw
     # aggregate and the edges_n join below), and uncached plans re-run the
-    # lineitem⋈orders aggregate once per consumer (guide §5).
+    # lineitem⋈orders aggregate once per consumer (guide §5). Cold A/B
+    # (r14, interleaved, clearCache per sample, sf0.1): WITH the persist
+    # min 3.34 s / WITHOUT 4.02 s — the persist pays; kept.
     edges = _edges(spark, sf_dir).persist()
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout")).persist()
     # materialize the edge list ONCE: every iteration (and the node set)
@@ -152,32 +154,46 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the node set (no separate distinct over the edge list) and is |V|
     # rows — broadcast it onto the edge side instead of shuffling edges.
     edges_n = edges.join(F.broadcast(outw), "src").persist()
-    nodes = outw.select(F.col("src").alias("node"))
-    n_nodes = nodes.count()
+    n_nodes = outw.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(_ITERATIONS):
+    # r14 restructure (guide §2.4/§3.3), values unchanged:
+    # - round 1's rank is the uniform constant 1/n, so joining the rank
+    #   table contributes nothing — fold the literal into the projection
+    #   and drop the first broadcast join (same doubles: rank*w/wout with
+    #   rank = lit(1/n)).
+    # - the per-round `nodes LEFT JOIN contribs` + coalesce was dead
+    #   weight: the edge list is symmetrized, so EVERY node appears as a
+    #   dst and the aggregate's key set IS the node set — 3 more joins
+    #   gone (the oracle keeps the left-join spelling; rows are equal by
+    #   the symmetry argument and hash-checked at 3 SFs).
+    def next_ranks(contrib_col):
+        return (
+            contrib_col.groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15 / n_nodes) + F.lit(_DAMPING) * F.col("mass")).alias(
+                    "rank"
+                ),
+            )
+        )
+
+    ranks = next_ranks(
+        edges_n.select(
+            "dst",
+            (F.lit(1.0 / n_nodes) * F.col("w") / F.col("wout")).alias("contrib"),
+        )
+    )
+    for _ in range(_ITERATIONS - 1):
         # ranks is |V| rows — broadcast it so the big edge side is never
         # reshuffled; the only shuffle per iteration is the partial agg on
         # dst. (Beyond broadcastable |V|, co-partition ranks with edges
         # on src instead — same loop, one more exchange.)
-        contribs = (
-            edges_n.join(F.broadcast(ranks), edges_n.src == ranks.node)
-            .select(
+        ranks = next_ranks(
+            edges_n.join(F.broadcast(ranks), edges_n.src == ranks.node).select(
                 F.col("dst"),
                 (F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"),
             )
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("mass"))
-        )
-        ranks = nodes.join(
-            F.broadcast(contribs), nodes.node == contribs.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit(0.15 / n_nodes)
-                + F.lit(_DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("rank"),
         )
     return (
         ranks.select(
@@ -568,29 +584,40 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank above); synchronous updates keep it deterministic, which is
     the property the oracle needs.
     """
-    edges = _edges(spark, sf_dir).persist()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().select(
-            "node", F.col("node").alias("label")
-        )
-    )
-    for _ in range(2):
-        # labels is |V| rows — broadcast it so the persisted edge list is
-        # never reshuffled per round (same rationale as PageRank above;
-        # beyond broadcastable |V|, co-partition labels with edges on src).
-        wt = (
-            edges.join(F.broadcast(labels.withColumnRenamed("node", "src")), "src")
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.sum("w").alias("wt"))
-        )
-        from pyspark.sql import Window as W
+    from pyspark.sql import Window as W
 
+    edges = _edges(spark, sf_dir).persist()
+
+    def argmax_label(wt):
         rn = F.row_number().over(
             W.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
         )
-        labels = wt.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+        return wt.withColumn("rn", rn).filter(F.col("rn") == 1).select(
             "node", "label"
         )
+
+    # r14 restructure (guide §2.4), values unchanged: round 1's labels are
+    # the node ids themselves (l0 = node AS label), so the round-1 weight
+    # table `SUM(w) GROUP BY (dst, src-label)` IS the edge list — the
+    # (src, dst) pairs are unique by construction (the groupBy in _edges +
+    # bipartite symmetrization), so the sum is over one row and the whole
+    # round-1 broadcast join + aggregate collapses to a projection. Round
+    # 2 keeps the real join.
+    labels = argmax_label(
+        edges.select(
+            F.col("dst").alias("node"),
+            F.col("src").alias("label"),
+            F.col("w").alias("wt"),
+        )
+    )
+    # labels is |V| rows — broadcast it so the persisted edge list is
+    # never reshuffled per round (same rationale as PageRank above;
+    # beyond broadcastable |V|, co-partition labels with edges on src).
+    labels = argmax_label(
+        edges.join(F.broadcast(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(F.col("dst").alias("node"), "label")
+        .agg(F.sum("w").alias("wt"))
+    )
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_members"))

@@ -593,6 +593,90 @@ def pair_scores(
     return src.mapInArrow(kernel, out_schema)
 
 
+def cell_pair_cosines(
+    bucketed: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    mode: str = "lt",
+    k: int | None = None,
+    out_cols: tuple[str, str, str] = ("vec_a", "vec_b", "cosine_raw"),
+) -> DataFrame:
+    """Within-cell pair cosines via ONE grouped Arrow pass (guide §8:
+    every vector crosses the boundary once; the quadratic pair expansion
+    happens inside numpy per cell) — replacing the two-sided cell
+    self-join + interpreted per-pair fold. The per-pair double is the
+    fold dot over both vectors divided by (a_norm * b_norm), norms from
+    the same sequential fold as `_norm` — bit-identical to the expression
+    form (same A/B family as the bounded scorers).
+
+    mode='lt': emit each unordered pair once, (smaller id, larger id,
+    cosine) — the `a.vec_id < b.vec_id` join spelling. mode='ne': emit
+    every ordered pair (src, dst, cosine); with ``k``, cut each src to
+    its top-k under the exact (cosine desc, dst asc) total order — group
+    rows are sorted by id first so a stable argsort's positional
+    tie-break IS the id tie-break; all of a src's candidates live in its
+    own group, so the cut is exact, and a non-finite score disables the
+    cut for the group (the JVM window above then decides, as before)."""
+    src = bucketed.select(cell_col, id_col, vec_col)
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(out_cols[0], T.LongType(), False),
+            T.StructField(out_cols[1], T.LongType(), False),
+            T.StructField(out_cols[2], T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        empty = pa.table(
+            {
+                out_cols[0]: pa.array([], pa.int64()),
+                out_cols[1]: pa.array([], pa.int64()),
+                out_cols[2]: pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        E = list_to_mat(tbl.column(vec_col))
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.ascontiguousarray(E[order])
+        nrm = fold_norm(E)
+        S = fold_dot_nm(E, E) / (nrm[:, None] * nrm[None, :])
+        if mode == "lt":
+            ai, bi = np.triu_indices(n, k=1)  # rows sorted by id: i<j <=> id_i<id_j
+            return pa.table(
+                {
+                    out_cols[0]: pa.array(ids[ai], pa.int64()),
+                    out_cols[1]: pa.array(ids[bi], pa.int64()),
+                    out_cols[2]: pa.array(S[ai, bi], pa.float64()),
+                }
+            )
+        # mode == 'ne'
+        if k is not None and np.isfinite(S).all() and n - 1 > k:
+            Sm = S.copy()
+            np.fill_diagonal(Sm, -np.inf)
+            keep = np.argsort(-Sm, axis=1, kind="stable")[:, :k]
+            ai = np.repeat(np.arange(n), k)
+            bi = keep.reshape(-1)
+        else:
+            ai, bi = np.nonzero(~np.eye(n, dtype=bool))
+        return pa.table(
+            {
+                out_cols[0]: pa.array(ids[ai], pa.int64()),
+                out_cols[1]: pa.array(ids[bi], pa.int64()),
+                out_cols[2]: pa.array(S[ai, bi], pa.float64()),
+            }
+        )
+
+    return src.groupBy(cell_col).applyInArrow(kernel, out_schema)
+
+
 def collect_query_vectors(
     df: DataFrame, id_col: str, vec_col: str
 ) -> tuple[list[int], list[list[float]]]:

@@ -500,26 +500,13 @@ def dedup_embedding_cosine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     corpus = base.unionAll(twins)
-    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e"))
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("cell").alias("a_cell"),
-        F.col("e").alias("a_e"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cell").alias("b_cell"),
-        F.col("e").alias("b_e"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = _dot("a_e", "b_e") / (F.col("a_nrm") * F.col("b_nrm"))
+    bucketed = _semdedup_cells(corpus, "e")
+    # r14: grouped Arrow pair kernel (one shuffle of the vectors by cell;
+    # pairs expand in numpy — guide §8); threshold + rounding stay JVM
+    from ..functions.arrowvec import cell_pair_cosines
+
     return (
-        a.join(
-            b,
-            (F.col("b_cell") == F.col("a_cell")) & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .withColumn("cosine_raw", cos)
+        cell_pair_cosines(bucketed, "e")
         .filter(F.col("cosine_raw") >= 0.95)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
@@ -627,29 +614,24 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionAll(twins)
-    # NOT persisted (measured, r13 opt round): the three consumers re-run
+    # NOT persisted (measured, r13 opt round): the consumers re-run
     # only a map-only sign-bit assignment — the cache write of the
     # array-typed rows costs more than the recompute it saves (~1.7 s vs
     # ~1.3 s at sf0.1)
-    bucketed = _semdedup_cells(corpus, "embedding").withColumn(
-        "nrm", _norm("embedding")
+    bucketed = _semdedup_cells(corpus, "embedding")
+    # r14: within-cell pair cosines via the grouped Arrow kernel — each
+    # vector is shuffled ONCE (by cell) and the quadratic pair expansion
+    # happens in numpy, replacing the two-sided cell self-join + the
+    # interpreted per-pair fold (guide §8 / §4.2). Same doubles, same
+    # b_id < a_id pair set; the threshold and witness count stay in the
+    # JVM so the kernel only computes.
+    from ..functions.arrowvec import cell_pair_cosines
+
+    pairs = cell_pair_cosines(
+        bucketed, "embedding", out_cols=("b_id", "a_id", "cosine_raw")
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cell").alias("a_cell"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cell").alias("b_cell"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = _dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
     pruned = (
-        a.join(b, (F.col("b_cell") == F.col("a_cell")) & (F.col("b_id") < F.col("a_id")))
-        .filter(cos >= _SEMDEDUP_TAU)
+        pairs.filter(F.col("cosine_raw") >= _SEMDEDUP_TAU)
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.count("*").cast("bigint").alias("n_witnesses"))
     )
@@ -1252,23 +1234,13 @@ def ann_range_search_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e"))
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("cell").alias("a_cell"),
-        F.col("e").alias("a_e"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cell").alias("b_cell"),
-        F.col("e").alias("b_e"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = _dot("a_e", "b_e") / (F.col("a_nrm") * F.col("b_nrm"))
+    bucketed = _semdedup_cells(corpus, "e")
+    # r14: grouped Arrow pair kernel (same rewrite as the cosine-cells
+    # twin); radius threshold + rounding stay JVM
+    from ..functions.arrowvec import cell_pair_cosines
+
     return (
-        a.join(b, (F.col("b_cell") == F.col("a_cell")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine_raw", cos)
+        cell_pair_cosines(bucketed, "e")
         .filter(F.col("cosine_raw") >= _RADIUS_T)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
@@ -2031,27 +2003,19 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    # persisted: both pair-join sides read it (guide §5)
-    bucketed = _semdedup_cells(corpus, "e").withColumn("nrm", _norm("e")).persist()
-    a = bucketed.select(
-        F.col("vec_id").alias("src"),
-        F.col("cell").alias("a_cell"),
-        F.col("e").alias("a_e"),
-        F.col("nrm").alias("a_nrm"),
+    bucketed = _semdedup_cells(corpus, "e")
+    # r14: grouped Arrow pair kernel (mode 'ne' + per-src top-k cut — a
+    # src's candidate set IS its cell group, so the in-kernel cut is
+    # exact); the JVM window re-derives rn over the kept rows, which
+    # carry the same (c desc, dst) total order
+    from ..functions.arrowvec import cell_pair_cosines
+
+    pairs = cell_pair_cosines(
+        bucketed, "e", mode="ne", k=_KNN_K, out_cols=("src", "dst", "c")
     )
-    bb = bucketed.select(
-        F.col("vec_id").alias("dst"),
-        F.col("cell").alias("b_cell"),
-        F.col("e").alias("b_e"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = _dot("a_e", "b_e") / (F.col("a_nrm") * F.col("b_nrm"))
-    pairs = a.join(
-        bb, (F.col("b_cell") == F.col("a_cell")) & (F.col("dst") != F.col("src"))
-    ).select("src", "dst", cos.alias("c"))
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
     # persisted: the mutual check reads edges twice (forward + reversed) —
-    # uncached, the in-cell pair join + top-k window runs once per side
+    # uncached, the in-cell pair kernel + top-k window runs once per side
     edges = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KNN_K)

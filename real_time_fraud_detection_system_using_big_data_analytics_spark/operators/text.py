@@ -1620,110 +1620,96 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     ADVICE: this docstring used to claim a lexicographic tie-break). All
     outputs BIGINT."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    # persisted: the tokenized doc table feeds the char total, the token
-    # position table AND five n-gram window expansions (guide §5)
-    docs = fan_out(d).select("doc_id", F.split("text", " ").alias("ws")).persist()
-    total = docs.select(
-        "doc_id",
-        (F.length(F.array_join("ws", " ")) - (F.size("ws") - 1))
-        .cast("bigint")
-        .alias("total_chars"),
+    docs = fan_out(d).select("doc_id", F.split("text", " ").alias("ws"))
+
+    # r14 (guide §4.2, second step after r13's union fusion): EVERY signal
+    # here is doc-local INTEGER logic — n-gram counts, a count/hash-prefix
+    # argmax, a position-coverage union, token-length sums — so the whole
+    # computation runs per document inside ONE map-only Arrow kernel and
+    # the plan drops from a 5-way window explode + 33 Exchanges to a scan,
+    # the kernel, and a projection. Exactness is structural, not float:
+    # the kernel reproduces the JVM expressions' key and order semantics
+    # exactly — hashlib.md5 over the UTF-8 gram == F.md5 (both hash the
+    # string's UTF-8 bytes), Python len(str) == F.length (both count code
+    # points), gram groups keyed by (16-hex-md5-prefix, glen) with ties
+    # broken by (count desc, gh asc) — hex-ASCII string order, identical
+    # in both — and the dup coverage dedups (gh-group, position) exactly
+    # as the count-over window did. All outputs are BIGINTs; no double is
+    # ever produced, so there is no accumulation-order question at all.
+    # (The r13 union form spent ~5.4 s of its 9.8 s cold sf1 wall just
+    # BUILDING the window strings through interpreted lambdas; the
+    # per-doc Python loop is faster AND removes the exchanges.)
+    import hashlib
+    from typing import Iterator
+
+    import pyarrow as pa
+    import pyspark.sql.types as T
+
+    top_ns = tuple(_REP_TOP_PCT)
+    dup_ns = tuple(_REP_DUP_PCT)
+    out_names = (
+        ["doc_id", "total_chars"]
+        + [f"top{n}_chars" for n in top_ns]
+        + [f"dup{n}_chars" for n in dup_ns]
+    )
+    out_schema = T.StructType(
+        [T.StructField(c, T.LongType(), False) for c in out_names]
     )
 
-    def windows(n: int) -> DataFrame:
-        """(doc_id, i [1-based], g) for every n-token window."""
-        arr = F.col("ws")
-        grams = F.when(
-            F.size(arr) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return docs.select(
-            "doc_id", F.posexplode(grams).alias("i0", "g")
-        ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    def _doc_stats(toks: list) -> list:
+        lens = [len(t) for t in toks]
+        total = sum(lens)
+        m = len(toks)
+        row = [total]
+        md5 = hashlib.md5
+        for n in top_ns:
+            if m < n:
+                row.append(0)
+                continue
+            counts: dict = {}
+            for i in range(m - n + 1):
+                g = " ".join(toks[i : i + n])
+                key = (md5(g.encode("utf-8")).hexdigest()[:16], len(g) - (n - 1))
+                counts[key] = counts.get(key, 0) + 1
+            (gh, glen), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0])
+            )
+            row.append(c * glen)
+        for n in dup_ns:
+            if m < n:
+                row.append(0)
+                continue
+            pos: dict = {}
+            for i in range(m - n + 1):
+                g = " ".join(toks[i : i + n])
+                pos.setdefault(md5(g.encode("utf-8")).hexdigest()[:16], []).append(i)
+            covered: set = set()
+            for ps in pos.values():
+                if len(ps) >= 2:
+                    for i in ps:
+                        covered.update(range(i, i + n))
+            row.append(sum(lens[p] for p in covered))
+        return row
 
-    # ONE unioned window table over all five gram widths (r13 opt round):
-    # the per-n formulation planned 5 separate explode→aggregate→window
-    # chains (each its own exchange family, ~27 Exchanges total) and 5
-    # doc_id joins; tagging each row with its `n` collapses that to one
-    # chain per family (top / dup) and 2 joins. Per-row expressions (md5
-    # prefix, glen, window orders) are byte-identical to the per-n form,
-    # so every output value — and the oracle — is unchanged.
-    wins_all = None
-    for n in list(_REP_TOP_PCT) + list(_REP_DUP_PCT):
-        part = windows(n).select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            "i",
-            F.substring(F.md5("g"), 1, 16).alias("gh"),
-            (F.length("g") - (n - 1)).alias("glen"),
-        )
-        wins_all = part if wins_all is None else wins_all.unionByName(part)
-    wins_all = wins_all.persist()
-
-    w_top = Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "gh")
-    tops = (
-        wins_all.filter(F.col("n").isin(*_REP_TOP_PCT))
-        .groupBy("doc_id", "n", "gh", "glen")
-        .agg(F.count("*").alias("c"))
-        .withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(
-                        F.col("n") == n,
-                        (F.col("c") * F.col("glen")).cast("bigint"),
-                    )
-                ).alias(f"top{n}_chars")
-                for n in _REP_TOP_PCT
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            wss = batch.column(1).to_pylist()
+            rows = [[i] + _doc_stats(ws) for i, ws in zip(ids, wss)]
+            cols = [
+                pa.array([r[k] for r in rows], pa.int64())
+                for k in range(len(out_names))
             ]
-        )
-    )
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-    toks = docs.select(
-        "doc_id", F.posexplode("ws").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tlen"))
-
-    # dup coverage: same count-over-(doc, n, gram) window and position
-    # explode as the per-n form (within one n the extra `n` key is a
-    # no-op), deduped per (doc, n, position)
-    cw = Window.partitionBy("doc_id", "n", "gh")
-    covered = (
-        wins_all.filter(F.col("n").isin(*_REP_DUP_PCT))
-        .withColumn("c", F.count("*").over(cw))
-        .filter(F.col("c") >= 2)
-        .select(
-            "doc_id",
-            "n",
-            F.explode(F.sequence(F.col("i"), F.col("i") + (F.col("n") - 1))).alias("p"),
-        )
-        .distinct()
-    )
-    dups = (
-        covered.join(toks, ["doc_id", "p"])
-        .groupBy("doc_id", "n")
-        .agg(F.sum("tlen").cast("bigint").alias("chars"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("n") == n, F.col("chars"))).alias(
-                    f"dup{n}_chars"
-                )
-                for n in _REP_DUP_PCT
-            ]
-        )
-    )
-
-    out = total.join(tops, "doc_id", "left").join(dups, "doc_id", "left")
+    out = docs.mapInArrow(kernel, out_schema)
     cols = [F.col("doc_id"), F.col("total_chars")]
     flags = []
     for n, pct in list(_REP_TOP_PCT.items()) + list(_REP_DUP_PCT.items()):
         kind = "top" if n in _REP_TOP_PCT else "dup"
-        ch = F.coalesce(F.col(f"{kind}{n}_chars"), F.lit(0)).cast("bigint")
+        ch = F.col(f"{kind}{n}_chars").cast("bigint")
         cols.append(ch.alias(f"{kind}{n}_chars"))
         flags.append((ch * 100 <= F.col("total_chars") * pct))
     for flag, (n, _) in zip(flags, list(_REP_TOP_PCT.items()) + list(_REP_DUP_PCT.items())):

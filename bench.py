@@ -14,6 +14,16 @@ per query (r7 verdict task 4) so a plan regression is distinguishable
 from a noise burst: a real regression moves min AND median together; a
 stall moves only max/median. The stdout line carries the shared-28
 totals under both statistics.
+
+Since r14 the artifact ALSO records one COLD wall per query
+(`queries_cold`: spark.catalog.clearCache() before the sample, min of
+SPARK_GRAFT_BENCH_COLD_SAMPLES=2 draws, taken AFTER the warm rounds so
+they are unaffected): Spark's CacheManager serves persisted subtrees
+across samples by analyzed-plan equality, so for queries with persist()
+calls the warm min partially measures cache re-reads — the cold column is
+the pipeline-execution number a round-over-round comparison can't be
+flattered on. Additions only: warm min/median methodology, every existing
+field, and the stdout contract are unchanged.
 """
 
 from __future__ import annotations
@@ -300,6 +310,26 @@ def main() -> None:
         for _ in range(3):
             samples[name].append(run_once(name))
 
+    # COLD column (r14, r13 verdict item: PERF-visible warm minima on
+    # persisted subtrees partly measure CacheManager re-reads because
+    # Spark matches persisted data by analyzed plan ACROSS samples). One
+    # designated cold sample per query — clearCache first, so every
+    # persist re-materializes inside the measured wall — recorded
+    # SEPARATELY as `queries_cold`; the warm min/median methodology and
+    # every existing field are unchanged (additions only). Two samples,
+    # min, to shave the worst host-stall draws; disable with
+    # SPARK_GRAFT_BENCH_COLD_SAMPLES=0.
+    n_cold = int(os.environ.get("SPARK_GRAFT_BENCH_COLD_SAMPLES", "2"))
+    cold_times: dict[str, float] = {}
+    if n_cold > 0:
+        cold_samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(n_cold):
+            for name in names:
+                spark.catalog.clearCache()
+                cold_samples[name].append(run_once(name))
+        spark.catalog.clearCache()
+        cold_times = {n: round(min(ts), 3) for n, ts in cold_samples.items()}
+
     import statistics
 
     times = {name: round(min(ts), 3) for name, ts in samples.items()}
@@ -318,6 +348,12 @@ def main() -> None:
     total_median = round(sum(medians.values()), 3)
     shared28_min = round(sum(times[n] for n in COMPACT_SET if n in times), 3)
     shared28_median = round(sum(medians[n] for n in COMPACT_SET if n in medians), 3)
+    total_cold = round(sum(cold_times.values()), 3) if cold_times else None
+    shared28_cold = (
+        round(sum(cold_times[n] for n in COMPACT_SET if n in cold_times), 3)
+        if cold_times
+        else None
+    )
 
     # Run-to-run spread (r8 verdict task 5): one bench invocation's totals
     # sit somewhere in a ~10% host-noise band, so a single committed run is
@@ -333,6 +369,7 @@ def main() -> None:
             "sf": sf,
             "shared28_min": shared28_min,
             "shared28_median": shared28_median,
+            "shared28_cold": shared28_cold,
             "n_queries": len(times),
         }
         with hist_path.open("a") as fh:
@@ -367,9 +404,12 @@ def main() -> None:
         "value_median": total_median,
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold_times,
         "query_spread": spread,
         "shared28_min": shared28_min,
         "shared28_median": shared28_median,
+        "shared28_cold": shared28_cold,
+        "total_cold": total_cold,
         "shared28_median_runs": [r["shared28_median"] for r in runs_history],
         "shared28_min_runs": [r["shared28_min"] for r in runs_history],
         "sf": sf,
@@ -399,6 +439,7 @@ def main() -> None:
                 "queries": compact_times,
                 "shared28_min": shared28_min,
                 "shared28_median": shared28_median,
+                "shared28_cold": shared28_cold,
                 "shared28_median_runs": [r["shared28_median"] for r in runs_history],
                 "shared28_min_runs": [r["shared28_min"] for r in runs_history],
                 "sf": sf,

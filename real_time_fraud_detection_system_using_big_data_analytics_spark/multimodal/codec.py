@@ -207,6 +207,31 @@ def _wav_samples(doc_id: int, n_samples: int):
     return ((doc_id * 31 + i * 7) % 2001 - 1000).astype("<i2")
 
 
+_CODEC_TASK_BYTES = 75_000  # ~600 docs of input per python-codec task
+
+
+def _codec_fanout(df):
+    """Input-size-adaptive fan-out for the pure-Python codec stages (r14,
+    guide §2.6/§6): partitions = clamp(input_bytes / ~75 KB, 1, cores).
+    The r13 fixed 32-way fan-out fixed the single-task codec disease at
+    sf1 (jpeg_color 30.4 -> 3.4 s cold) but made the CHEAP codecs pay
+    ~0.2-0.4 s of 32-task python-stage overhead at sf0.1 where the whole
+    input is a few hundred KB; deriving the count from the scan's file
+    bytes keeps small inputs on a handful of tasks and saturates the
+    cores as data grows — scale-adaptive, not tuned to either mode."""
+    import os
+
+    try:
+        nbytes = sum(
+            os.path.getsize(f.replace("file:", "")) for f in df.inputFiles()
+        )
+    except Exception:  # pragma: no cover - exotic sources fall back to cores
+        nbytes = 0
+    cap = df.sparkSession.sparkContext.defaultParallelism
+    parts = cap if nbytes == 0 else max(1, min(cap, nbytes // _CODEC_TASK_BYTES or 1))
+    return fan_out(df, int(parts))
+
+
 def attach_wav_payload(docs: DataFrame) -> DataFrame:
     """Synthesize a REAL RIFF/WAVE payload per document: mono 16-bit PCM at
     8 kHz, n_samples = 40 + (length(text) % 50), samples from
@@ -254,7 +279,7 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
     # and without the repartition the whole codec runs on one core
     # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
     # bytes per row — payloads are synthesized AFTER it).
-    return fan_out(
+    return _codec_fanout(
         docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
@@ -369,7 +394,7 @@ def attach_ppm_payload(docs: DataFrame) -> DataFrame:
     # and without the repartition the whole codec runs on one core
     # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
     # bytes per row — payloads are synthesized AFTER it).
-    return fan_out(
+    return _codec_fanout(
         docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
@@ -620,7 +645,7 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     # and without the repartition the whole codec runs on one core
     # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
     # bytes per row — payloads are synthesized AFTER it).
-    return fan_out(
+    return _codec_fanout(
         docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
@@ -731,7 +756,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     # and without the repartition the whole codec runs on one core
     # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
     # bytes per row — payloads are synthesized AFTER it).
-    return fan_out(
+    return _codec_fanout(
         docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 
@@ -860,7 +885,7 @@ def attach_jpeg_color_payload(docs: DataFrame) -> DataFrame:
     # and without the repartition the whole codec runs on one core
     # (guide §2.5 input skew / §4 per-task work; the shuffle moves ~16
     # bytes per row — payloads are synthesized AFTER it).
-    return fan_out(
+    return _codec_fanout(
         docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     ).mapInPandas(encode, schema=out_schema)
 

@@ -322,20 +322,35 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle with the relational variant proves the two implementations
     agree value-for-value.
 
-    Scale: cogroup shuffles both sides once on user_id (same cost as the
-    equi-join) and each group is processed in one Arrow batch; the skew
-    hazard is a single hot user, the same hazard the join form has."""
+    Scale: cogroup shuffles both sides once (same cost as the equi-join)
+    and each group is processed in one Arrow batch; the skew hazard is a
+    single hot user, the same hazard the join form has.
+
+    r14 (guide §4.5/§4.2): cogroup on a BUCKET of users (pmod(user_id,
+    4 x cores)) and run ONE vectorized `pd.merge_asof(..., by="user_id")`
+    per bucket instead of one tiny per-user pandas call per group — the
+    per-group python/pandas fixed cost (frame construction + merge setup,
+    ~7 ms x thousands of users = ~13 s of the 14.3 s sf0.1 wall) was the
+    entire cost of this operator. `by=` keeps the exact per-user
+    semantics: both frames sorted globally by the on-key (ties by
+    p_event_id — a user's rows form a subsequence, so within-user order
+    is identical to the per-user sort), and merge_asof still takes the
+    LAST right row at equal timestamps, reproducing the
+    (ts DESC, event_id DESC) rank."""
     import pandas as pd
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
+    bkt = F.pmod("user_id", F.lit(n_buckets)).alias("bkt")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("error_ts")
+        "event_id", "user_id", F.col("ts").alias("error_ts"), bkt
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
         F.col("event_id").alias("p_event_id"),
+        bkt,
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -349,9 +364,10 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         right = right.sort_values(["purchase_ts", "p_event_id"], kind="mergesort")
         out = pd.merge_asof(
             left,
-            right[["purchase_ts", "purchase_value"]],
+            right[["user_id", "purchase_ts", "purchase_value"]],
             left_on="error_ts",
             right_on="purchase_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -360,8 +376,8 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out[["event_id", "user_id", "error_ts", "purchase_ts", "purchase_value"]]
 
     return (
-        errors.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        errors.groupBy("bkt")
+        .cogroup(purchases.groupBy("bkt"))
         .applyInPandas(
             merge,
             "event_id bigint, user_id bigint, error_ts timestamp, "

@@ -637,7 +637,10 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="avro_rt_")
     # repartition to the core count, not a fixed 8: the python-worker Avro
     # encode is the cost here, and 8 tasks left 3/4 of local[32] idle
-    # (guide §2.6 idle capacity; scale-adaptive, not a tuned constant)
+    # (guide §2.6 idle capacity; scale-adaptive, not a tuned constant).
+    # r14 re-proof of the trade (cold, min-of-3, in-session A/B): sf0.1
+    # 8-files 1.81 s vs 32-files 1.83 s (tie — the r13 'local regression'
+    # was host drift), sf1 3.18 s vs 2.78 s (32 wins) — kept.
     n_files = spark.sparkContext.defaultParallelism
     events.select(*cols).repartition(n_files).write.format("avro_ocf").mode(
         "overwrite"

@@ -143,7 +143,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingles — the cap is simultaneously the skew guard: the hottest
     join keys are removed before the shuffle."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _shingles_spark(d)
+    # persisted (r14, guide §5): `sh` feeds the stop-shingle census AND the
+    # anti-join; `filtered` feeds the sizes aggregate AND the pair
+    # self-join — uncached, the split+explode pipeline re-ran once per
+    # consumer (cold sf1 A/B: none 10.2 s / sh 5.6 / sh+filtered 4.1).
+    sh = _shingles_spark(d).persist()
     common = (
         sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
     )
@@ -152,7 +156,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary (boilerplate), which grows far sublinearly in corpus size —
     # broadcastable in practice. If a corpus ever outgrows it, drop the hint
     # and AQE turns the anti join into a shuffle join; values are identical.
-    filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
+    filtered = sh.join(F.broadcast(common), "shingle", "left_anti").persist()
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = filtered.alias("a")
     b = filtered.alias("b")
@@ -677,13 +681,15 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is still O(co-occurrence), never quadratic.
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _shingles_spark(d)
+    # persisted (r14): same multi-consumer rationale and cold A/B as
+    # dedup_ngram_jaccard above
+    sh = _shingles_spark(d).persist()
     common = (
         sh.groupBy("shingle").count().filter(F.col("count") > MAX_DOC_FREQ).select("shingle")
     )
     # stop-shingle broadcast: high-frequency-vocabulary-sized, see the
     # identical join in dedup_ngram_jaccard for the bound/fallback note
-    filtered = sh.join(F.broadcast(common), "shingle", "left_anti")
+    filtered = sh.join(F.broadcast(common), "shingle", "left_anti").persist()
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = filtered.alias("a")
     b = filtered.alias("b")
